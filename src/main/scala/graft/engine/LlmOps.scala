@@ -1,0 +1,351 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators (BASELINE.json north-star): exact +
+  * approximate dedup, similarity search, text analysis. Everything is
+  * expressed with codegen'd built-ins and higher-order array functions — no
+  * Scala UDFs on the hot path — so whole-stage codegen survives.
+  *
+  * Scale design notes (100 TB of documents):
+  *  - exact dedup: hash-groupBy on sha256 — one shuffle keyed by digest,
+  *    uniform by construction (no skew).
+  *  - MinHash/LSH: per-doc signatures are a narrow map-side pass; candidate
+  *    generation shuffles on (band, band_key) buckets, so the join is
+  *    |bucket|² within buckets rather than n² global.
+  *  - SimHash: 64-bit signature per doc, map-side only; banding the 64 bits
+  *    into 16-bit chunks gives hamming-neighbor candidates by equi-join.
+  *  - similarity: brute-force cosine only against a bounded query set
+  *    (broadcast); the IVF path prunes to nprobe/ncells of the corpus.
+  */
+object LlmOps {
+
+  /** Whitespace tokens of lowercased text, empties dropped. */
+  private def tokens(c: Column): Column =
+    filter(split(lower(c), " "), t => t =!= lit(""))
+
+  /** Double-precision dot product via higher-order functions (zip_with +
+    * aggregate) — sequential fold, codegen'd, no UDF. */
+  private[engine] def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private[engine] def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  // --- text analysis -----------------------------------------------------
+
+  /** q_text_analysis: corpus term frequency, top-100 tokens. Classic
+    * explode→partial-agg→shuffle-by-token; top-k via TakeOrdered. */
+  def qTextAnalysis(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(100)
+
+  val qTextAnalysisSql: String =
+    """SELECT token, COUNT(*) AS n FROM (
+      |  SELECT unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS token
+      |  FROM documents)
+      |GROUP BY token ORDER BY n DESC, token ASC LIMIT 100""".stripMargin
+
+  /** q_token_count: whitespace tokens + a BPE-ish regex token count + chars,
+    * per document — the standard "how many tokens is this corpus" pass. */
+  def qTokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("ws_tokens"),
+        regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").as("sub_tokens"),
+        length(col("text")).cast("long").as("n_chars_calc"))
+      .orderBy(col("doc_id"))
+
+  val qTokenCountSql: String =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS sub_tokens,
+      |  CAST(length(text) AS BIGINT) AS n_chars_calc
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** q_text_quality: length / punctuation / stopword-ratio quality signals —
+    * the filters a pretraining pipeline runs before anything expensive.
+    * All-integer numerators/denominators, so the double ratios are a single
+    * identical division in both engines. */
+  def qTextQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val stopArr = typedLit(stopwords)
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        size(toks).cast("long").as("n_tokens"),
+        (length(col("text")) - length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))).cast("long").as("alnum_chars"),
+        size(filter(toks, t => array_contains(stopArr, t))).cast("long").as("stop_n"))
+      .withColumn("stop_ratio", col("stop_n").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("passes", col("n_tokens") >= 10 && col("stop_n") >= 1)
+      .orderBy(col("doc_id"))
+  }
+
+  val qTextQualitySql: String =
+    s"""SELECT doc_id, n_chars_calc, n_tokens, alnum_chars, stop_n,
+       |  CAST(stop_n AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+       |  n_tokens >= 10 AND stop_n >= 1 AS passes
+       |FROM (SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars_calc,
+       |    CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+       |    CAST(length(text) - length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS BIGINT) AS alnum_chars,
+       |    CAST(len(list_filter(string_split(lower(text), ' '),
+       |      t -> list_contains(${stopwords.mkString("['", "','", "']")}, t))) AS BIGINT) AS stop_n
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  /** q_lang_id: n-gram/marker-lexicon language heuristic (engine-only: the
+    * lexicon is ours). Argmax via sorted array-of-struct — deterministic
+    * tiebreak on lang code. Map-side only; no shuffle. */
+  def qLangId(spark: SparkSession, sfDir: String): DataFrame = {
+    val markers: Map[String, Seq[String]] = Map(
+      "en" -> Seq("the", "and", "of", "to", "is"),
+      "de" -> Seq("der", "die", "und", "nicht", "ist"),
+      "es" -> Seq("el", "la", "que", "de", "es"),
+      "fr" -> Seq("le", "la", "et", "les", "des"),
+      "zh" -> Seq("de", "shi", "le", "wo", "ni"))
+    val toks = tokens(col("text"))
+    val scored = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        (-size(filter(toks, t => array_contains(typedLit(words), t)))).as("neg_hits"),
+        lit(lang).as("lang"))
+    }
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        element_at(array_sort(array(scored: _*)), 1).as("best"))
+      .select(col("doc_id"), col("labeled_lang"),
+        col("best.lang").as("pred_lang"), (-col("best.neg_hits")).cast("long").as("hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q_fingerprint: rolling hash over token xxhash64s — a 64-bit document
+    * fingerprint in one narrow pass. Rotate-left-5 ⊕ hash combine: order
+    * sensitive like a polynomial hash but wrap-safe under ANSI mode (long
+    * multiply would overflow-error). Engine-only (hash function is ours). */
+  def qFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        aggregate(transform(tokens(col("text")), t => xxhash64(t)),
+          lit(0L),
+          (acc, h) => shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59)).bitwiseXOR(h))
+          .as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  // --- dedup -------------------------------------------------------------
+
+  /** q_dedup_exact_text: exact dedup by sha256 digest — groupBy on the
+    * digest (uniform keys, no skew), keep min doc_id as canonical. */
+  def qDedupExactText(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(sha2(col("text"), 256).as("digest"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_doc_id"))
+      .orderBy(col("keeper_doc_id"))
+
+  val qDedupExactTextSql: String =
+    """SELECT sha256(text) AS digest, COUNT(*) AS n_copies, min(doc_id) AS keeper_doc_id
+      |FROM documents GROUP BY sha256(text) ORDER BY keeper_doc_id""".stripMargin
+
+  private val minhashSeeds = 16
+  private val minhashBands = 4 // 4 bands x 4 rows
+
+  /** 3-token shingles of a document. */
+  private def shingles(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) >= 3,
+      transform(sequence(lit(0), size(t) - 3),
+        i => concat_ws(" ", slice(t, i + 1, lit(3)))))
+      .otherwise(array(concat_ws(" ", t)))
+  }
+
+  /** q_dedup_minhash: shingle → 16 minhashes → 4 LSH band keys per doc
+    * (exploded). Near-dup candidates are docs sharing any (band, band_key) —
+    * candidate generation is an equi-join on the band bucket, which is the
+    * whole point at 100 TB: no pairwise comparison outside buckets. */
+  def qDedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = minhashSignatures(Tables.documents(spark, sfDir))
+    val bandStructs = (0 until minhashBands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(lit(b) +: (0 until 4).map(r => col(s"mh_${b * 4 + r}")): _*).as("band_key"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+      .orderBy(col("doc_id"), col("band"))
+  }
+
+  /** Per-doc MinHash signature columns mh_0..mh_15. */
+  private[engine] def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+    val sigCols = (0 until minhashSeeds).map { j =>
+      array_min(transform(col("sh"), s => xxhash64(lit(j), s))).as(s"mh_$j")
+    }
+    sh.select(col("doc_id") +: sigCols: _*)
+  }
+
+  /** Candidate near-dup pairs from shared LSH buckets, verified by true
+    * shingle-Jaccard. Used by tests (the synthetic corpus has no near-dups,
+    * so the declared query surface exposes signatures instead). */
+  def minhashCandidatePairs(docs: DataFrame): DataFrame = {
+    val sig = minhashSignatures(docs)
+    val bandStructs = (0 until minhashBands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(lit(b) +: (0 until 4).map(r => col(s"mh_${b * 4 + r}")): _*).as("band_key"))
+    }
+    val buckets = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    val a = buckets.alias("a")
+    val b = buckets.alias("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+    val sh = docs.select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+  }
+
+  /** q_dedup_simhash: 64-bit SimHash per doc. Token hashes are exploded,
+    * then 64 per-bit sign-sums are computed in ONE hash aggregate (64 agg
+    * expressions, not 64 passes); bits are recombined and banded into four
+    * 16-bit keys for hamming-neighbor candidate joins. */
+  def qDedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val th = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b_$i")
+    }
+    val agg = th.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until 64).map { i =>
+      when(col(s"b_$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("doc_id"), simhash.as("simhash"))
+      .withColumn("band0", shiftright(col("simhash"), 0).bitwiseAND(lit(0xFFFFL)))
+      .withColumn("band1", shiftright(col("simhash"), 16).bitwiseAND(lit(0xFFFFL)))
+      .withColumn("band2", shiftright(col("simhash"), 32).bitwiseAND(lit(0xFFFFL)))
+      .withColumn("band3", shiftright(col("simhash"), 48).bitwiseAND(lit(0xFFFFL)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q_ngram_jaccard: token-3-gram Jaccard over candidate pairs blocked by
+    * `source` (blocking keeps the pair space |group|² per group instead of
+    * n² global — at 100 TB the block key would be an LSH bucket). */
+  def qNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), array_distinct(shingles(col("text"))).as("sh"))
+    val a = d.select(col("source"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = d.select(col("source").as("source_b"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, col("source") === col("source_b") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(100)
+  }
+
+  // --- similarity search -------------------------------------------------
+
+  /** q_sim_topk: brute-force cosine top-5 for a small query set against the
+    * full corpus. The query side is tiny and broadcast, so the corpus is
+    * scanned once with no shuffle of the embedding column; ranks (not raw
+    * float scores) are the output, which is rank-stable across engines. */
+  def qSimTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val scored = emb.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("qe"), col("embedding")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val qSimTopkSql: String =
+    """SELECT qid, vec_id AS neighbor_id, rank FROM (
+      |  SELECT q.qid, e.vec_id,
+      |    CAST(row_number() OVER (PARTITION BY q.qid
+      |      ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id ASC) AS BIGINT) AS rank
+      |  FROM (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10) q,
+      |       embeddings e
+      |  WHERE e.vec_id <> q.qid)
+      |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** q_sim_ivf: IVF-style ANN — assign every vector to its nearest of 16
+    * coarse centroids (broadcast), then answer queries by probing only the
+    * 2 nearest cells. Search cost drops to ~nprobe/ncells of brute force;
+    * at 100 TB the cells also become the storage partitioning. */
+  def qSimIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    // cell assignment: nearest centroid per vector (broadcast nested loop
+    // over 16 centroids, then a 1-shuffle argmin window)
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid").asc)
+    val assigned = emb.join(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        cosine(col("ce"), col("embedding")).as("csim"))
+      .withColumn("arn", row_number().over(wAssign)).filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    // queries probe their 2 nearest cells
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("qsim").desc, col("cid").asc)
+    val probes = q.join(broadcast(cents))
+      .select(col("qid"), col("qe"), col("cid"), cosine(col("ce"), col("qe")).as("qsim"))
+      .withColumn("prn", row_number().over(wProbe)).filter(col("prn") <= 2)
+      .select(col("qid"), col("qe"), col("cid"))
+    // search only within probed cells
+    val wRank = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
+    probes.join(assigned, "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosine(col("qe"), col("embedding")).as("sim"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** q_dedup_embedding: random-hyperplane LSH over embeddings — 8 sign bits
+    * → 256 buckets; near-dup candidates only form within a bucket, then the
+    * best in-bucket cosine neighbor is attached (left join keeps singleton
+    * vectors). The hyperplanes are seeded constants, broadcast as literals. */
+  def qDedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
+    val rng = new scala.util.Random(42)
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(8)(Seq.fill(64)(rng.nextDouble() * 2.0 - 1.0))
+    val bucketBits = planes.zipWithIndex.map { case (p, i) =>
+      when(dot(col("embedding"), typedLit(p)) > 0.0, lit(1 << i)).otherwise(lit(0))
+    }
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        bucketBits.reduce(_ + _).as("bucket"))
+    val other = emb.select(col("bucket").as("bucket_b"),
+      col("vec_id").as("vid_b"), col("embedding").as("emb_b"))
+    val pairs = emb.join(other,
+        col("bucket") === col("bucket_b") && col("vec_id") =!= col("vid_b"))
+      .select(col("vec_id"), col("bucket"), col("vid_b"),
+        cosine(col("embedding"), col("emb_b")).as("sim"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("vid_b").asc)
+    val best = pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("vid_b").as("best_neighbor"), col("sim").as("best_sim"))
+    emb.select(col("vec_id"), col("bucket"))
+      .join(best, Seq("vec_id"), "left")
+      .orderBy(col("vec_id"))
+  }
+}

@@ -1,0 +1,63 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque `binary` columns with typed
+  * metadata, processed batch-at-a-time with `mapPartitions` (the Scala
+  * analog of `mapInPandas` batching — one decoder instantiation per
+  * partition, amortized across rows, never per row).
+  *
+  * The actual image/audio decode is STUBBED (no codec libraries in this
+  * container): `decodeStub` derives deterministic fake dimensions from the
+  * payload. Everything around it — the binary column, the typed metadata
+  * schema, the partition-wise batching, the pushdown-friendly projection —
+  * is the real 100 TB plumbing: payload bytes stay off the shuffle paths
+  * (metadata is extracted before any wide op), and the decode is a narrow
+  * map that scales linearly with executors.
+  */
+object Multimodal {
+
+  /** A media row: id + raw bytes + format tag. */
+  case class MediaRecord(doc_id: Long, fmt: String, payload: Array[Byte])
+
+  /** Extracted metadata (what a real decoder would return). */
+  case class MediaMeta(doc_id: Long, fmt: String, n_bytes: Long,
+    width: Long, height: Long, frames: Long)
+
+  /** STUB decoder — deterministic fake in place of a real codec.
+    * A real implementation would parse the container header here. */
+  private def decodeStub(r: MediaRecord): MediaMeta = MediaMeta(
+    doc_id = r.doc_id,
+    fmt = r.fmt,
+    n_bytes = r.payload.length.toLong,
+    width = 32L + (r.doc_id % 640L),
+    height = 32L + (r.payload.length.toLong % 480L),
+    frames = 1L + (r.doc_id % 8L))
+
+  /** q_multimodal_meta: documents.text reinterpreted as a binary payload
+    * (UTF-8 bytes), run through the partition-batched decode. The oracle
+    * can replay the stub's arithmetic, which proves the plumbing (schema,
+    * batching, byte counts) end-to-end. */
+  def qMultimodalMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), lit("img").as("fmt"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaRecord]
+    // one decoder per partition; rows stream through in batches
+    media.mapPartitions { it => it.map(decodeStub) }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** The stub's arithmetic replayed in SQL (text is ASCII so byte length ==
+    * char length; checked by the differential itself). */
+  val qMultimodalMetaSql: String =
+    """SELECT doc_id, 'img' AS fmt,
+      |  CAST(length(text) AS BIGINT) AS n_bytes,
+      |  CAST(32 + doc_id % 640 AS BIGINT) AS width,
+      |  CAST(32 + length(text) % 480 AS BIGINT) AS height,
+      |  CAST(1 + doc_id % 8 AS BIGINT) AS frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,360 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Exact._
+
+/** Relational core (SURVEY.md §2b): joins, aggregations, grouping sets,
+  * windows, top-k, set ops, scalar functions — all declarative DataFrame
+  * expressions so Catalyst keeps pushdown/pruning/codegen intact (§4).
+  *
+  * Scale posture (100 TB): dimension tables (region/nation/customer at the
+  * scales where they stay small) are explicitly `broadcast()` so fact-side
+  * scans never shuffle for the join; aggregations rely on map-side partial
+  * aggregation; top-k is TakeOrderedAndProject (no global sort); windows
+  * shuffle exactly once on their partition key.
+  */
+object Relational {
+
+  // --- q_scan_project ----------------------------------------------------
+
+  /** R1+R5: projection pushdown — only the selected columns are read from
+    * parquet (check ReadSchema in .explain). */
+  def qScanProject(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity"), col("l_returnflag"))
+      // (l_orderkey, l_linenumber) is NOT unique in this generator — order
+      // by every projected column so ties can't reorder across engines
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity"), col("l_returnflag"))
+
+  val qScanProjectSql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_returnflag
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity, l_returnflag""".stripMargin
+
+  // --- joins -------------------------------------------------------------
+
+  /** q_expand_join: R6 `expand=customer` as a broadcast equi-join — the
+    * remote system's server-side denormalization becomes a broadcast hash
+    * join with zero fact-side shuffle. */
+  def qExpandJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+        col("c_mktsegment"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val qExpandJoinSql: String =
+    """SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q_join_multiway: TPC-H Q5 shape — revenue per nation in ASIA for one
+    * order-date year. lineitem (fact) joins three broadcast dims; only the
+    * lineitem→orders join can shuffle, and AQE will pick broadcast for
+    * orders too below the threshold. */
+  def qJoinMultiway(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+              col("o_orderdate") <  to_timestamp(lit("1997-01-01 00:00:00")))
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  val qJoinMultiwaySql: String =
+    s"""SELECT n_name, ${sqlSum6("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** q_join_outer: customers with their order count/spend, keeping
+    * order-less customers (left outer). count(col) skips nulls in both
+    * engines; SUM over an all-null group is NULL in both. */
+  def qJoinOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        dsum2(col("o_totalprice")).as("spend"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val qJoinOuterSql: String =
+    s"""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+       |  ${sqlSum2("o_totalprice")} AS spend
+       |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  /** q_join_semi_anti: EXISTS / NOT EXISTS as left_semi / left_anti —
+    * both stream the fact side against a broadcast hash set at scale. */
+  def qJoinSemiAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val big = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 200000.0).select(col("o_custkey"))
+    val semi = c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("has_big_order").as("op"))
+    val anti = c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("no_big_order").as("op"))
+    semi.unionAll(anti).orderBy(col("c_custkey"), col("op"))
+  }
+
+  val qJoinSemiAntiSql: String =
+    """SELECT c_custkey, 'has_big_order' AS op FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+      |UNION ALL
+      |SELECT c_custkey, 'no_big_order' AS op FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+      |ORDER BY c_custkey, op""".stripMargin
+
+  /** q_join_asof_range: range (theta) join — for each event, how many
+    * events by the same user landed in the preceding 10 minutes. Equi key
+    * (user_id) drives the shuffle; the range predicate filters within each
+    * key group, so this stays a sort-merge join, not a nested-loop cross. */
+  def qJoinAsofRange(spark: SparkSession, sfDir: String): DataFrame = {
+    val e1 = Tables.events(spark, sfDir).alias("e1")
+    val e2 = Tables.events(spark, sfDir)
+      .select(col("user_id").as("u2"), col("ts").as("ts2"),
+        col("event_id").as("id2")).alias("e2")
+    e1.join(e2,
+        col("e1.user_id") === col("u2") &&
+        col("ts2") >= col("e1.ts") - expr("INTERVAL 10 MINUTES") &&
+        col("ts2") < col("e1.ts"), "left")
+      .groupBy(col("e1.event_id").as("event_id"))
+      .agg(count(col("id2")).as("n_prior"))
+      .orderBy(col("event_id"))
+  }
+
+  val qJoinAsofRangeSql: String =
+    """SELECT e1.event_id, COUNT(e2.event_id) AS n_prior
+      |FROM events e1 LEFT JOIN events e2
+      |  ON e1.user_id = e2.user_id
+      | AND e2.ts >= e1.ts - INTERVAL 10 MINUTE AND e2.ts < e1.ts
+      |GROUP BY e1.event_id ORDER BY e1.event_id""".stripMargin
+
+  // --- aggregations ------------------------------------------------------
+
+  /** q_agg_hash: TPC-H Q1 — the canonical hash aggregate. Partial (map-side)
+    * aggregation shrinks 100 TB to |groups|×partitions before the shuffle. */
+  def qAggHash(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") < to_timestamp(lit("1998-09-01 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum2(col("l_quantity")).as("sum_qty"),
+        dsum2(col("l_extendedprice")).as("sum_base_price"),
+        dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        davg2(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val qAggHashSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sqlSum2("l_quantity")} AS sum_qty,
+       |  ${sqlSum2("l_extendedprice")} AS sum_base_price,
+       |  ${sqlSum6("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+       |  ${sqlSum6("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+       |  ${sqlAvg2("l_quantity")} AS avg_qty,
+       |  COUNT(*) AS count_order
+       |FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q_agg_distinct: exact distinct counts (expand-based in Spark; two-level
+    * shuffle, still partial-aggregated). */
+  def qAggDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  val qAggDistinctSql: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q_agg_approx: HLL sketch (approx_count_distinct) — the 100 TB answer to
+    * COUNT(DISTINCT): one pass, fixed memory, no expand. Engine-only
+    * (sketch estimates are implementation-specific). */
+  def qAggApprox(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** q_grouping_sets: rollup with NULL group keys coalesced to a sentinel so
+    * Spark/DuckDB NULL-ordering differences can't flip row order. */
+  def qGroupingSets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum2(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("~ALL~")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("~ALL~")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  val qGroupingSetsSql: String =
+    s"""SELECT COALESCE(l_returnflag, '~ALL~') AS returnflag,
+       |  COALESCE(l_linestatus, '~ALL~') AS linestatus,
+       |  COUNT(*) AS n, ${sqlSum2("l_quantity")} AS sum_qty
+       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       |ORDER BY returnflag, linestatus""".stripMargin
+
+  // --- windows -----------------------------------------------------------
+
+  /** q_window_rank: top-3 orders per customer by price. One shuffle on
+    * o_custkey; rank columns cast to BIGINT for cross-engine schema parity. */
+  def qWindowRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rn"), col("rnk"), col("drnk"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val qWindowRankSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER w AS rn, rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+      |  FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC))
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  /** q_window_frame: running sum + lag over a fully-deterministic order.
+    * The running sum is decimal-exact so segment-tree (DuckDB) vs streaming
+    * (Spark) evaluation order cannot drift. */
+  def qWindowFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    // (l_orderkey, l_linenumber, l_suppkey, l_partkey) is the minimal unique
+    // key of this generator's lineitem — both the frame order and the output
+    // order must include l_partkey or ties drift across engines
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    Tables.lineitem(spark, sfDir)
+      .withColumn("running_qty",
+        sum(col("l_quantity").cast("decimal(18,2)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .withColumn("prev_qty", lag(col("l_quantity"), 1).over(w))
+      .withColumn("next_qty", lead(col("l_quantity"), 1).over(w))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_quantity"), col("running_qty"),
+        col("prev_qty"), col("next_qty"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+  }
+
+  val qWindowFrameSql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey, l_quantity,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+      |  lag(l_quantity, 1) OVER w AS prev_qty,
+      |  lead(l_quantity, 1) OVER w AS next_qty
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey)
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_partkey""".stripMargin
+
+  // --- top-k / set ops ---------------------------------------------------
+
+  /** q_topk: ORDER BY ... LIMIT k — planned as TakeOrderedAndProject: each
+    * partition keeps k rows, driver merges; no global sort at 100 TB. */
+  def qTopk(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  val qTopkSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin
+
+  /** q_set_ops: INTERSECT / EXCEPT (set semantics in both engines) over two
+    * customer populations. */
+  def qSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val a = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val b = c.filter(col("c_acctbal") > 5000.0).select(col("c_custkey"))
+    val both = a.intersect(b).select(col("c_custkey"), lit("both").as("op"))
+    val onlyA = a.except(b).select(col("c_custkey"), lit("only_building").as("op"))
+    val onlyB = b.except(a).select(col("c_custkey"), lit("only_rich").as("op"))
+    both.unionAll(onlyA).unionAll(onlyB).orderBy(col("op"), col("c_custkey"))
+  }
+
+  val qSetOpsSql: String =
+    """SELECT c_custkey, 'both' AS op FROM
+      |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |   INTERSECT SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
+      |UNION ALL
+      |SELECT c_custkey, 'only_building' AS op FROM
+      |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |   EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
+      |UNION ALL
+      |SELECT c_custkey, 'only_rich' AS op FROM
+      |  (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+      |   EXCEPT SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |ORDER BY op, c_custkey""".stripMargin
+
+  // --- scalar function catalog ------------------------------------------
+
+  /** q_scalar_funcs: string/date/math/json scalars (§2b) — all codegen'd
+    * built-ins, single narrow stage. Integer-typed outputs are cast to
+    * BIGINT on both sides (Spark length/datediff are INT, DuckDB's are
+    * BIGINT). */
+  def qScalarFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(
+        col("event_id"),
+        upper(col("event_type")).as("et_upper"),
+        substring(col("event_type"), 1, 3).as("et_pre"),
+        length(col("event_type")).cast("long").as("et_len"),
+        concat_ws("-", col("event_type"), col("user_id").cast("string")).as("et_key"),
+        abs(col("value") - lit(250.0)).as("dist"),
+        floor(col("value")).cast("long").as("value_floor"),
+        unix_micros(date_trunc("day", col("ts"))).as("day_us"),
+        get_json_object(col("props"), "$.k").as("prop_k"),
+        datediff(to_date(lit("2024-03-01")), col("ts").cast("date")).cast("long").as("days_to_march"))
+      .orderBy(col("event_id"))
+
+  val qScalarFuncsSql: String =
+    """SELECT event_id,
+      |  upper(event_type) AS et_upper,
+      |  substring(event_type, 1, 3) AS et_pre,
+      |  CAST(length(event_type) AS BIGINT) AS et_len,
+      |  concat_ws('-', event_type, CAST(user_id AS VARCHAR)) AS et_key,
+      |  abs("value" - 250.0) AS dist,
+      |  CAST(floor("value") AS BIGINT) AS value_floor,
+      |  epoch_us(date_trunc('day', ts)) AS day_us,
+      |  json_extract_string(props, '$.k') AS prop_k,
+      |  CAST(datediff('day', CAST(ts AS DATE), DATE '2024-03-01') AS BIGINT) AS days_to_march
+      |FROM events ORDER BY event_id""".stripMargin
+}

@@ -1,0 +1,100 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import Exact._
+
+/** Streaming surface (SURVEY.md §2b q_stream_*, reference R10/R11).
+  *
+  * The reference's incremental loop — capture `batch_end` at batch start,
+  * process `[last, end)`, persist the watermark — IS Structured Streaming's
+  * micro-batch model (SURVEY §3.1 mapping). Two layers here:
+  *
+  *  1. The declared queries use the SAME window functions (`window`,
+  *     `session_window`) in batch mode, so DuckDB can oracle-check the
+  *     window algebra. In streaming mode the identical expression runs
+  *     under `readStream` — that equivalence is Spark's unified model.
+  *  2. `streamEvents`/`tumblingStream` run the genuine `readStream` path
+  *     (file source → watermark → window agg) exercised by the test suite
+  *     with Trigger.AvailableNow, mirroring INITIAL_LOAD catch-up then
+  *     steady-state cadence.
+  *
+  * At scale: tumbling/session aggs shuffle once on (window ⊕ key); the
+  * watermark bounds state store size — state for windows older than the
+  * watermark is evicted, so state is O(active windows × keys), not O(data).
+  */
+object Streaming {
+
+  /** q_stream_tumbling: 1-hour tumbling windows per event_type. */
+  def qStreamTumbling(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("ws_us"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("ws_us"), col("event_type"))
+
+  val qStreamTumblingSql: String =
+    s"""SELECT epoch_us(date_trunc('hour', ts)) AS ws_us, event_type,
+       |  COUNT(*) AS n, ${sqlSum2("value")} AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY ws_us, event_type""".stripMargin
+
+  /** q_stream_session: 30-minute-gap session windows per user.
+    * session_window semantics: each event extends the session to ts+gap; a
+    * new session starts when the next event's ts >= current end — i.e. the
+    * island condition `ts - prev_ts >= gap` (oracle below replays it). */
+  def qStreamSession(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("start_us"))
+
+  val qStreamSessionSql: String =
+    """SELECT user_id, epoch_us(min(ts)) AS start_us,
+      |  epoch_us(max(ts) + INTERVAL 30 MINUTE) AS end_us,
+      |  COUNT(*) AS n_events
+      |FROM (
+      |  SELECT user_id, ts,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM (
+      |    SELECT user_id, ts, event_id,
+      |      CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |             < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_sess
+      |    FROM events))
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, start_us""".stripMargin
+
+  // --- genuine readStream path (exercised by the test suite) -------------
+
+  /** File-source stream over the events parquet: read with the raw
+    * (nanos-as-long) schema, convert to a micros timestamp in-stream. */
+  def streamEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema: StructType = Tables.eventsRaw(spark, sfDir).schema
+    val raw = spark.readStream.schema(schema).parquet(s"$sfDir/events.parquet")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Watermarked tumbling aggregation on a stream — the streaming twin of
+    * q_stream_tumbling. Late data beyond 1 hour is dropped and its window
+    * state evicted. */
+  def tumblingAgg(stream: DataFrame): DataFrame =
+    stream.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+
+  /** Run a stream to a named memory sink with AvailableNow (the INITIAL_LOAD
+    * catch-up semantics: process everything available, then stop). */
+  def runToMemory(df: DataFrame, name: String): StreamingQuery =
+    df.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+}

@@ -1,0 +1,52 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Table loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * All loaders are plain `spark.read.parquet` scans: the parquet footer
+  * carries the schema, the vectorized reader handles decoding, and Catalyst
+  * pushes filters/projections into the scan (`PushedFilters`/`ReadSchema`).
+  * At 100 TB the same call reads a partitioned directory tree; nothing here
+  * assumes single-file layout.
+  *
+  * Mirrors the reference's entity-as-stream model
+  * (ChargeOverSourceConnectorConfig.java:79-83 — a config-driven list of
+  * entity names, one logical table per entity): here an entity name maps to
+  * one parquet table under the scale-factor directory.
+  */
+object Tables {
+  /** One entity == one table (reference: ChargeOverSourceTask.java:84-90). */
+  def load(spark: SparkSession, sfDir: String, entity: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$entity.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads via
+    * the nanos-as-long legacy path. We truncate to micros (`div 1000`, an
+    * integral divide — a double divide would lose precision above 2^53 ns)
+    * to match DuckDB's own µs truncation, so oracle comparisons agree.
+    * Conf is set at read time so this works under any caller's session. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = eventsRaw(s, d)
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Raw events read (ts as nanosecond long) — streaming needs the
+    * pre-conversion schema. */
+  def eventsRaw(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle differential check.
+
+Usage: python3 tools/diffcheck.py <sfDir> <verifyOutDir>
+
+Registers each testdata parquet as a DuckDB view, runs every oracle SQL from
+oracle_sql.json, and compares with the Spark-written parquet (columns sorted
+by name, exact value equality — same spirit as the driver's hash compare).
+"""
+import sys, json, glob
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    fails = []
+    for name, sql in sorted(oracle.items()):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"{name:22s} NO SPARK OUTPUT"); fails.append(name); continue
+        try:
+            odf = con.sql(sql).df()
+        except Exception as e:
+            print(f"{name:22s} ORACLE ERROR: {e}"); fails.append(name); continue
+        sdf = pd.read_parquet(files[0]) if len(files) == 1 else pd.concat(
+            [pd.read_parquet(f) for f in sorted(files)])
+        o = odf[sorted(odf.columns)].reset_index(drop=True)
+        s = sdf[sorted(sdf.columns)].reset_index(drop=True) if set(sdf.columns) == set(odf.columns) else None
+        if s is None:
+            print(f"{name:22s} COLUMN MISMATCH spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+            fails.append(name); continue
+        if len(o) != len(s):
+            print(f"{name:22s} ROWCOUNT spark={len(s)} oracle={len(o)}"); fails.append(name); continue
+        bad = []
+        for c in o.columns:
+            oc, sc = o[c], s[c]
+            if oc.dtype.kind == 'f' or sc.dtype.kind == 'f':
+                eq = (oc.isna() & sc.isna()) | (oc == sc)  # exact double equality
+            else:
+                eq = (oc.isna() & sc.isna()) | (oc.astype(object) == sc.astype(object))
+            if not eq.all():
+                i = int(np.where(~eq)[0][0])
+                bad.append((c, i, oc.iloc[i], sc.iloc[i]))
+        if bad:
+            c, i, ov, sv = bad[0]
+            print(f"{name:22s} VALUE DIFF col={c} row={i} oracle={ov!r} spark={sv!r} ({len(bad)} cols differ)")
+            fails.append(name)
+        else:
+            print(f"{name:22s} OK ({len(o)} rows)")
+    # rows-only queries
+    for d in sorted(glob.glob(f"{out_dir}/q_*")):
+        name = d.split("/")[-1]
+        if name in oracle: continue
+        files = glob.glob(f"{d}/*.parquet")
+        n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
+        status = "rows>0 OK" if n > 0 else "EMPTY!"
+        if n == 0: fails.append(name)
+        print(f"{name:22s} {status} ({n} rows, no oracle)")
+    print(f"\n{'ALL PASS' if not fails else 'FAILURES: ' + ', '.join(fails)}")
+    return 1 if fails else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
