@@ -73,11 +73,13 @@ object Streaming {
 
   // --- genuine readStream path (exercised by the test suite) -------------
 
-  /** File-source stream over the events parquet: read with the raw
-    * (nanos-as-long) schema, convert to a micros timestamp in-stream. */
-  def streamEvents(spark: SparkSession, sfDir: String): DataFrame = {
+  /** File-source stream over a DIRECTORY of events parquet files (the file
+    * source tails a directory — new files become new micro-batches, the
+    * streaming twin of the reference's "new window per poll"). Schema is
+    * taken from the batch read (nanos-as-long), ts converted in-stream. */
+  def streamEvents(spark: SparkSession, sfDir: String, eventsDir: String): DataFrame = {
     val schema: StructType = Tables.eventsRaw(spark, sfDir).schema
-    val raw = spark.readStream.schema(schema).parquet(s"$sfDir/events.parquet")
+    val raw = spark.readStream.schema(schema).parquet(eventsDir)
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw

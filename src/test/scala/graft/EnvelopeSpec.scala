@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.{Envelope, Multimodal}
+
+class EnvelopeSpec extends SparkSpec {
+
+  test("keyed drops null-id records and stringifies the key (R7)") {
+    import spark.implicits._
+    val df = Seq(Some(1L), None, Some(3L)).toDF("id")
+    val out = Envelope.keyed(df, "id")
+    assert(out.count() == 2)
+    assert(out.select(col("key")).collect().map(_.getString(0)).toSet == Set("1", "3"))
+  }
+
+  test("enrich + route adds the three metadata fields and the topic (R8/R9)") {
+    import spark.implicits._
+    val df = Seq(1L).toDF("id")
+    val out = Envelope.routed(
+      Envelope.enriched(df, "customer", "INITIAL_LOAD", 1730476800000L), "chargeover")
+    val r = out.collect()(0)
+    assert(r.getAs[String]("_entity_type") == "customer")
+    assert(r.getAs[Long]("_ingestion_timestamp") == 1730476800000L)
+    assert(r.getAs[String]("_load_mode") == "INITIAL_LOAD")
+    assert(r.getAs[String]("topic") == "chargeover.customer")
+  }
+
+  test("flagship composition yields enveloped rows (driver smoke contract)") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+    val cols = df.columns.toSet
+    assert(Set("key", "_entity_type", "_ingestion_timestamp", "_load_mode", "topic").subsetOf(cols))
+  }
+
+  test("multimodal decode stub: n_bytes equals payload byte length") {
+    val out = Multimodal.qMultimodalMeta(spark, sf)
+    val bad = out.join(
+      graft.engine.Tables.documents(spark, sf),
+      Seq("doc_id"))
+      .filter(col("n_bytes") =!= length(col("text")).cast("long"))
+    assert(bad.count() == 0)
+  }
+}

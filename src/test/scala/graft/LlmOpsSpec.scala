@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.LlmOps
+
+/** MinHash-LSH recall on synthetic near-duplicates + cosine sanity. */
+class LlmOpsSpec extends SparkSpec {
+
+  test("minhash LSH surfaces a planted near-duplicate pair") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " * 5
+    val nearDup = base.replace("lazy", "sleepy") // one-token edit
+    val others = (0 until 20).map(i =>
+      s"completely different document number $i with words " +
+        Seq.fill(40)(s"tok${i}_${scala.util.Random.nextInt(5)}").mkString(" "))
+    val docs = (Seq((0L, base), (1L, nearDup)) ++
+      others.zipWithIndex.map { case (t, i) => ((i + 2).toLong, t) })
+      .toDF("doc_id", "text")
+    val pairs = LlmOps.minhashCandidatePairs(docs)
+      .filter(col("jaccard") > 0.5).collect()
+    assert(pairs.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L),
+      s"expected (0,1) pair, got ${pairs.mkString(",")}")
+  }
+
+  test("minhash does not pair unrelated documents above threshold") {
+    import spark.implicits._
+    val docs = (0 until 10).map(i =>
+      (i.toLong, Seq.tabulate(50)(j => s"w${i}x$j").mkString(" "))).toDF("doc_id", "text")
+    val pairs = LlmOps.minhashCandidatePairs(docs).filter(col("jaccard") > 0.5)
+    assert(pairs.count() == 0)
+  }
+
+  test("cosine top-k: rank 1 neighbor has the highest similarity, self excluded") {
+    val topk = LlmOps.qSimTopk(spark, sf)
+    val rows = topk.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)), "self must be excluded")
+    val perQ = rows.groupBy(_.getLong(0))
+    assert(perQ.forall { case (_, rs) => rs.map(_.getLong(2)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L) })
+  }
+
+  test("simhash of identical docs is identical; one-token edit stays hamming-close") {
+    import spark.implicits._
+    val a = Seq.tabulate(60)(i => s"word$i").mkString(" ")
+    val b = a.replace("word30", "other")
+    val docs = Seq((1L, a), (2L, a), (3L, b)).toDF("doc_id", "text")
+    // reuse the declared query through a temp swap: compute directly
+    val out = graft.engine.LlmOps.qDedupSimhash(spark, sf) // smoke the declared one
+    assert(out.columns.contains("simhash"))
+    val hashes = docsSimhash(docs)
+    assert(hashes(1L) == hashes(2L))
+    val ham = java.lang.Long.bitCount(hashes(1L) ^ hashes(3L))
+    assert(ham <= 16, s"hamming distance $ham too large for a near-dup")
+  }
+
+  private def docsSimhash(docs: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+    val th = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b_$i")
+    }
+    val agg = th.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 64).map { i =>
+      when(col(s"b_$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("doc_id"), sim.as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+}
