@@ -1,5 +1,11 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every declared query on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line. Untimed warmup first — JVM/classloader/codegen
+  * cold-start otherwise lands on whichever query runs first (~4 s measured),
+  * which would misattribute fixed cost to one operator. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,9 +13,21 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // warmup (untimed): run EVERY query once at the smallest SF — each
+    // query's generated code JIT-compiles on data 100× smaller than the
+    // timed run (measured: first execution of a codegen-heavy query costs
+    // ~14 s extra before the JIT kicks in)
+    val warmSf = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmSf).count()
+      catch { case _: Throwable => () }
+    }
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -22,7 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object LlmOps {
 
-  /** Whitespace tokens of lowercased text, empties dropped. */
+  /** Whitespace tokens of lowercased text, empties dropped.
+    *
+    * PERF: when a downstream expression references tokens inside a lambda
+    * (slice in `shingles`, filters in quality/lang-id), materialize this as
+    * a real column first (`.withColumn("_tk", tokens(...))`) — a subtree
+    * referenced from inside a higher-order function is re-evaluated per
+    * lambda invocation, i.e. the text gets re-split once per shingle
+    * (measured ~2 s of pure re-splitting at sf0.1). */
   private def tokens(c: Column): Column =
     filter(split(lower(c), " "), t => t =!= lit(""))
 
@@ -114,13 +121,14 @@ object LlmOps {
       "es" -> Seq("el", "la", "que", "de", "es"),
       "fr" -> Seq("le", "la", "et", "les", "des"),
       "zh" -> Seq("de", "shi", "le", "wo", "ni"))
-    val toks = tokens(col("text"))
+    val toks = col("_tk")
     val scored = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
       struct(
         (-size(filter(toks, t => array_contains(typedLit(words), t)))).as("neg_hits"),
         lit(lang).as("lang"))
     }
     Tables.documents(spark, sfDir)
+      .withColumn("_tk", tokens(col("text"))) // split once, scored 5×
       .select(col("doc_id"), col("lang").as("labeled_lang"),
         element_at(array_sort(array(scored: _*)), 1).as("best"))
       .select(col("doc_id"), col("labeled_lang"),
@@ -158,14 +166,53 @@ object LlmOps {
   private val minhashSeeds = 16
   private val minhashBands = 4 // 4 bands x 4 rows
 
-  /** 3-token shingles of a document. */
-  private def shingles(text: Column): Column = {
-    val t = tokens(text)
+  /** 3-token shingles from a MATERIALIZED tokens column (see `tokens` perf
+    * note — passing `tokens(text)` here would re-split per shingle). */
+  private def shinglesOf(t: Column): Column =
     when(size(t) >= 3,
       transform(sequence(lit(0), size(t) - 3),
         i => concat_ws(" ", slice(t, i + 1, lit(3)))))
       .otherwise(array(concat_ws(" ", t)))
+
+  /** 3-token shingle HASHES: per-token xxhash64, then a zip_with of the
+    * hash array against its 1- and 2-shifted slices combines consecutive
+    * hashes. Dedup/Jaccard over distinct hashes ≡ over distinct shingles
+    * (64-bit collisions negligible).
+    *
+    * WHY zip_with and not `transform(indices, i => element_at(t, i+k))`:
+    * CollapseProject inlines any referenced column INTO the lambda, and a
+    * non-lambda subtree inside a lambda body is re-evaluated per element —
+    * the indexed form re-split the text once per shingle (measured 7.7 s
+    * for a 0.4 s job at sf0.1). Here every lambda references only its own
+    * lambda variables; array children are evaluated once per row. */
+  private def shingleHashesOf(t: Column): Column = {
+    val h1 = transform(t, x => xxhash64(x))
+    // zip_with pads the shorter side with null; xxhash64 skips null args,
+    // and the padded tail is sliced off anyway
+    val h12 = zip_with(h1, slice(h1, lit(2), size(t)), (a, b) => xxhash64(a, b))
+    val h123 = zip_with(h12, slice(h1, lit(3), size(t)), (a, b) => xxhash64(a, b))
+    when(size(t) >= 3, slice(h123, lit(1), size(t) - 2))
+      .otherwise(array(xxhash64(concat_ws(" ", t))))
   }
+
+  /** documents + `_tk` (tokens) + `sh` (distinct shingles) columns. */
+  private def withShingles(docs: DataFrame): DataFrame =
+    docs.withColumn("_tk", tokens(col("text")))
+      .withColumn("sh", array_distinct(shinglesOf(col("_tk"))))
+
+  /** documents + `shl` (distinct shingle-hash longs) column.
+    *
+    * The `shuffle()` wrapper is a deliberate optimizer barrier, not data
+    * munging: CollapseProject + filter pushdown otherwise inline the whole
+    * shingle expression into every consumer (size(), explode(), and an
+    * IsNotNull pushed into the scan), evaluating it ~3× per row — measured
+    * 2.2 s vs 0.5 s at sf0.1. A nondeterministic expression pins the
+    * column to one projection, and `shl` is a SET (order never observed:
+    * it feeds explode→aggregate and array_min), so the random permutation
+    * cannot change any query result. */
+  private def withShingleHashes(docs: DataFrame): DataFrame =
+    docs.withColumn("_tk", tokens(col("text")))
+      .withColumn("shl", shuffle(array_distinct(shingleHashesOf(col("_tk")))))
 
   /** q_dedup_minhash: shingle → 16 minhashes → 4 LSH band keys per doc
     * (exploded). Near-dup candidates are docs sharing any (band, band_key) —
@@ -182,11 +229,12 @@ object LlmOps {
       .orderBy(col("doc_id"), col("band"))
   }
 
-  /** Per-doc MinHash signature columns mh_0..mh_15. */
+  /** Per-doc MinHash signature columns mh_0..mh_15, derived from shingle
+    * hashes (re-hashed per seed — hashing a long beats hashing a string). */
   private[engine] def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+    val sh = withShingleHashes(docs).select(col("doc_id"), col("shl"))
     val sigCols = (0 until minhashSeeds).map { j =>
-      array_min(transform(col("sh"), s => xxhash64(lit(j), s))).as(s"mh_$j")
+      array_min(transform(col("shl"), h => xxhash64(lit(j), h))).as(s"mh_$j")
     }
     sh.select(col("doc_id") +: sigCols: _*)
   }
@@ -208,7 +256,7 @@ object LlmOps {
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
-    val sh = docs.select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
+    val sh = withShingleHashes(docs).select(col("doc_id"), col("shl").as("sh"))
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -217,22 +265,28 @@ object LlmOps {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
   }
 
-  /** q_dedup_simhash: 64-bit SimHash per doc. Token hashes are exploded,
-    * then 64 per-bit sign-sums are computed in ONE hash aggregate (64 agg
-    * expressions, not 64 passes); bits are recombined and banded into four
-    * 16-bit keys for hamming-neighbor candidate joins. */
+  /** q_dedup_simhash: 64-bit SimHash per doc, computed entirely map-side:
+    * token hashes fold into a 64-slot sign-count array with nested
+    * higher-order functions (aggregate ∘ zip_with), then the bit vector is
+    * recombined against a powers-of-two literal. NO explode, NO shuffle —
+    * at 100 TB this is a pure narrow pass over the corpus. Bits are banded
+    * into four 16-bit keys for hamming-neighbor candidate joins. */
   def qDedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val th = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b_$i")
-    }
-    val agg = th.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val simhash = (0 until 64).map { i =>
-      when(col(s"b_$i") > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    agg.select(col("doc_id"), simhash.as("simhash"))
+    val powers = typedLit(Seq.tabulate(64)(i => 1L << i))
+    val zeros = typedLit(Seq.fill(64)(0))
+    val counts = aggregate(
+      transform(tokens(col("text")), t => xxhash64(t)),
+      zeros,
+      // bit test via h & 2^i != 0 (shift-by-column doesn't exist); works
+      // for the sign bit too (h & MinValue is 0 or MinValue)
+      (acc, h) => zip_with(acc, powers,
+        (a, p) => a + when(h.bitwiseAND(p) =!= 0L, 1).otherwise(-1)))
+    val simhash = aggregate(
+      zip_with(counts, powers, (c, p) => when(c > 0, p).otherwise(lit(0L))),
+      lit(0L), (a, b) => a.bitwiseOR(b))
+    val agg = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), simhash.as("simhash"))
+    agg.select(col("doc_id"), col("simhash"))
       .withColumn("band0", shiftright(col("simhash"), 0).bitwiseAND(lit(0xFFFFL)))
       .withColumn("band1", shiftright(col("simhash"), 16).bitwiseAND(lit(0xFFFFL)))
       .withColumn("band2", shiftright(col("simhash"), 32).bitwiseAND(lit(0xFFFFL)))
@@ -240,18 +294,37 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
-  /** q_ngram_jaccard: token-3-gram Jaccard over candidate pairs blocked by
-    * `source` (blocking keeps the pair space |group|² per group instead of
-    * n² global — at 100 TB the block key would be an LSH bucket). */
+  /** q_ngram_jaccard: token-3-gram Jaccard via the SPARSE formulation —
+    * explode (doc, shingle-hash) pairs, self-join on the shingle within a
+    * `source` block, count common shingles per pair, then
+    * jaccard = common / (|a| + |b| - common).
+    *
+    * This is the 100 TB shape: the pairwise-array version shuffles every
+    * doc's full shingle array into |group|² pair rows (measured 25 s at
+    * sf0.1); here only 8-byte hashes shuffle, pairs materialize only for
+    * docs that actually share a shingle, and the block key bounds the join
+    * fan-out (at scale the block would be an LSH band). */
   def qNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"), array_distinct(shingles(col("text"))).as("sh"))
-    val a = d.select(col("source"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = d.select(col("source").as("source_b"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, col("source") === col("source_b") && col("doc_a") < col("doc_b"))
+    // per-doc shingle size rides along on every exploded row, so the pair
+    // aggregation recovers |a| and |b| with first() — no extra scan of the
+    // documents table (a sizes-join would re-run the shingle computation)
+    val flat = withShingleHashes(Tables.documents(spark, sfDir))
+      .select(col("source"), col("doc_id"), size(col("shl")).as("n_sh"),
+        explode(col("shl")).as("hs"))
+      // shuffle-hash on both sides: the two exchanges are identical, so
+      // Spark's ReuseExchange evaluates the shingle scan once
+      .hint("shuffle_hash")
+    val common = flat.alias("a")
+      .join(flat.alias("b"),
+        col("a.source") === col("b.source") && col("a.hs") === col("b.hs") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"),
+        first(col("a.n_sh")).as("n_a"), first(col("b.n_sh")).as("n_b"))
+    common
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(100)
   }
@@ -294,14 +367,17 @@ object LlmOps {
     val emb = Tables.embeddings(spark, sfDir)
     val cents = emb.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    // cell assignment: nearest centroid per vector (broadcast nested loop
-    // over 16 centroids, then a 1-shuffle argmin window)
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid").asc)
+    // cell assignment: nearest centroid per vector. argmin via max_by on
+    // NARROW rows (vec_id, cid, csim) — a window here would shuffle the
+    // 64-float embedding 16× per vector; instead partial aggregation
+    // collapses to one row per vector map-side, embeddings re-attached by
+    // a join on the unique key
     val assigned = emb.join(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cid"),
+      .select(col("vec_id"), col("cid"),
         cosine(col("ce"), col("embedding")).as("csim"))
-      .withColumn("arn", row_number().over(wAssign)).filter(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"))
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
     // queries probe their 2 nearest cells
     val q = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))

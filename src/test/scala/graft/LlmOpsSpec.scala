@@ -8,8 +8,11 @@ class LlmOpsSpec extends SparkSpec {
 
   test("minhash LSH surfaces a planted near-duplicate pair") {
     import spark.implicits._
-    val base = "the quick brown fox jumps over the lazy dog and runs far away " * 5
-    val nearDup = base.replace("lazy", "sleepy") // one-token edit
+    // 60 distinct tokens, one edited → shingle Jaccard ≈ 0.93, which the
+    // 4x4 LSH bands detect with p ≈ 0.996 (a marginal ~0.6 pair is a coin
+    // flip by design — b bands of r rows fire with 1-(1-j^r)^b)
+    val base = Seq.tabulate(60)(i => s"word$i").mkString(" ")
+    val nearDup = base.replace("word30", "changed")
     val others = (0 until 20).map(i =>
       s"completely different document number $i with words " +
         Seq.fill(40)(s"tok${i}_${scala.util.Random.nextInt(5)}").mkString(" "))
