@@ -58,6 +58,10 @@ object SparkEntry {
     // streaming window algebra (batch-checkable)
     "q_stream_tumbling"   -> (Streaming.qStreamTumbling _),
     "q_stream_session"    -> (Streaming.qStreamSession _),
+    // sink frame + control plane + typed aggregation
+    "q_kafka_frame"       -> (Sink.qKafkaFrame _),
+    "q_incremental_batch" -> (Sink.qIncrementalBatch _),
+    "q_topk_group"        -> (Aggregators.qTopkGroup _),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -1,0 +1,69 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sink-side surface: the Kafka record frame and the partitioned
+  * (topic-per-entity) write layout — R9's demux sink at warehouse scale.
+  */
+object Sink {
+
+  /** Project a DataFrame into the exact frame a Kafka sink consumes:
+    * (key: string, value: JSON string of the full record, topic: string).
+    * Mirrors the reference's SourceRecord construction
+    * (ChargeOverSourceTask.java:419-443): key = single id field as text,
+    * value = all fields (metadata included), topic = {prefix}.{entity}.
+    * No Kafka broker is needed to verify the frame — it's a projection;
+    * with the kafka connector on the classpath the identical DataFrame
+    * goes to `.write.format("kafka")` untouched. */
+  def toKafkaFrame(df: DataFrame, idField: String, entity: String,
+      topicPrefix: String): DataFrame = {
+    val payload = struct(df.columns.map(col).toSeq: _*)
+    df.filter(col(idField).isNotNull)
+      .select(
+        col(idField).cast("string").as("key"),
+        to_json(payload).as("value"),
+        concat_ws(".", lit(topicPrefix), lit(entity)).as("topic"))
+  }
+
+  /** Topic-per-entity as storage layout: partitionBy on the routing column
+    * (plus a date bucket for pruning). At 100 TB this is the difference
+    * between scanning one entity-day and scanning the lake — readers prune
+    * `_entity_type=<e>/dt=<d>` directories without touching data. */
+  def writePartitioned(df: DataFrame, outDir: String, tsCol: String): Unit =
+    df.withColumn("dt", date_format(col(tsCol), "yyyy-MM-dd"))
+      .write.mode("overwrite")
+      .partitionBy("_entity_type", "dt")
+      .parquet(outDir)
+
+  /** q_kafka_frame: the reference's full sink frame over `events` — the
+    * enveloped record rendered as (key, value, topic). Engine-only (the
+    * JSON value layout is Spark's to_json). */
+  def qKafkaFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val enveloped = Envelope.routed(
+      Envelope.enriched(
+        Envelope.keyed(Tables.events(spark, sfDir), "event_id"),
+        "events", "INCREMENTAL_LOAD", 1730476800000L), "chargeover")
+    toKafkaFrame(enveloped.drop("key", "topic"), "event_id", "events", "chargeover")
+      .orderBy(col("key"))
+  }
+
+  /** q_incremental_batch: one full state-machine batch over `orders` —
+    * INITIAL_LOAD window opened at a pinned "now", state columns
+    * piggybacked on every record (the reference's offset persistence).
+    * Engine-only (state plumbing, not SQL). */
+  def qIncrementalBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    import StateMachine._
+    val s0 = initial("orders", 820454400000L)        // 1996-01-01 UTC
+    val s1 = startBatch(s0, 852076800000L)           // 1997-01-01 UTC
+    batchFrame(spark, sfDir, s1, "o_orderdate")
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Salted repartition for skewed keys: spread each hot key over
+    * `saltBuckets` shuffle partitions (append the salt to the key for the
+    * wide op, aggregate twice). Standard 100 TB skew hygiene, exposed as a
+    * reusable column. */
+  def salted(key: Column, saltBuckets: Int): Column =
+    concat_ws("#", key.cast("string"), (pmod(spark_partition_id(), lit(saltBuckets))).cast("string"))
+}

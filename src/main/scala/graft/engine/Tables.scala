@@ -33,8 +33,13 @@ object Tables {
     * the nanos-as-long legacy path. We truncate to micros (`div 1000`, an
     * integral divide — a double divide would lose precision above 2^53 ns)
     * to match DuckDB's own µs truncation, so oracle comparisons agree.
-    * Conf is set at read time so this works under any caller's session. */
+    * Conf is set at read time so this works under any caller's session.
+    *
+    * The NanosRangePushdown rule (installed here, idempotent) rewrites
+    * range predicates on the converted column back onto the raw long so
+    * they still reach the parquet scan as PushedFilters. */
   def events(s: SparkSession, d: String): DataFrame = {
+    graft.plans.NanosRangePushdown.install(s)
     val raw = eventsRaw(s, d)
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.{Aggregators, Sink, Tables}
+import org.apache.spark.sql.expressions.Window
+
+class SinkSpec extends SparkSpec {
+
+  test("kafka frame: key/value/topic shape, null keys dropped, value is full record JSON") {
+    import spark.implicits._
+    val df = Seq((Some(1L), "a"), (None, "b")).toDF("id", "payload")
+    val frame = Sink.toKafkaFrame(df, "id", "customer", "chargeover")
+    assert(frame.columns.toSeq == Seq("key", "value", "topic"))
+    val rows = frame.collect()
+    assert(rows.length == 1) // null key dropped (R7)
+    assert(rows(0).getString(0) == "1")
+    assert(rows(0).getString(2) == "chargeover.customer")
+    assert(rows(0).getString(1).contains("\"payload\":\"a\""))
+  }
+
+  test("partitioned write lays out _entity_type/dt dirs and readers prune them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val df = graft.engine.Envelope.enriched(
+      Tables.events(spark, sf), "events", "INITIAL_LOAD", 0L)
+    Sink.writePartitioned(df, dir, "ts")
+    val sub = new java.io.File(s"$dir/_entity_type=events").listFiles()
+    assert(sub != null && sub.exists(_.getName.startsWith("dt=")))
+    val back = spark.read.parquet(dir).filter(col("dt") === "2024-01-05")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && back.count() > 0)
+  }
+
+  test("typed top-k aggregator matches the window formulation") {
+    val agg = Aggregators.qTopkGroup(spark, sf)
+      .select(col("o_orderpriority"), col("rank"), col("o_orderkey"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val win = Tables.orders(spark, sf)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("o_orderpriority"), col("rank"), col("o_orderkey"))
+    assert(agg.exceptAll(win).count() == 0)
+    assert(win.exceptAll(agg).count() == 0)
+  }
+
+  test("kafka frame query over events is stable and enveloped") {
+    val out = Sink.qKafkaFrame(spark, sf)
+    assert(out.count() == Tables.events(spark, sf).count())
+    val v = out.limit(1).collect()(0).getString(1)
+    assert(v.contains("\"_entity_type\":\"events\"") && v.contains("\"_load_mode\""))
+  }
+}
