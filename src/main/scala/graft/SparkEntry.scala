@@ -62,6 +62,10 @@ object SparkEntry {
     "q_kafka_frame"       -> (Sink.qKafkaFrame _),
     "q_incremental_batch" -> (Sink.qIncrementalBatch _),
     "q_topk_group"        -> (Aggregators.qTopkGroup _),
+    // nested denormalization, sketches, multimodal frames
+    "q_expand_nested"     -> (Relational.qExpandNested _),
+    "q_percentile"        -> (Relational.qPercentile _),
+    "q_multimodal_frames" -> (Multimodal.qMultimodalFrames _),
   )
 
   def oracleSql: Map[String, String] = Map(

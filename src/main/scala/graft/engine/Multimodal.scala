@@ -60,4 +60,35 @@ object Multimodal {
       |  CAST(32 + length(text) % 480 AS BIGINT) AS height,
       |  CAST(1 + doc_id % 8 AS BIGINT) AS frames
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** One sampled frame: offset into the payload + a fingerprint of the
+    * sampled bytes (what a real pipeline feeds the vision encoder). */
+  case class Frame(doc_id: Long, frame_idx: Long, byte_offset: Long, frame_hash: Long)
+
+  /** q_multimodal_frames: frame sampling over "video" payloads — every
+    * k-th frame of each media row becomes its own row, 1:N via a
+    * partition-batched flatMap (the generator analog for binary media).
+    * The decode is the same deterministic stub; the Spark-side plumbing —
+    * binary in, typed exploded frames out, no shuffle — is real. Frames
+    * are hashed from the actual payload bytes. */
+  def qMultimodalFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), lit("vid").as("fmt"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaRecord]
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val meta = decodeStub(r)
+        (0L until meta.frames).map { i =>
+          val off = if (meta.frames == 1) 0L else i * (meta.n_bytes / meta.frames)
+          val end = Math.min(meta.n_bytes, off + 16).toInt
+          var h = 1125899906842597L // deterministic FNV-ish over sampled bytes
+          var j = off.toInt
+          while (j < end) { h = (h << 5) | (h >>> 59); h ^= r.payload(j); j += 1 }
+          Frame(r.doc_id, i, off, h)
+        }
+      }
+    }.toDF().orderBy(col("doc_id"), col("frame_idx"))
+  }
 }

@@ -54,6 +54,41 @@ object Relational {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q_expand_nested: R6's `expand=customer,invoice_items` faithfully — the
+    * related entities land as NESTED fields of the record (a customer
+    * struct and an array of line-item structs), exactly what the remote
+    * API's server-side join returned. Broadcast dim for the struct; the
+    * collect_list side aggregates lineitem once, keyed by the join key.
+    * Engine-only (nested JSON layout is ours). */
+  def qExpandNested(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val items = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(struct(
+        col("l_linenumber"), col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice")))).as("invoice_items"))
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .withColumn("customer", struct(col("c_custkey"), col("c_name"),
+        col("c_mktsegment"), col("c_acctbal")))
+      .join(items, o("o_orderkey") === items("l_orderkey"), "left")
+      .select(col("o_orderkey"), col("o_totalprice"), col("customer"),
+        coalesce(col("invoice_items"), array()).as("invoice_items"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** q_percentile: exact percentile + the sketch the 100 TB path uses
+    * (approx_percentile: fixed-memory one-pass). Engine-only (sketch and
+    * interpolation arithmetic are implementation-defined). */
+  def qPercentile(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99_approx"))
+      .orderBy(col("l_returnflag"))
+
   /** q_join_multiway: TPC-H Q5 shape — revenue per nation in ASIA for one
     * order-date year. lineitem (fact) joins three broadcast dims; only the
     * lineitem→orders join can shuffle, and AQE will pick broadcast for

@@ -99,4 +99,51 @@ object Streaming {
   def runToMemory(df: DataFrame, name: String): StreamingQuery =
     df.writeStream.format("memory").queryName(name)
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+
+  /** Run in update mode (for arbitrary-stateful outputs). */
+  def runToMemoryUpdate(df: DataFrame, name: String): StreamingQuery =
+    df.writeStream.format("memory").queryName(name)
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+
+  // --- arbitrary stateful processing (the reference's per-entity state) --
+
+  /** Per-key upsert state: the compaction semantics of the reference's
+    * changelog (§2a quirk — re-modified entities re-emitted; consumers keep
+    * the latest by key). */
+  case class UpsertState(lastTsMicros: Long, eventType: String, nSeen: Long)
+  case class UpsertOut(user_id: Long, lastTsMicros: Long, eventType: String, nSeen: Long)
+  case class EventIn(user_id: Long, tsMicros: Long, event_type: String)
+
+  /** `flatMapGroupsWithState`: keep, per user, the latest event + a seen
+    * count — the state-store form of `latestPerKey`. State is O(keys), not
+    * O(events); at 100 TB of stream history the state store holds one row
+    * per live key, exactly like the reference's per-entity EntityState map
+    * (ChargeOverSourceTask.java:84-90). Used on a streaming Dataset; the
+    * same function works in batch for testing. */
+  def upsertLatest(events: org.apache.spark.sql.Dataset[EventIn]):
+      org.apache.spark.sql.Dataset[UpsertOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UpsertState, UpsertOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[EventIn], state: GroupState[UpsertState]) =>
+          val prev = state.getOption.getOrElse(UpsertState(Long.MinValue, "", 0L))
+          val batch = rows.toSeq
+          val best = batch.maxBy(e => (e.tsMicros, e.event_type))
+          val next =
+            if (best.tsMicros >= prev.lastTsMicros)
+              UpsertState(best.tsMicros, best.event_type, prev.nSeen + batch.size)
+            else prev.copy(nSeen = prev.nSeen + batch.size)
+          state.update(next)
+          Iterator(UpsertOut(key, next.lastTsMicros, next.eventType, next.nSeen))
+      }
+  }
+
+  /** Events as the typed stream the stateful operator consumes. */
+  def typedEvents(df: DataFrame): org.apache.spark.sql.Dataset[EventIn] = {
+    import df.sparkSession.implicits._
+    df.select(col("user_id"), unix_micros(col("ts")).as("tsMicros"), col("event_type"))
+      .as[EventIn]
+  }
 }
