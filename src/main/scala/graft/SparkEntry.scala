@@ -66,6 +66,10 @@ object SparkEntry {
     "q_expand_nested"     -> (Relational.qExpandNested _),
     "q_percentile"        -> (Relational.qPercentile _),
     "q_multimodal_frames" -> (Multimodal.qMultimodalFrames _),
+    // pivot, array catalog, sliding windows
+    "q_pivot"             -> (Relational.qPivot _),
+    "q_array_funcs"       -> (Relational.qArrayFuncs _),
+    "q_stream_sliding"    -> (Streaming.qStreamSliding _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -96,5 +100,8 @@ object SparkEntry {
     "q_multimodal_meta"   -> Multimodal.qMultimodalMetaSql,
     "q_stream_tumbling"   -> Streaming.qStreamTumblingSql,
     "q_stream_session"    -> Streaming.qStreamSessionSql,
+    "q_pivot"             -> Relational.qPivotSql,
+    "q_array_funcs"       -> Relational.qArrayFuncsSql,
+    "q_stream_sliding"    -> Streaming.qStreamSlidingSql,
   )
 }

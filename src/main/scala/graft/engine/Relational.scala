@@ -359,6 +359,57 @@ object Relational {
       |   EXCEPT SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
       |ORDER BY op, c_custkey""".stripMargin
 
+  /** q_pivot: event counts pivoted to one column per type (explicit value
+    * list keeps the schema static — the 100 TB form; an unbounded pivot
+    * would need a driver-side distinct first). coalesce(0) because Spark's
+    * pivot-count yields NULL for empty cells. */
+  def qPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .count()
+    p.select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy(col("user_id"))
+  }
+
+  val qPivotSql: String =
+    """SELECT user_id,
+      |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+      |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q_array_funcs: array scalar catalog (slice/sort/distinct/contains/
+    * element_at) over tokenized text; arrays stringified for the oracle
+    * (list equality across engines is representation-fragile). */
+  def qArrayFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    val tk = filter(split(lower(col("text")), " "), t => t =!= lit(""))
+    Tables.documents(spark, sfDir)
+      .withColumn("_tk", tk)
+      .select(
+        col("doc_id"),
+        concat_ws(",", slice(col("_tk"), 1, 3)).as("first3"),
+        concat_ws(",", array_sort(slice(col("_tk"), 1, 3))).as("sorted3"),
+        array_contains(col("_tk"), "the").as("has_the"),
+        size(array_distinct(col("_tk"))).cast("long").as("n_distinct"),
+        element_at(col("_tk"), 1).as("first_token"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qArrayFuncsSql: String =
+    """SELECT doc_id,
+      |  array_to_string(tk[1:3], ',') AS first3,
+      |  array_to_string(list_sort(tk[1:3]), ',') AS sorted3,
+      |  list_contains(tk, 'the') AS has_the,
+      |  CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+      |  tk[1] AS first_token
+      |FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   // --- scalar function catalog ------------------------------------------
 
   /** q_scalar_funcs: string/date/math/json scalars (§2b) — all codegen'd

@@ -41,6 +41,26 @@ object Streaming {
        |  COUNT(*) AS n, ${sqlSum2("value")} AS sum_value
        |FROM events GROUP BY 1, 2 ORDER BY ws_us, event_type""".stripMargin
 
+  /** q_stream_sliding: 1-hour windows sliding every 30 minutes — each
+    * event lands in exactly two windows (the generator form of `window`
+    * with a slide). Epoch-aligned grid in both engines. */
+  def qStreamSliding(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("ws_us"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("ws_us"), col("event_type"))
+
+  val qStreamSlidingSql: String =
+    s"""SELECT epoch_us(ws) AS ws_us, event_type, COUNT(*) AS n,
+       |  ${sqlSum2("value")} AS sum_value
+       |FROM (
+       |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, event_type, "value" FROM events
+       |  UNION ALL
+       |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE AS ws, event_type, "value" FROM events)
+       |GROUP BY ws, event_type ORDER BY ws_us, event_type""".stripMargin
+
   /** q_stream_session: 30-minute-gap session windows per user.
     * session_window semantics: each event extends the session to ts+gap; a
     * new session starts when the next event's ts >= current end — i.e. the

@@ -43,6 +43,23 @@ class SinkSpec extends SparkSpec {
     assert(win.exceptAll(agg).count() == 0)
   }
 
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    // bucketBy pre-partitions both sides on the join key at WRITE time —
+    // at 100 TB this is how a recurring fact-dim join avoids re-shuffling
+    // the fact table on every query
+    Tables.orders(spark, sf).write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("orders_b")
+    Tables.customer(spark, sf).write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("customer_b")
+    val j = spark.table("orders_b").join(spark.table("customer_b"),
+      col("o_custkey") === col("c_custkey"))
+      .hint("merge") // force sort-merge so a broadcast can't mask the point
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle, plan:\n${plan.take(1500)}")
+    assert(j.count() > 0)
+  }
+
   test("kafka frame query over events is stable and enveloped") {
     val out = Sink.qKafkaFrame(spark, sf)
     assert(out.count() == Tables.events(spark, sf).count())
