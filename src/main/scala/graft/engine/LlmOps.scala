@@ -33,14 +33,14 @@ object LlmOps {
   private def tokens(c: Column): Column =
     filter(split(lower(c), " "), t => t =!= lit(""))
 
-  /** Double-precision dot product via higher-order functions (zip_with +
-    * aggregate) — sequential fold, codegen'd, no UDF. */
-  private[engine] def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Double-precision dot product. Backed by the codegen'd
+    * FloatDotProduct expression (VectorExprs) — the higher-order
+    * zip_with/aggregate formulation is interpreted (CodegenFallback) and
+    * this is the ANN hot path. Identical fold order and arithmetic, so
+    * results are bit-equal to the HOF version. */
+  private[engine] def dot(a: Column, b: Column): Column = VectorExprs.vdot(a, b)
 
-  private[engine] def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  private[engine] def cosine(a: Column, b: Column): Column = VectorExprs.vcosine(a, b)
 
   // --- text analysis -----------------------------------------------------
 
