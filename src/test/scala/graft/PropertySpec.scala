@@ -1,0 +1,94 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.engine.Aggregators.{TopKAggregator, TopKBuf}
+import graft.engine.StateMachine
+
+/** ScalaCheck properties for the algebra the reference enforces only
+  * operationally (SURVEY.md §5.3): pagination partitions an ordered scan,
+  * windows tile, backoff/schedule laws, top-k merge laws. */
+class PropertySpec extends SparkSpec {
+
+  private def check(p: Prop, name: String): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), p)
+    assert(res.passed, s"$name: $res")
+  }
+
+  test("pagination partitions any ordered sequence (pure model of page())") {
+    val gen = for {
+      n <- Gen.choose(0, 500)
+      ps <- Gen.choose(1, 120)
+      xs <- Gen.listOfN(n, Gen.choose(0L, 200L)) // many ts ties
+    } yield (xs.zipWithIndex.map { case (ts, id) => (ts, id.toLong) }, ps)
+    check(Prop.forAll(gen) { case (rows, pageSize) =>
+      val ordered = rows.sortBy(r => (r._1, r._2)) // ts ASC, id tiebreak
+      val pages = ordered.grouped(pageSize).toList
+      pages.flatten == ordered &&
+        pages.forall(p => p.size <= pageSize) &&
+        pages.map(_.size).sum == rows.size
+    }, "pagination")
+  }
+
+  test("half-open windows tile: [a,b) ∪ [b,c) == [a,c), disjoint, any bounds") {
+    val gen = for {
+      xs <- Gen.listOf(Gen.choose(0L, 1000L))
+      a <- Gen.choose(0L, 1000L); d1 <- Gen.choose(0L, 500L); d2 <- Gen.choose(0L, 500L)
+    } yield (xs, a, a + d1, a + d1 + d2)
+    check(Prop.forAll(gen) { case (xs, a, b, c) =>
+      val ab = xs.filter(x => x >= a && x < b)
+      val bc = xs.filter(x => x >= b && x < c)
+      val ac = xs.filter(x => x >= a && x < c)
+      ab.size + bc.size == ac.size && ab.intersect(bc).isEmpty
+    }, "window tiling")
+  }
+
+  test("backoff laws: monotone to the cap, bounded, jitter <= 10%") {
+    val gen = for {
+      att <- Gen.choose(0, 20); j <- Gen.choose(0.0, 1.0)
+    } yield (att, j)
+    check(Prop.forAll(gen) { case (att, j) =>
+      val b = StateMachine.backoffMillis(att, rateLimited = false, j)
+      val base = StateMachine.backoffMillis(att, rateLimited = false, 0.0)
+      b >= base && b <= base + base / 10 + 1 && base <= 30000L &&
+        StateMachine.backoffMillis(att, rateLimited = true, j) == 60000L
+    }, "backoff")
+  }
+
+  test("daily schedule: strictly after t, within 24h, at the configured time") {
+    val gen = for {
+      t <- Gen.choose(0L, 4102444800000L) // through 2100
+      h <- Gen.choose(0, 23); m <- Gen.choose(0, 59)
+    } yield (t, h, m)
+    check(Prop.forAll(gen) { case (t, h, m) =>
+      val next = StateMachine.DailySchedule(h, m).nextRunAfter(t)
+      val tod = Math.floorMod(next, 86400000L)
+      next > t && next - t <= 86400000L && tod == (h * 3600L + m * 60L) * 1000L
+    }, "schedule")
+  }
+
+  test("top-k merge laws: bounded, sorted, commutative, same as global sort") {
+    val agg = new TopKAggregator(5)
+    val genBuf = Gen.listOf(Gen.zip(Gen.choose(0.0, 100.0), Gen.choose(0L, 50L)))
+    check(Prop.forAll(genBuf, genBuf) { (xs, ys) =>
+      def buf(l: List[(Double, Long)]): TopKBuf =
+        l.foldLeft(agg.zero)((b, x) => agg.reduce(b, x))
+      val m1 = agg.merge(buf(xs), buf(ys))
+      val m2 = agg.merge(buf(ys), buf(xs))
+      val expect = (xs ++ ys).sortBy { case (s, i) => (-s, i) }.take(5).map(_._2)
+      m1.ids.toSeq == expect && m2.ids.toSeq == expect && m1.ids.length <= 5
+    }, "topk merge")
+  }
+
+  test("Spark page() agrees with the pure model on a generated table") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = (0 until 300).map(i => ((i * 7919) % 40L, i.toLong)) // heavy ts ties
+    val df = rows.toDF("ts", "id")
+    val model = rows.sortBy(r => (r._1, r._2)).map(_._2)
+    for (off <- Seq(0, 37, 150, 295); lim <- Seq(1, 50)) {
+      val got = graft.engine.Incremental.page(df, "ts", "id", off, lim)
+        .select(col("id")).collect().map(_.getLong(0)).toSeq
+      assert(got == model.slice(off, off + lim), s"off=$off lim=$lim")
+    }
+  }
+}
