@@ -31,6 +31,7 @@ object SparkEntry {
     "q_join_outer"        -> (Relational.qJoinOuter _),
     "q_join_semi_anti"    -> (Relational.qJoinSemiAnti _),
     "q_join_asof_range"   -> (Relational.qJoinAsofRange _),
+    "q_asof_join"         -> (Relational.qAsofJoin _),
     "q_agg_hash"          -> (Relational.qAggHash _),
     "q_agg_distinct"      -> (Relational.qAggDistinct _),
     "q_agg_approx"        -> (Relational.qAggApprox _),
@@ -66,6 +67,8 @@ object SparkEntry {
     "q_expand_nested"     -> (Relational.qExpandNested _),
     "q_percentile"        -> (Relational.qPercentile _),
     "q_multimodal_frames" -> (Multimodal.qMultimodalFrames _),
+    // typed Dataset surface
+    "q_typed_revenue"     -> (Typed.qTypedRevenue _),
     // pivot, array catalog, sliding windows
     "q_pivot"             -> (Relational.qPivot _),
     "q_array_funcs"       -> (Relational.qArrayFuncs _),
@@ -83,6 +86,7 @@ object SparkEntry {
     "q_join_outer"        -> Relational.qJoinOuterSql,
     "q_join_semi_anti"    -> Relational.qJoinSemiAntiSql,
     "q_join_asof_range"   -> Relational.qJoinAsofRangeSql,
+    "q_asof_join"         -> Relational.qAsofJoinSql,
     "q_agg_hash"          -> Relational.qAggHashSql,
     "q_agg_distinct"      -> Relational.qAggDistinctSql,
     "q_grouping_sets"     -> Relational.qGroupingSetsSql,
@@ -100,6 +104,7 @@ object SparkEntry {
     "q_multimodal_meta"   -> Multimodal.qMultimodalMetaSql,
     "q_stream_tumbling"   -> Streaming.qStreamTumblingSql,
     "q_stream_session"    -> Streaming.qStreamSessionSql,
+    "q_typed_revenue"     -> Typed.qTypedRevenueSql,
     "q_pivot"             -> Relational.qPivotSql,
     "q_array_funcs"       -> Relational.qArrayFuncsSql,
     "q_stream_sliding"    -> Streaming.qStreamSlidingSql,

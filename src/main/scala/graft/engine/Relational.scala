@@ -189,6 +189,38 @@ object Relational {
       | AND e2.ts >= e1.ts - INTERVAL 10 MINUTE AND e2.ts < e1.ts
       |GROUP BY e1.event_id ORDER BY e1.event_id""".stripMargin
 
+  /** q_asof_join: true AS-OF join — for every purchase event, the most
+    * recent click by the same user at or before it. Implemented as the
+    * UNION + window pattern: tag both streams, sort once per user, carry
+    * the last click forward with last_value(ignoreNulls). At 100 TB this
+    * is ONE shuffle on the join key — the naive range join materializes
+    * every (purchase × candidate-click) pair first; this never does. */
+  def qAsofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val tagged = e.select(col("user_id"), col("ts"), col("event_id"),
+      when(col("event_type") === "click", col("ts")).as("click_ts"),
+      col("event_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_click_us",
+        unix_micros(last(col("click_ts"), ignoreNulls = true).over(w)))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("last_click_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val qAsofJoinSql: String =
+    """SELECT event_id, user_id, epoch_us(ts) AS ts_us, last_click_us FROM (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    epoch_us(last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS last_click_us
+      |  FROM events)
+      |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+
   // --- aggregations ------------------------------------------------------
 
   /** q_agg_hash: TPC-H Q1 — the canonical hash aggregate. Partial (map-side)

@@ -60,6 +60,19 @@ class SinkSpec extends SparkSpec {
     assert(j.count() > 0)
   }
 
+  test("salted two-phase aggregation equals direct aggregation") {
+    // skew hygiene: spread each key over salt buckets, partial-agg by
+    // (key, salt), then finish by key — counts must be identical
+    val e = Tables.events(spark, sf)
+    val direct = e.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val salted = e
+      .withColumn("sk", Sink.salted(col("user_id"), 8))
+      .groupBy(col("sk"), col("user_id")).agg(count(lit(1)).as("pn"))
+      .groupBy(col("user_id")).agg(sum(col("pn")).as("n"))
+    assert(direct.exceptAll(salted).count() == 0)
+    assert(salted.exceptAll(direct).count() == 0)
+  }
+
   test("kafka frame query over events is stable and enveloped") {
     val out = Sink.qKafkaFrame(spark, sf)
     assert(out.count() == Tables.events(spark, sf).count())
