@@ -72,6 +72,7 @@ object SparkEntry {
     // pivot, array catalog, sliding windows
     "q_pivot"             -> (Relational.qPivot _),
     "q_array_funcs"       -> (Relational.qArrayFuncs _),
+    "q_map_funcs"         -> (Relational.qMapFuncs _),
     "q_stream_sliding"    -> (Streaming.qStreamSliding _),
   )
 

@@ -442,6 +442,21 @@ object Relational {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** q_map_funcs: MapType coverage — parse the props JSON into a typed map
+    * and exercise map_keys/map_values/element access/map_concat. Engine-only
+    * (map render order is engine-specific); spec-checked. */
+  def qMapFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("m", from_json(col("props"), org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType)))
+      .select(
+        col("event_id"),
+        concat_ws(",", array_sort(map_keys(col("m")))).as("keys"),
+        element_at(col("m"), "k").as("k_value"),
+        size(col("m")).cast("long").as("n_entries"),
+        element_at(map_concat(col("m"), map(lit("et"), lit(-1L))), "et").as("added"))
+      .orderBy(col("event_id"))
+
   // --- scalar function catalog ------------------------------------------
 
   /** q_scalar_funcs: string/date/math/json scalars (§2b) — all codegen'd

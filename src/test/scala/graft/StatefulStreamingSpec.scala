@@ -29,6 +29,43 @@ class StatefulStreamingSpec extends SparkSpec {
       "every streamed latest-ts must match the batch compaction")
   }
 
+  test("multi-micro-batch replay: state evolves across files (maxFilesPerTrigger=1)") {
+    // the reference's catch-up: several windows processed back-to-back,
+    // state carried between them — here two parquet files become two
+    // micro-batches and the state store carries the counts across
+    val dir = java.nio.file.Files.createTempDirectory("graft_mb").toString
+    val e = Tables.events(spark, sf)
+    // write the RAW (nanos-as-long) form: the stream reads with the raw
+    // schema, and a converted TimestampType column would round-trip as
+    // INT96 and no longer match
+    val raw = Tables.eventsRaw(spark, sf)
+    raw.filter(col("event_id") < 500).write.parquet(s"$dir/f1")
+    raw.filter(col("event_id") >= 500).write.parquet(s"$dir/f2")
+    // flatten into one dir as two files
+    val flat = java.nio.file.Files.createTempDirectory("graft_mb_flat").toString
+    var idx = 0
+    for (sub <- Seq("f1", "f2"); f <- new java.io.File(s"$dir/$sub").listFiles()
+         if f.getName.endsWith(".parquet")) {
+      java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(s"$flat/part_$idx.parquet"))
+      idx += 1
+    }
+    assert(idx >= 2, "need at least two files for two micro-batches")
+    val schema = Tables.eventsRaw(spark, sf).schema
+    val rawStream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(flat)
+    val stream = rawStream.withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(expr("ts div 1000")))
+    val out = Streaming.upsertLatest(Streaming.typedEvents(stream)).toDF()
+    val q = Streaming.runToMemoryUpdate(out, "multibatch_test")
+    q.awaitTermination(120000)
+    assert(q.recentProgress.length >= 2, "expected multiple micro-batches")
+    // total seen across final per-key states == total events
+    val finalCounts = spark.table("multibatch_test")
+      .groupBy(col("user_id")).agg(max(col("nSeen")).as("n"))
+    val total = finalCounts.agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(total == e.count(), s"state must have seen every event, got $total")
+  }
+
   test("seen-count accumulates all events per key") {
     import spark.implicits._
     val evs = Seq(
