@@ -48,6 +48,7 @@ object SparkEntry {
     "q_dedup_simhash"     -> (LlmOps.qDedupSimhash _),
     "q_ngram_jaccard"     -> (LlmOps.qNgramJaccard _),
     "q_dedup_embedding"   -> (LlmOps.qDedupEmbedding _),
+    "q_dedup_groups"      -> (LlmOps.qDedupGroups _),
     "q_sim_topk"          -> (LlmOps.qSimTopk _),
     "q_sim_ivf"           -> (LlmOps.qSimIvf _),
     "q_text_analysis"     -> (LlmOps.qTextAnalysis _),

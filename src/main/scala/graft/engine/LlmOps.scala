@@ -329,6 +329,54 @@ object LlmOps {
       .limit(100)
   }
 
+  /** Connected components by min-label propagation: labels start as the
+    * node id; each round every node takes the min of its own and its
+    * neighbors' labels; stop at fixpoint (checked with a count, which also
+    * materializes the iteration). The standard Spark shape for transitive
+    * closure at scale — each round is one self-contained join+agg, state
+    * lives in a DataFrame, never on the driver. Converges in O(diameter)
+    * rounds; near-dup graphs are unions of small cliques, so 2-3 rounds. */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame, maxIter: Int = 10): DataFrame = {
+    // undirected: both directions
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("component"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbr = sym.join(labels, sym("dst") === labels("doc_id"))
+        .groupBy(col("src").as("doc_id2")).agg(min(col("component")).as("nbr_min"))
+      val next = labels.join(nbr, labels("doc_id") === nbr("doc_id2"), "left")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
+      changed = next.join(labels.withColumnRenamed("component", "old"), "doc_id")
+        .filter(col("component") =!= col("old")).count()
+      labels = next.persist()
+      iter += 1
+    }
+    labels
+  }
+
+  /** q_dedup_groups: the full near-dup pipeline — MinHash-LSH candidate
+    * pairs → Jaccard-verify → connected components → keeper = min doc_id
+    * per component. Output: one row per doc with its component and a
+    * keep/drop decision (on this synthetic corpus every doc is its own
+    * singleton; the spec plants transitive clusters to prove the closure). */
+  def qDedupGroups(spark: SparkSession, sfDir: String): DataFrame =
+    dedupGroups(Tables.documents(spark, sfDir), 0.7)
+
+  def dedupGroups(docs: DataFrame, threshold: Double): DataFrame = {
+    val pairs = minhashCandidatePairs(docs).filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val comp = connectedComponents(pairs, docs.select(col("doc_id")))
+    comp
+      .withColumn("keeper",
+        min(col("doc_id")).over(Window.partitionBy(col("component"))))
+      .select(col("doc_id"), col("component"),
+        (col("doc_id") === col("keeper")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   // --- similarity search -------------------------------------------------
 
   /** q_sim_topk: brute-force cosine top-5 for a small query set against the

@@ -33,6 +33,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs.count() == 0)
   }
 
+  test("dedup groups: transitive chain a~b~c collapses to one component, one keeper") {
+    import spark.implicits._
+    val base = Seq.tabulate(80)(i => s"tok$i").mkString(" ")
+    val b = base.replace("tok10", "x")        // a~b close
+    val c = b.replace("tok70", "y")           // b~c close, a~c less so
+    val others = (0 until 10).map(i => ((i + 3).toLong,
+      Seq.tabulate(60)(j => s"u${i}v$j").mkString(" ")))
+    val docs = (Seq((0L, base), (1L, b), (2L, c)) ++ others).toDF("doc_id", "text")
+    val out = LlmOps.dedupGroups(docs, 0.7).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(0L)._1 == out(1L)._1 && out(1L)._1 == out(2L)._1,
+      "chain must share one component (transitive closure)")
+    assert(out(0L)._2 && !out(1L)._2 && !out(2L)._2, "min doc_id is the keeper")
+    assert(out(5L)._2, "singletons keep themselves")
+  }
+
+  test("connectedComponents handles multi-hop chains and isolated nodes") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val nodes = (1L to 12L).toDF("doc_id")
+    val comp = LlmOps.connectedComponents(edges, nodes).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).map(comp).distinct == Seq(1L))
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    assert(comp(12L) == 12L)
+  }
+
   test("cosine top-k: rank 1 neighbor has the highest similarity, self excluded") {
     val topk = LlmOps.qSimTopk(spark, sf)
     val rows = topk.collect()
