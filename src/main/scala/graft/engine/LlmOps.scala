@@ -407,14 +407,14 @@ object LlmOps {
       |  WHERE e.vec_id <> q.qid)
       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
-  /** q_sim_ivf: IVF-style ANN — assign every vector to its nearest of 16
-    * coarse centroids (broadcast), then answer queries by probing only the
-    * 2 nearest cells. Search cost drops to ~nprobe/ncells of brute force;
-    * at 100 TB the cells also become the storage partitioning. */
+  /** q_sim_ivf: IVF ANN — k-means-trained coarse centroids (2 Lloyd
+    * rounds, KMeans.scala), every vector assigned to its cell, queries
+    * probe only the 2 nearest cells. Search cost drops to ~nprobe/ncells
+    * of brute force; at 100 TB the cells also become the storage
+    * partitioning. */
   def qSimIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    val cents = emb.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val cents = KMeans.train(emb.select(col("vec_id"), col("embedding")), 16, 2)
     // cell assignment: nearest centroid per vector. argmin via max_by on
     // NARROW rows (vec_id, cid, csim) — a window here would shuffle the
     // 64-float embedding 16× per vector; instead partial aggregation

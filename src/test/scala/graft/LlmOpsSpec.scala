@@ -69,6 +69,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(perQ.forall { case (_, rs) => rs.map(_.getLong(2)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L) })
   }
 
+  test("k-means training improves (or holds) mean best-centroid similarity") {
+    val vecs = graft.engine.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val init = graft.engine.KMeans.train(vecs, 8, 0)
+    val trained = graft.engine.KMeans.train(vecs, 8, 2)
+    val s0 = graft.engine.KMeans.meanBestSim(vecs, init)
+    val s2 = graft.engine.KMeans.meanBestSim(vecs, trained)
+    assert(s2 >= s0 - 1e-9, s"training must not degrade quantization: $s0 -> $s2")
+    assert(trained.count() == 8)
+    // centroids keep the embedding dimensionality
+    assert(trained.select(size(col("ce"))).collect().forall(_.getInt(0) == 64))
+  }
+
   test("simhash of identical docs is identical; one-token edit stays hamming-close") {
     import spark.implicits._
     val a = Seq.tabulate(60)(i => s"word$i").mkString(" ")
