@@ -74,6 +74,10 @@ object SparkEntry {
     "q_pivot"             -> (Relational.qPivot _),
     "q_array_funcs"       -> (Relational.qArrayFuncs _),
     "q_map_funcs"         -> (Relational.qMapFuncs _),
+    "q_string_funcs"      -> (Functions.qStringFuncs _),
+    "q_datetime_funcs"    -> (Functions.qDatetimeFuncs _),
+    "q_conditional_funcs" -> (Functions.qConditionalFuncs _),
+    "q_regex_funcs"       -> (Functions.qRegexFuncs _),
     "q_stream_sliding"    -> (Streaming.qStreamSliding _),
   )
 
@@ -109,6 +113,10 @@ object SparkEntry {
     "q_typed_revenue"     -> Typed.qTypedRevenueSql,
     "q_pivot"             -> Relational.qPivotSql,
     "q_array_funcs"       -> Relational.qArrayFuncsSql,
+    "q_string_funcs"      -> Functions.qStringFuncsSql,
+    "q_datetime_funcs"    -> Functions.qDatetimeFuncsSql,
+    "q_conditional_funcs" -> Functions.qConditionalFuncsSql,
+    "q_regex_funcs"       -> Functions.qRegexFuncsSql,
     "q_stream_sliding"    -> Streaming.qStreamSlidingSql,
   )
 }
