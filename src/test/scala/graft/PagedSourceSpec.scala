@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.PagedEntitySource
+
+/** DSv2 paginated source: pages == partitions, window pushdown prunes
+  * pages at planning time, fields= prunes the read schema. */
+class PagedSourceSpec extends SparkSpec {
+
+  private def src(rows: Int, pageSize: Int) =
+    spark.read.format("graft.sources.PagedEntitySource")
+      .option("rows", rows.toString).option("pageSize", pageSize.toString)
+      .load()
+
+  test("serves rows ordered by ts, one partition per page") {
+    val df = src(1000, 100)
+    assert(df.count() == 1000)
+    assert(df.rdd.getNumPartitions == 10)
+    // R3: ts strictly ascending with id
+    val bad = df.filter(col("ts_us") =!= (lit(PagedEntitySource.BaseUs) +
+      col("id") * PagedEntitySource.StepUs))
+    assert(bad.count() == 0)
+  }
+
+  test("half-open ts window is pushed down and PRUNES PAGES at planning time") {
+    val df = src(1000, 100)
+    val a = PagedEntitySource.tsOf(250)
+    val b = PagedEntitySource.tsOf(450)
+    val win = df.filter(col("ts_us") >= a && col("ts_us") < b)
+    assert(win.count() == 200)
+    // offset pagination restarts at the window start (reference semantics):
+    // ids 250..449 → pages [250,350),[350,450) → 2 partitions, not 10
+    assert(win.rdd.getNumPartitions == 2,
+      s"expected 2 planned pages, got ${win.rdd.getNumPartitions}")
+    val plan = win.queryExecution.executedPlan.toString
+    assert(plan.contains("PagedScan(lo=250, hi=450"),
+      s"pushdown must narrow the scan range:\n${plan.take(1200)}")
+  }
+
+  test("column pruning reaches the source (fields= analog)") {
+    val df = src(500, 100).select(col("id"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("fields=id)"), s"expected pruned fields in:\n${plan.take(1200)}")
+    assert(df.count() == 500)
+  }
+
+  test("page boundary semantics: last short page, empty window, exact-multiple") {
+    assert(src(250, 100).rdd.getNumPartitions == 3)   // 100+100+50
+    assert(src(300, 100).rdd.getNumPartitions == 3)   // no phantom empty page
+    val empty = src(1000, 100)
+      .filter(col("ts_us") >= PagedEntitySource.tsOf(5000))
+    assert(empty.count() == 0 && empty.rdd.getNumPartitions == 0)
+  }
+
+  test("values and categories are deterministic across reads") {
+    val r1 = src(100, 7).orderBy(col("id")).collect()
+    val r2 = src(100, 13).orderBy(col("id")).collect()
+    assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq,
+      "page size must not change the data, only the partitioning")
+  }
+}
