@@ -28,6 +28,8 @@ object SparkEntry {
     // relational core (§2b)
     "q_expand_join"       -> (Relational.qExpandJoin _),
     "q_join_multiway"     -> (Relational.qJoinMultiway _),
+    "q_sql_multiway"      -> (Relational.qSqlMultiway _),
+    "q_paged_source"      -> (Relational.qPagedSource _),
     "q_join_outer"        -> (Relational.qJoinOuter _),
     "q_join_semi_anti"    -> (Relational.qJoinSemiAnti _),
     "q_join_asof_range"   -> (Relational.qJoinAsofRange _),
@@ -89,6 +91,7 @@ object SparkEntry {
     "q_string_cast"       -> Cast.qStringCastSql,
     "q_expand_join"       -> Relational.qExpandJoinSql,
     "q_join_multiway"     -> Relational.qJoinMultiwaySql,
+    "q_sql_multiway"      -> Relational.qSqlMultiwaySql,
     "q_join_outer"        -> Relational.qJoinOuterSql,
     "q_join_semi_anti"    -> Relational.qJoinSemiAntiSql,
     "q_join_asof_range"   -> Relational.qJoinAsofRangeSql,

@@ -221,6 +221,45 @@ object Relational {
       |  FROM events)
       |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
 
+  /** q_sql_multiway: the SQL-string API surface — same Q5 shape as
+    * q_join_multiway but declared through spark.sql over temp views
+    * (Catalyst plans both identically; the oracle pins it). */
+  def qSqlMultiway(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("lineitem", "orders", "customer", "nation", "region").foreach { t =>
+      Tables.load(spark, sfDir, t).createOrReplaceTempView(s"graft_$t")
+    }
+    spark.sql(
+      s"""SELECT n_name,
+         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM graft_lineitem
+         |JOIN graft_orders ON l_orderkey = o_orderkey
+         |JOIN graft_customer ON o_custkey = c_custkey
+         |JOIN graft_nation ON c_nationkey = n_nationkey
+         |JOIN graft_region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY n_name ORDER BY n_name""".stripMargin)
+  }
+
+  val qSqlMultiwaySql: String = qJoinMultiwaySql
+
+  /** q_paged_source: the DSv2 paginated connector as a declared query —
+    * window pushdown prunes pages at planning, then a per-category
+    * aggregate. Engine-only (the source is ours). */
+  def qPagedSource(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.PagedEntitySource
+    spark.read.format("graft.sources.PagedEntitySource")
+      .option("rows", "100000").option("pageSize", "500").load()
+      .filter(col("ts_us") >= PagedEntitySource.tsOf(10000) &&
+              col("ts_us") < PagedEntitySource.tsOf(60000))
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy(col("category"))
+  }
+
   // --- aggregations ------------------------------------------------------
 
   /** q_agg_hash: TPC-H Q1 — the canonical hash aggregate. Partial (map-side)
