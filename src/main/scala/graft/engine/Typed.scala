@@ -21,10 +21,14 @@ object Typed {
 
   case class LineRev(l_returnflag: String, l_extendedprice: Double, l_discount: Double)
 
-  /** q_typed_revenue: revenue per returnflag via the typed API. */
+  /** q_typed_revenue: revenue per returnflag via the typed API. Restricted
+    * to a 1-in-10 orderkey sample: groupByKey ships whole rows into
+    * |groups| tasks, so the demonstration deliberately bounds its input
+    * (the unrestricted aggregate is q_agg_hash's job). */
   def qTypedRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, sfDir)
+      .filter(pmod(col("l_orderkey"), lit(10)) === 0)
       .select(col("l_returnflag"), col("l_extendedprice"), col("l_discount"))
       .as[LineRev]
       .groupByKey(_.l_returnflag)
@@ -46,5 +50,6 @@ object Typed {
     s"""SELECT l_returnflag,
        |  ${Exact.sqlSum6("l_extendedprice * (1.0 - l_discount)")} AS revenue,
        |  COUNT(*) AS n_items
-       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+       |FROM lineitem WHERE l_orderkey % 10 = 0
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 }
