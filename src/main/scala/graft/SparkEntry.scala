@@ -40,6 +40,10 @@ object SparkEntry {
     "q_grouping_sets"     -> (Relational.qGroupingSets _),
     "q_window_rank"       -> (Relational.qWindowRank _),
     "q_window_frame"      -> (Relational.qWindowFrame _),
+    "q_window_range"      -> (Relational.qWindowRange _),
+    "q_window_misc"       -> (Relational.qWindowMisc _),
+    "q_subquery_scalar"   -> (Relational.qSubqueryScalar _),
+    "q_sample_stratified" -> (Relational.qSampleStratified _),
     "q_topk"              -> (Relational.qTopk _),
     "q_set_ops"           -> (Relational.qSetOps _),
     "q_scalar_funcs"      -> (Relational.qScalarFuncs _),
@@ -101,6 +105,9 @@ object SparkEntry {
     "q_grouping_sets"     -> Relational.qGroupingSetsSql,
     "q_window_rank"       -> Relational.qWindowRankSql,
     "q_window_frame"      -> Relational.qWindowFrameSql,
+    "q_window_range"      -> Relational.qWindowRangeSql,
+    "q_window_misc"       -> Relational.qWindowMiscSql,
+    "q_subquery_scalar"   -> Relational.qSubqueryScalarSql,
     "q_topk"              -> Relational.qTopkSql,
     "q_set_ops"           -> Relational.qSetOpsSql,
     "q_scalar_funcs"      -> Relational.qScalarFuncsSql,

@@ -390,6 +390,87 @@ object Relational {
       |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey)
       |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_partkey""".stripMargin
 
+  /** q_window_range: RANGE frame over event time — per user, activity in
+    * the trailing 10 minutes (inclusive range frame on epoch micros).
+    * The time-based sibling of q_window_frame's ROWS frame. */
+  def qWindowRange(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-600000000L, 0L) // 10 min in micros, inclusive
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"))
+      .withColumn("n_10min", count(lit(1)).over(w))
+      .withColumn("sum_10min",
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+      .orderBy(col("event_id"))
+  }
+
+  val qWindowRangeSql: String =
+    """SELECT event_id, user_id, ts_us, "value",
+      |  COUNT(*) OVER w AS n_10min,
+      |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_10min
+      |FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, "value" FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+      |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  /** q_window_misc: ntile / percent_rank / first_value / nth_value —
+    * the remaining analytic family, under a total order so every value is
+    * deterministic. percent_rank = (rank-1)/(n-1): one identical double
+    * division in both engines. */
+  def qWindowMisc(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("top_key", first_value(col("o_orderkey")).over(w))
+      .withColumn("second_key", nth_value(col("o_orderkey"), 2).over(w))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val qWindowMiscSql: String =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  first_value(o_orderkey) OVER w AS top_key,
+      |  nth_value(o_orderkey, 2) OVER w AS second_key
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q_subquery_scalar: correlated scalar subquery — Catalyst decorrelates
+    * it into a left outer aggregate join (RewriteCorrelatedScalarSubquery,
+    * SURVEY §4 "built-in" row), so the 100 TB plan is a join, not a
+    * per-row probe. */
+  def qSubqueryScalar(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_sq_customer")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_sq_orders")
+    spark.sql(
+      """SELECT c_custkey,
+        |  (SELECT MAX(o_totalprice) FROM graft_sq_orders WHERE o_custkey = c_custkey) AS max_order,
+        |  (SELECT COUNT(*) FROM graft_sq_orders WHERE o_custkey = c_custkey) AS n_orders
+        |FROM graft_sq_customer ORDER BY c_custkey""".stripMargin)
+  }
+
+  val qSubqueryScalarSql: String =
+    """SELECT c_custkey,
+      |  (SELECT MAX(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_order,
+      |  (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** q_sample_stratified: per-stratum Bernoulli sampling (sampleBy) — the
+    * training-data downsampling primitive (e.g. downweight boilerplate
+    * classes). Seeded; engine-only (sampling is engine-specific). */
+  def qSampleStratified(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .stat.sampleBy("event_type",
+        Map("click" -> 0.1, "view" -> 0.1, "purchase" -> 1.0,
+          "signup" -> 1.0, "error" -> 0.5), 42L)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_sampled"))
+      .orderBy(col("event_type"))
+
   // --- top-k / set ops ---------------------------------------------------
 
   /** q_topk: ORDER BY ... LIMIT k — planned as TakeOrderedAndProject: each
