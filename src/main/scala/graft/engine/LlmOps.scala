@@ -240,29 +240,43 @@ object LlmOps {
   }
 
   /** Candidate near-dup pairs from shared LSH buckets, verified by true
-    * shingle-Jaccard. Used by tests (the synthetic corpus has no near-dups,
-    * so the declared query surface exposes signatures instead). */
+    * shingle-Jaccard.
+    *
+    * The shingle-hash frame is computed ONCE, cached, and serves the
+    * signature pass plus both sides of the verify join (three scans of the
+    * tokenize→shingle pipeline otherwise). The result is persisted and
+    * eagerly materialized so the input cache can be dropped immediately —
+    * candidate pairs are tiny (LSH guarantees that), the shingle frame is
+    * corpus-sized. */
   def minhashCandidatePairs(docs: DataFrame): DataFrame = {
-    val sig = minhashSignatures(docs)
-    val bandStructs = (0 until minhashBands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(lit(b) +: (0 until 4).map(r => col(s"mh_${b * 4 + r}")): _*).as("band_key"))
-    }
-    val buckets = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
-    val a = buckets.alias("a")
-    val b = buckets.alias("b")
-    val cand = a.join(b,
-        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
-    val sh = withShingleHashes(docs).select(col("doc_id"), col("shl").as("sh"))
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+    val sh = withShingleHashes(docs).select(col("doc_id"), col("shl")).persist()
+    try {
+      val sigCols = (0 until minhashSeeds).map { j =>
+        array_min(transform(col("shl"), h => xxhash64(lit(j), h))).as(s"mh_$j")
+      }
+      val sig = sh.select(col("doc_id") +: sigCols: _*)
+      val bandStructs = (0 until minhashBands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(lit(b) +: (0 until 4).map(r => col(s"mh_${b * 4 + r}")): _*).as("band_key"))
+      }
+      val buckets = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+      val a = buckets.alias("a")
+      val b = buckets.alias("b")
+      val cand = a.join(b,
+          col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+      val out = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("shl").as("sh_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("shl").as("sh_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+        .persist()
+      out.count() // materialize while the shingle cache is alive
+      out
+    } finally sh.unpersist(blocking = false)
   }
 
   /** q_dedup_simhash: 64-bit SimHash per doc, computed entirely map-side:
@@ -376,6 +390,9 @@ object LlmOps {
     dedupGroups(Tables.documents(spark, sfDir), 0.7)
 
   def dedupGroups(docs: DataFrame, threshold: Double): DataFrame = {
+    // minhashCandidatePairs returns an already-persisted, materialized
+    // (tiny) pair set — the component step consumes it twice (one per
+    // direction of the undirected edge union) straight from cache
     val pairs = minhashCandidatePairs(docs).filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"))
     val comp = connectedComponents(pairs, docs.select(col("doc_id")))
