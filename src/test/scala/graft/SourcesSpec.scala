@@ -20,6 +20,43 @@ class SourcesSpec extends SparkSpec {
     assert(json.exceptAll(e).count() == 0, "json round-trip must be lossless")
   }
 
+  test("schema evolution: mergeSchema unifies old and new layouts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    Seq((1L, "a")).toDF("id", "name").write.parquet(s"$dir/v1")
+    Seq((2L, "b", 9.5)).toDF("id", "name", "score").write.parquet(s"$dir/v2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/v1", s"$dir/v2")
+    assert(merged.columns.toSet == Set("id", "name", "score"))
+    val rows = merged.orderBy(col("id")).collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("score")), "old rows get NULL for new column")
+    assert(rows(1).getDouble(rows(1).fieldIndex("score")) == 9.5)
+  }
+
+  test("malformed JSON records: PERMISSIVE captures them, FAILFAST rejects") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bad").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/data.json"),
+      """{"id": 1, "v": "ok"}
+        |{not json at all
+        |{"id": 3, "v": "fine"}""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_corrupt_record", org.apache.spark.sql.types.StringType)))
+    // Spark disallows querying only the corrupt column straight off the
+    // file source — materialize the parse first (its own documented rule)
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir).cache()
+    assert(permissive.count() == 3)
+    assert(permissive.filter(col("_corrupt_record").isNotNull).count() == 1)
+    permissive.unpersist()
+    val failfast = spark.read
+      .schema(org.apache.spark.sql.types.StructType(schema.fields.take(2)))
+      .option("mode", "FAILFAST").json(dir)
+    intercept[org.apache.spark.SparkException](failfast.collect())
+  }
+
   test("streaming foreachBatch lands enveloped micro-batches in the partitioned sink") {
     // the complete reference pipeline, streaming end to end: file-source
     // micro-batches -> envelope -> topic-per-entity partitioned parquet
