@@ -60,10 +60,25 @@ object Sink {
       .orderBy(col("o_orderkey"))
   }
 
-  /** Salted repartition for skewed keys: spread each hot key over
-    * `saltBuckets` shuffle partitions (append the salt to the key for the
-    * wide op, aggregate twice). Standard 100 TB skew hygiene, exposed as a
-    * reusable column. */
+  /** Salted key for skewed wide ops: spread each hot key over
+    * `saltBuckets` shuffle partitions (aggregate by (key, salt), then by
+    * key; or replicate the build side `saltBuckets`× for a salted join).
+    * PER-ROW salt (seeded rand) — salting by input-partition id would be
+    * a no-op for aggregation, since map-side partial aggregation already
+    * collapses within a partition; the salt must split a hot key's rows
+    * WITHIN the shuffle. */
   def salted(key: Column, saltBuckets: Int): Column =
-    concat_ws("#", key.cast("string"), (pmod(spark_partition_id(), lit(saltBuckets))).cast("string"))
+    concat_ws("#", key.cast("string"),
+      floor(rand(42) * saltBuckets).cast("int").cast("string"))
+
+  /** Idempotent micro-batch writer for `foreachBatch`: each batch lands in
+    * its own `batch_id=<id>` partition with dynamic overwrite, so a
+    * REPLAYED batch (the reference's at-least-once window re-read,
+    * SURVEY §2a quirk) overwrites itself instead of duplicating —
+    * exactly-once effect on an append-only file sink. */
+  def idempotentBatchWriter(outDir: String)(df: DataFrame, batchId: Long): Unit = {
+    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(outDir)
+  }
 }

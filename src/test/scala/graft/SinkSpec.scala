@@ -73,6 +73,17 @@ class SinkSpec extends SparkSpec {
     assert(salted.exceptAll(direct).count() == 0)
   }
 
+  test("idempotent batch writer: replaying a batch does not duplicate") {
+    val out = java.nio.file.Files.createTempDirectory("graft_idem").toString
+    val e = Tables.events(spark, sf).limit(100)
+    Sink.idempotentBatchWriter(out)(e, 7L)
+    Sink.idempotentBatchWriter(out)(e, 7L) // replay of the same micro-batch
+    Sink.idempotentBatchWriter(out)(e, 8L)
+    val landed = spark.read.parquet(out)
+    assert(landed.count() == 200, "batch 7 must land exactly once despite replay")
+    assert(landed.select(col("batch_id")).distinct().count() == 2)
+  }
+
   test("kafka frame query over events is stable and enveloped") {
     val out = Sink.qKafkaFrame(spark, sf)
     assert(out.count() == Tables.events(spark, sf).count())
