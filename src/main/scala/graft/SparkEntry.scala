@@ -38,6 +38,8 @@ object SparkEntry {
     "q_agg_distinct"      -> (Relational.qAggDistinct _),
     "q_agg_approx"        -> (Relational.qAggApprox _),
     "q_grouping_sets"     -> (Relational.qGroupingSets _),
+    "q_cube"              -> (Relational.qCube _),
+    "q_unpivot"           -> (Relational.qUnpivot _),
     "q_window_rank"       -> (Relational.qWindowRank _),
     "q_window_frame"      -> (Relational.qWindowFrame _),
     "q_window_range"      -> (Relational.qWindowRange _),
@@ -103,6 +105,8 @@ object SparkEntry {
     "q_agg_hash"          -> Relational.qAggHashSql,
     "q_agg_distinct"      -> Relational.qAggDistinctSql,
     "q_grouping_sets"     -> Relational.qGroupingSetsSql,
+    "q_cube"              -> Relational.qCubeSql,
+    "q_unpivot"           -> Relational.qUnpivotSql,
     "q_window_rank"       -> Relational.qWindowRankSql,
     "q_window_frame"      -> Relational.qWindowFrameSql,
     "q_window_range"      -> Relational.qWindowRangeSql,

@@ -333,6 +333,46 @@ object Relational {
        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
        |ORDER BY returnflag, linestatus""".stripMargin
 
+  /** q_cube: full cube over two dimensions (rollup's sibling; sentinel
+    * coalesce for cross-engine NULL ordering, as in q_grouping_sets). */
+  def qCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), Exact.dsum2(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("~ALL~")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("~ALL~")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  val qCubeSql: String =
+    s"""SELECT COALESCE(l_returnflag, '~ALL~') AS returnflag,
+       |  COALESCE(l_linestatus, '~ALL~') AS linestatus,
+       |  COUNT(*) AS n, ${Exact.sqlSum2("l_quantity")} AS sum_qty
+       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+       |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** q_unpivot: wide→long melt of the lineitem measure columns (the
+    * inverse of q_pivot; Dataset.unpivot ↔ SQL UNPIVOT). Values are
+    * passthrough doubles — exact. */
+  def qUnpivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "metric", "metric_value")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("metric"))
+
+  val qUnpivotSql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, metric, metric_value
+      |FROM (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |             l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem)
+      |UNPIVOT (metric_value FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax))
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, metric""".stripMargin
+
   // --- windows -----------------------------------------------------------
 
   /** q_window_rank: top-3 orders per customer by price. One shuffle on
