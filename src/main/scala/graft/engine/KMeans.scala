@@ -47,13 +47,16 @@ object KMeans {
   }
 
   /** Train k centroids: deterministic init (first k by vec_id), `iters`
-    * Lloyd rounds. */
+    * Lloyd rounds. Each round's k-row centroid frame is cut to a
+    * materialized leaf (Iterate.cut) — otherwise the plan nests one full
+    * assignment+update pipeline per round and every downstream use
+    * re-optimizes (and on cache loss re-runs) the whole training history. */
   def train(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
     val w = Window.orderBy(col("vec_id"))
-    var cents = vectors
+    var cents = Iterate.cut(vectors
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select((col("rn") - 1).cast("int").as("cid"), col("embedding").as("ce"))
-    for (_ <- 0 until iters) cents = update(vectors, cents)
+      .select((col("rn") - 1).cast("int").as("cid"), col("embedding").as("ce")))
+    for (_ <- 0 until iters) cents = Iterate.cut(update(vectors, cents))
     cents
   }
 

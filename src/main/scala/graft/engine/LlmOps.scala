@@ -358,25 +358,30 @@ object LlmOps {
       .unionAll(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
     try {
-      var labels = nodes.select(col("doc_id"), col("doc_id").as("component")).persist()
+      // Iterate.cut truncates each round's plan to a leaf: without it the
+      // label frame's lineage deepens by one join per round, Catalyst
+      // re-analyzes the whole history every iteration, and a lost cache
+      // partition recomputes from round 0 (PLANS.md showed the final
+      // q_dedup_groups plan string carrying 90+ exchanges of unrolled loop)
+      var labels = Iterate.cut(
+        nodes.select(col("doc_id"), col("doc_id").as("component")))
       var changed = 1L
       var iter = 0
       while (changed > 0 && iter < maxIter) {
         val nbr = sym.join(labels, sym("dst") === labels("doc_id"))
           .groupBy(col("src").as("doc_id2")).agg(min(col("component")).as("nbr_min"))
-        val next = labels.join(nbr, labels("doc_id") === nbr("doc_id2"), "left")
-          .select(col("doc_id"),
-            least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
-          .persist()
+        val next = Iterate.cut(
+          labels.join(nbr, labels("doc_id") === nbr("doc_id2"), "left")
+            .select(col("doc_id"),
+              least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component")))
         changed = next.join(labels.withColumnRenamed("component", "old"), "doc_id")
           .filter(col("component") =!= col("old")).count()
-        labels.unpersist()
         labels = next
         iter += 1
       }
-      // the final labels stay persisted: they're O(docs) narrow rows and
-      // the caller consumes them immediately (a driver-side detach via
-      // collect would break the no-collect posture at scale)
+      // labels is a materialized leaf: O(docs) narrow rows the caller
+      // consumes immediately (a driver-side detach via collect would
+      // break the no-collect posture at scale)
       labels
     } finally sym.unpersist(blocking = false)
   }
