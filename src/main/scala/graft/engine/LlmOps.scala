@@ -239,6 +239,22 @@ object LlmOps {
     sh.select(col("doc_id") +: sigCols: _*)
   }
 
+  /** Per-bucket pair cap: a bucket holding every near-identical copy of a
+    * boilerplate page (the 100 TB pathology — think robots.txt mirrored a
+    * million times) would otherwise emit |bucket|² pairs. Keeping the
+    * first `maxBucketDocs` members by doc_id is deterministic, keeps full
+    * recall for every bucket under the cap (all test scales), and degrades
+    * a monster bucket to cap² pairs instead of unbounded. */
+  private[engine] val maxBucketDocs = 1000
+
+  /** All ordered pairs struct(a, b) with a before b, from a SORTED array
+    * column — the group-then-explode form of a bucket self-join: one
+    * shuffle on the bucket key and no corpus-sized hash-map build. */
+  private def pairsOf(m: Column): Column =
+    flatten(transform(m, (a, i) =>
+      transform(slice(m, i + lit(2), greatest(size(m) - i - 1, lit(0))),
+        b => struct(a.as("a"), b.as("b")))))
+
   /** Candidate near-dup pairs from shared LSH buckets, verified by true
     * shingle-Jaccard.
     *
@@ -247,7 +263,12 @@ object LlmOps {
     * tokenize→shingle pipeline otherwise). The result is persisted and
     * eagerly materialized so the input cache can be dropped immediately —
     * candidate pairs are tiny (LSH guarantees that), the shingle frame is
-    * corpus-sized. */
+    * corpus-sized.
+    *
+    * Pair generation groups each (band, band_key) bucket and explodes
+    * member pairs from the collected (bounded, sorted) doc list — replaces
+    * a bucket self-join that built a hash map over the whole exploded
+    * bucket frame and had no guard against a degenerate bucket. */
   def minhashCandidatePairs(docs: DataFrame): DataFrame = {
     val sh = withShingleHashes(docs).select(col("doc_id"), col("shl")).persist()
     try {
@@ -261,12 +282,11 @@ object LlmOps {
       }
       val buckets = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
-      val a = buckets.alias("a")
-      val b = buckets.alias("b")
-      val cand = a.join(b,
-          col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+      val cand = buckets.groupBy(col("band"), col("band_key"))
+        .agg(slice(sort_array(collect_list(col("doc_id"))), 1, maxBucketDocs).as("m"))
+        .filter(size(col("m")) > 1)
+        .select(explode(pairsOf(col("m"))).as("p"))
+        .select(col("p.a").as("doc_a"), col("p.b").as("doc_b")).distinct()
       val out = cand
         .join(sh.select(col("doc_id").as("doc_a"), col("shl").as("sh_a")), "doc_a")
         .join(sh.select(col("doc_id").as("doc_b"), col("shl").as("sh_b")), "doc_b")
@@ -309,32 +329,34 @@ object LlmOps {
   }
 
   /** q_ngram_jaccard: token-3-gram Jaccard via the SPARSE formulation —
-    * explode (doc, shingle-hash) pairs, self-join on the shingle within a
-    * `source` block, count common shingles per pair, then
-    * jaccard = common / (|a| + |b| - common).
+    * explode (doc, shingle-hash) pairs, group by shingle into a posting
+    * list within a `source` block, explode co-occurring doc pairs, count
+    * common shingles per pair, then jaccard = common / (|a| + |b| - common).
     *
     * This is the 100 TB shape: the pairwise-array version shuffles every
     * doc's full shingle array into |group|² pair rows (measured 25 s at
-    * sf0.1); here only 8-byte hashes shuffle, pairs materialize only for
-    * docs that actually share a shingle, and the block key bounds the join
-    * fan-out (at scale the block would be an LSH band). */
+    * sf0.1); here only 8-byte hashes shuffle and pairs materialize only
+    * for docs that actually share a shingle. Posting lists are bounded by
+    * `maxBucketDocs` (sorted prefix), so one ubiquitous boilerplate
+    * shingle can't go quadratic — the same guard as the LSH buckets. The
+    * group-then-explode form replaced a posting self-join: one shuffle on
+    * (source, shingle) instead of a hash-map build over the whole exploded
+    * corpus (measured 11.9 s → see ROADMAP for the sf1 dry-run numbers). */
   def qNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    // per-doc shingle size rides along on every exploded row, so the pair
+    // per-doc shingle size rides along into the posting list, so the pair
     // aggregation recovers |a| and |b| with first() — no extra scan of the
     // documents table (a sizes-join would re-run the shingle computation)
     val flat = withShingleHashes(Tables.documents(spark, sfDir))
       .select(col("source"), col("doc_id"), size(col("shl")).as("n_sh"),
         explode(col("shl")).as("hs"))
-      // shuffle-hash on both sides: the two exchanges are identical, so
-      // Spark's ReuseExchange evaluates the shingle scan once
-      .hint("shuffle_hash")
-    val common = flat.alias("a")
-      .join(flat.alias("b"),
-        col("a.source") === col("b.source") && col("a.hs") === col("b.hs") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val common = flat.groupBy(col("source"), col("hs"))
+      .agg(slice(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))),
+        1, maxBucketDocs).as("m"))
+      .filter(size(col("m")) > 1)
+      .select(explode(pairsOf(col("m"))).as("p"))
+      .groupBy(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"),
-        first(col("a.n_sh")).as("n_a"), first(col("b.n_sh")).as("n_b"))
+        first(col("p.a.n_sh")).as("n_a"), first(col("p.b.n_sh")).as("n_b"))
     common
       .select(col("doc_a"), col("doc_b"),
         (col("n_common").cast("double") /
@@ -370,13 +392,16 @@ object LlmOps {
       while (changed > 0 && iter < maxIter) {
         val nbr = sym.join(labels, sym("dst") === labels("doc_id"))
           .groupBy(col("src").as("doc_id2")).agg(min(col("component")).as("nbr_min"))
+        // `improved` rides along so convergence is a filter-count over the
+        // checkpointed leaf — not a second shuffle join against the
+        // previous labels (one exchange per round saved)
         val next = Iterate.cut(
           labels.join(nbr, labels("doc_id") === nbr("doc_id2"), "left")
             .select(col("doc_id"),
-              least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component")))
-        changed = next.join(labels.withColumnRenamed("component", "old"), "doc_id")
-          .filter(col("component") =!= col("old")).count()
-        labels = next
+              least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"),
+              (coalesce(col("nbr_min"), col("component")) < col("component")).as("improved")))
+        changed = next.filter(col("improved")).count()
+        labels = next.select(col("doc_id"), col("component"))
         iter += 1
       }
       // labels is a materialized leaf: O(docs) narrow rows the caller
