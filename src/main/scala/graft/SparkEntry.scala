@@ -39,6 +39,7 @@ object SparkEntry {
     "q_agg_approx"        -> (Relational.qAggApprox _),
     "q_grouping_sets"     -> (Relational.qGroupingSets _),
     "q_cube"              -> (Relational.qCube _),
+    "q_percentile_disc"   -> (Relational.qPercentileDisc _),
     "q_unpivot"           -> (Relational.qUnpivot _),
     "q_window_rank"       -> (Relational.qWindowRank _),
     "q_window_frame"      -> (Relational.qWindowFrame _),
@@ -106,6 +107,7 @@ object SparkEntry {
     "q_agg_distinct"      -> Relational.qAggDistinctSql,
     "q_grouping_sets"     -> Relational.qGroupingSetsSql,
     "q_cube"              -> Relational.qCubeSql,
+    "q_percentile_disc"   -> Relational.qPercentileDiscSql,
     "q_unpivot"           -> Relational.qUnpivotSql,
     "q_window_rank"       -> Relational.qWindowRankSql,
     "q_window_frame"      -> Relational.qWindowFrameSql,

@@ -89,6 +89,28 @@ object Relational {
         percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99_approx"))
       .orderBy(col("l_returnflag"))
 
+  /** q_percentile_disc: discrete percentiles — the returned value is an
+    * actual order statistic of the group, no interpolation arithmetic, so
+    * it is bit-exact across engines and DuckDB-oracle-checked (the
+    * interpolated/sketch variants above stay engine-only). */
+  def qPercentileDisc(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)").as("p90"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)").as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val qPercentileDiscSql: String =
+    """SELECT l_returnflag,
+      |  quantile_disc(l_extendedprice, 0.5) AS p50,
+      |  quantile_disc(l_extendedprice, 0.9) AS p90,
+      |  quantile_disc(l_extendedprice, 0.99) AS p99,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** q_join_multiway: TPC-H Q5 shape — revenue per nation in ASIA for one
     * order-date year. lineitem (fact) joins three broadcast dims; only the
     * lineitem→orders join can shuffle, and AQE will pick broadcast for

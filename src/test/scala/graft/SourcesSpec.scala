@@ -20,6 +20,19 @@ class SourcesSpec extends SparkSpec {
     assert(json.exceptAll(e).count() == 0, "json round-trip must be lossless")
   }
 
+  test("ORC round-trips the events table losslessly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val e = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    e.write.orc(s"$dir/orc")
+    val orc = spark.read.orc(s"$dir/orc")
+    assert(orc.count() == e.count())
+    assert(orc.exceptAll(e).count() == 0, "orc round-trip must be lossless")
+    // predicate pushdown reaches the ORC scan like parquet
+    val plan = orc.filter(col("user_id") === 7L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("user_id"), plan.take(400))
+  }
+
   test("schema evolution: mergeSchema unifies old and new layouts") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_evo").toString
