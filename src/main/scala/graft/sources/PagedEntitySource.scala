@@ -89,12 +89,46 @@ class PagedEntityTable(rows: Long, pageSize: Int, entity: String)
 }
 
 class PagedScanBuilder(rows: Long, pageSize: Int)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit with SupportsPushDownOffset with SupportsPushDownTopN {
 
   private var lo: Long = 0L          // first id to serve (inclusive)
   private var hi: Long = rows        // end id (exclusive)
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = PagedEntitySource.fullSchema
+
+  /** R4: LIMIT lands in the page plan — `hi` caps so trailing pages are
+    * never planned, the exact analog of stopping the pagination loop after
+    * `limit` records. Fully pushed: the source emits at most `limit` rows. */
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, math.min(lo, hi) + limit)
+    true
+  }
+  override def isPartiallyPushed(): Boolean = false
+
+  /** R4: OFFSET advances the serve cursor (`state.currentOffset`,
+    * ChargeOverSourceTask.java:221-226) — leading pages are never planned. */
+  override def pushOffset(offset: Int): Boolean = {
+    lo = math.min(lo + offset, hi)
+    true
+  }
+
+  /** R3+R4: ORDER BY id/ts ASC LIMIT n — the source's native order IS
+    * id==ts ascending (one record per minute per id), so a TopN on either
+    * column collapses to the same page-plan cap as a plain LIMIT. Any
+    * other ordering is declined and evaluated by Spark. */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    val nativeOrder = orders.forall { o =>
+      o.direction == SortDirection.ASCENDING && (o.expression match {
+        case f: NamedReference => f.fieldNames.sameElements(Array("id")) ||
+          f.fieldNames.sameElements(Array("ts_us"))
+        case _ => false
+      })
+    }
+    if (nativeOrder && orders.nonEmpty) { pushLimit(limit); true } else false
+  }
 
   /** R2: accept range predicates on the ordered ts column (and id), narrow
     * the served id range — the moral equivalent of `where=ts:GTE:a,ts:LT:b`

@@ -52,6 +52,31 @@ class PagedSourceSpec extends SparkSpec {
     assert(empty.count() == 0 && empty.rdd.getNumPartitions == 0)
   }
 
+  test("limit/offset are pushed into the page plan (R4)") {
+    // offset 230, limit 150 → ids [230, 380) → pages [230,330),[330,380)
+    val df = src(1000, 100).offset(230).limit(150)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PagedScan(lo=230, hi=380"),
+      s"offset+limit must narrow the scan range:\n${plan.take(1200)}")
+    assert(df.count() == 150)
+    val ids = df.select(col("id")).collect().map(_.getLong(0)).sorted
+    assert(ids.head == 230 && ids.last == 379)
+  }
+
+  test("ORDER BY id LIMIT is pushed as TopN; non-native order is declined") {
+    val top = src(1000, 100).orderBy(col("id")).limit(42)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("PagedScan(lo=0, hi=42"),
+      s"TopN on the native order must cap the page plan:\n${plan.take(1200)}")
+    assert(top.count() == 42)
+    // descending order is NOT the source's native order: full range planned
+    val desc = src(1000, 100).orderBy(col("id").desc).limit(5).select(col("id"))
+    val dplan = desc.queryExecution.executedPlan.toString
+    assert(dplan.contains("hi=1000"),
+      s"non-native TopN must be declined:\n${dplan.take(1200)}")
+    assert(desc.collect().map(_.getLong(0)).toSeq == Seq(999L, 998L, 997L, 996L, 995L))
+  }
+
   test("values and categories are deterministic across reads") {
     val r1 = src(100, 7).orderBy(col("id")).collect()
     val r2 = src(100, 13).orderBy(col("id")).collect()
