@@ -422,10 +422,17 @@ object LlmOps {
   def dedupGroups(docs: DataFrame, threshold: Double): DataFrame = {
     // minhashCandidatePairs returns an already-persisted, materialized
     // (tiny) pair set — the component step consumes it twice (one per
-    // direction of the undirected edge union) straight from cache
-    val pairs = minhashCandidatePairs(docs).filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"))
-    val comp = connectedComponents(pairs, docs.select(col("doc_id")))
+    // direction of the undirected edge union) straight from cache. CC
+    // returns a MATERIALIZED leaf (Iterate.cut), so the pair cache can be
+    // released here instead of lingering until the session GCs it —
+    // long-running sessions (Verify/Bench run every query back to back)
+    // would otherwise accumulate one orphaned cache per call.
+    val rawPairs = minhashCandidatePairs(docs)
+    val comp =
+      try connectedComponents(
+        rawPairs.filter(col("jaccard") >= threshold).select(col("doc_a"), col("doc_b")),
+        docs.select(col("doc_id")))
+      finally rawPairs.unpersist(blocking = false)
     comp
       .withColumn("keeper",
         min(col("doc_id")).over(Window.partitionBy(col("component"))))
