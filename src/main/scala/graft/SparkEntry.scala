@@ -40,6 +40,8 @@ object SparkEntry {
     "q_grouping_sets"     -> (Relational.qGroupingSets _),
     "q_cube"              -> (Relational.qCube _),
     "q_percentile_disc"   -> (Relational.qPercentileDisc _),
+    "q_multimodal_resize" -> (Multimodal.qMultimodalResize _),
+    "q_multimodal_embed"  -> (Multimodal.qMultimodalEmbed _),
     "q_unpivot"           -> (Relational.qUnpivot _),
     "q_window_rank"       -> (Relational.qWindowRank _),
     "q_window_frame"      -> (Relational.qWindowFrame _),
@@ -108,6 +110,7 @@ object SparkEntry {
     "q_grouping_sets"     -> Relational.qGroupingSetsSql,
     "q_cube"              -> Relational.qCubeSql,
     "q_percentile_disc"   -> Relational.qPercentileDiscSql,
+    "q_multimodal_resize" -> Multimodal.qMultimodalResizeSql,
     "q_unpivot"           -> Relational.qUnpivotSql,
     "q_window_rank"       -> Relational.qWindowRankSql,
     "q_window_frame"      -> Relational.qWindowFrameSql,

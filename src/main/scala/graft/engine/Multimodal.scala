@@ -61,6 +61,82 @@ object Multimodal {
       |  CAST(1 + doc_id % 8 AS BIGINT) AS frames
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Resize result: source dims, target dims (fit a 224-box preserving
+    * aspect), and the fake resized byte count (tw·th·3). */
+  case class Resized(doc_id: Long, width: Long, height: Long,
+    target_w: Long, target_h: Long, resized_bytes: Long)
+
+  /** q_multimodal_resize: the resize step of an image pipeline — compute
+    * the 224-box fit per image and emit the (stub) resized record. Narrow
+    * map, binary never shuffles; the dimension arithmetic is replayed by
+    * the SQL oracle (IEEE division is engine-identical). A real kernel
+    * would transform payload bytes in the same mapPartitions slot. */
+  def qMultimodalResize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), lit("img").as("fmt"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaRecord]
+    media.mapPartitions { it =>
+      it.map { r =>
+        val m = decodeStub(r)
+        val scale = 224.0 / math.max(m.width, m.height)
+        val tw = math.max(1L, math.floor(m.width * scale).toLong)
+        val th = math.max(1L, math.floor(m.height * scale).toLong)
+        Resized(m.doc_id, m.width, m.height, tw, th, tw * th * 3L)
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  val qMultimodalResizeSql: String =
+    """SELECT doc_id, width, height,
+      |  GREATEST(1, CAST(FLOOR(width * (224.0 / GREATEST(width, height))) AS BIGINT)) AS target_w,
+      |  GREATEST(1, CAST(FLOOR(height * (224.0 / GREATEST(width, height))) AS BIGINT)) AS target_h,
+      |  GREATEST(1, CAST(FLOOR(width * (224.0 / GREATEST(width, height))) AS BIGINT)) *
+      |    GREATEST(1, CAST(FLOOR(height * (224.0 / GREATEST(width, height))) AS BIGINT)) * 3 AS resized_bytes
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(32 + doc_id % 640 AS BIGINT) AS width,
+      |    CAST(32 + length(text) % 480 AS BIGINT) AS height
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Per-row "embedding" from the encoder stub: an 8-bin byte-class
+    * histogram — deterministic per row, independent of batching. */
+  case class Embedded(doc_id: Long, embedding: Seq[Float])
+
+  /** The batch-shaped encoder: groups the partition's rows into
+    * fixed-size batches and "encodes" each batch in one call — the shape
+    * a real model-inference UDF needs (weights load once per partition,
+    * rows amortize into fixed-size tensor batches). Pure function over an
+    * iterator so the batching contract is unit-testable without Spark. */
+  private[graft] def encodeBatches(it: Iterator[MediaRecord], batchSize: Int):
+      Iterator[Embedded] =
+    it.grouped(batchSize).flatMap { batch =>
+      // one "model call" per batch (here: a histogram per row)
+      batch.map { r =>
+        val h = new Array[Float](8)
+        var i = 0
+        while (i < r.payload.length) { h((r.payload(i) & 0xFF) >> 5) += 1f; i += 1 }
+        val n = math.max(1, r.payload.length).toFloat
+        Embedded(r.doc_id, h.map(_ / n).toSeq)
+      }
+    }
+
+  /** q_multimodal_embed: feature extraction over media payloads in
+    * fixed-size batches (32). Output is per-row deterministic regardless
+    * of partitioning; engine-only (float vectors), contract pinned by
+    * spec. */
+  def qMultimodalEmbed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), lit("img").as("fmt"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaRecord]
+    media.mapPartitions(it => encodeBatches(it, 32))
+      .toDF().orderBy(col("doc_id"))
+  }
+
   /** One sampled frame: offset into the payload + a fingerprint of the
     * sampled bytes (what a real pipeline feeds the vision encoder). */
   case class Frame(doc_id: Long, frame_idx: Long, byte_offset: Long, frame_hash: Long)

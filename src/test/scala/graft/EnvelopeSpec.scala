@@ -40,4 +40,27 @@ class EnvelopeSpec extends SparkSpec {
       .filter(col("n_bytes") =!= length(col("text")).cast("long"))
     assert(bad.count() == 0)
   }
+
+  test("encoder batching: fixed batch shape, per-row result batch-invariant") {
+    import graft.engine.Multimodal.{encodeBatches, MediaRecord}
+    val rows = (0L until 70L).map(i =>
+      MediaRecord(i, "img", s"payload text $i".getBytes("UTF-8")))
+    // batch shape: grouped(32) over 70 rows → batches of 32, 32, 6
+    val sizes = rows.iterator.grouped(32).map(_.size).toSeq
+    assert(sizes == Seq(32, 32, 6))
+    // per-row embeddings must not depend on where batch boundaries fall
+    val b32 = encodeBatches(rows.iterator, 32).toSeq
+    val b7 = encodeBatches(rows.iterator, 7).toSeq
+    assert(b32 == b7, "embedding must be batch-size-invariant per row")
+    assert(b32.forall(e => math.abs(e.embedding.sum - 1.0f) < 1e-4),
+      "histogram embedding must be L1-normalized")
+  }
+
+  test("resize stub: target dims fit the 224 box and preserve aspect ordering") {
+    val out = Multimodal.qMultimodalResize(spark, sf)
+    val bad = out.filter(
+      col("target_w") > 224 || col("target_h") > 224 ||
+      (col("width") >= col("height")) =!= (col("target_w") >= col("target_h")))
+    assert(out.count() > 0 && bad.count() == 0)
+  }
 }
