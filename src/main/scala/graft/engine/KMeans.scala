@@ -52,12 +52,18 @@ object KMeans {
     * assignment+update pipeline per round and every downstream use
     * re-optimizes (and on cache loss re-runs) the whole training history. */
   def train(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
-    val w = Window.orderBy(col("vec_id"))
-    var cents = Iterate.cut(vectors
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select((col("rn") - 1).cast("int").as("cid"), col("embedding").as("ce")))
-    for (_ <- 0 until iters) cents = Iterate.cut(update(vectors, cents))
-    cents
+    // each Lloyd round scans the corpus twice (assign + re-attach); cache
+    // it for the duration of training, release after the final centroids
+    // are a materialized leaf
+    val v = vectors.persist()
+    try {
+      val w = Window.orderBy(col("vec_id"))
+      var cents = Iterate.cut(v
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select((col("rn") - 1).cast("int").as("cid"), col("embedding").as("ce")))
+      for (_ <- 0 until iters) cents = Iterate.cut(update(v, cents))
+      cents
+    } finally v.unpersist(blocking = false)
   }
 
   /** Mean best-centroid similarity — rises (or holds) per Lloyd round;

@@ -520,20 +520,27 @@ object LlmOps {
     val bucketBits = planes.zipWithIndex.map { case (p, i) =>
       when(dot(col("embedding"), typedLit(p)) > 0.0, lit(1 << i)).otherwise(lit(0))
     }
+    // the bucket projection (8 × 64-dim dot products per row) feeds three
+    // consumers (both self-join sides + the final output); cache it once,
+    // materialize the result as a leaf, release the cache
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
         bucketBits.reduce(_ + _).as("bucket"))
-    val other = emb.select(col("bucket").as("bucket_b"),
-      col("vec_id").as("vid_b"), col("embedding").as("emb_b"))
-    val pairs = emb.join(other,
-        col("bucket") === col("bucket_b") && col("vec_id") =!= col("vid_b"))
-      .select(col("vec_id"), col("bucket"), col("vid_b"),
-        cosine(col("embedding"), col("emb_b")).as("sim"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("vid_b").asc)
-    val best = pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("vid_b").as("best_neighbor"), col("sim").as("best_sim"))
-    emb.select(col("vec_id"), col("bucket"))
-      .join(best, Seq("vec_id"), "left")
-      .orderBy(col("vec_id"))
+      .persist()
+    try {
+      val other = emb.select(col("bucket").as("bucket_b"),
+        col("vec_id").as("vid_b"), col("embedding").as("emb_b"))
+      val pairs = emb.join(other,
+          col("bucket") === col("bucket_b") && col("vec_id") =!= col("vid_b"))
+        .select(col("vec_id"), col("bucket"), col("vid_b"),
+          cosine(col("embedding"), col("emb_b")).as("sim"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("vid_b").asc)
+      val best = pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("vid_b").as("best_neighbor"), col("sim").as("best_sim"))
+      Iterate.cut(
+        emb.select(col("vec_id"), col("bucket"))
+          .join(best, Seq("vec_id"), "left")
+          .orderBy(col("vec_id")))
+    } finally emb.unpersist(blocking = false)
   }
 }
