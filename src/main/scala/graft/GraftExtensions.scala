@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.engine.JsonStringCast
+import graft.plans.NanosRangePushdown
+
+/** Session-extension entry point for cluster deployments:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * }}}
+  *
+  * injects the engine's Catalyst additions into every session built on
+  * the cluster without any imperative setup call:
+  *
+  *  - `NanosRangePushdown` optimizer rule (restores parquet row-group
+  *    pruning for range predicates written against converted
+  *    TIMESTAMP(NANOS) columns — plans/NanosRangePushdown.scala);
+  *  - `json_string_cast` SQL function (the StringCast SMT's scalar,
+  *    engine/Cast.scala).
+  *
+  * Local/programmatic sessions get the same behavior lazily —
+  * `Tables.load` installs the rule idempotently and `qStringCast`
+  * registers the function — so the extension is additive, not required.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => NanosRangePushdown)
+    ext.injectFunction((
+      new FunctionIdentifier("json_string_cast"),
+      new ExpressionInfo(classOf[JsonStringCast].getName, "json_string_cast"),
+      (exprs: Seq[Expression]) => JsonStringCast(exprs.head)))
+  }
+}
