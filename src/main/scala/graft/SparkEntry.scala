@@ -111,6 +111,8 @@ object SparkEntry {
     "q_cube"              -> Relational.qCubeSql,
     "q_percentile_disc"   -> Relational.qPercentileDiscSql,
     "q_multimodal_resize" -> Multimodal.qMultimodalResizeSql,
+    "q_ngram_jaccard"     -> LlmOps.qNgramJaccardSql,
+    "q_lang_id"           -> LlmOps.qLangIdSql,
     "q_unpivot"           -> Relational.qUnpivotSql,
     "q_window_rank"       -> Relational.qWindowRankSql,
     "q_window_frame"      -> Relational.qWindowFrameSql,

@@ -136,6 +136,29 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** DuckDB replay of the marker-lexicon argmax: same lexicon, same
+    * hits-desc-then-lang-asc tiebreak — all-integer scoring, exact. */
+  val qLangIdSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang AS labeled_lang,
+      |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, labeled_lang, l.lang,
+      |    len(list_filter(tk, x -> list_contains(l.words, x))) AS hits
+      |  FROM t, (VALUES
+      |    ('de', ['der','die','und','nicht','ist']),
+      |    ('en', ['the','and','of','to','is']),
+      |    ('es', ['el','la','que','de','es']),
+      |    ('fr', ['le','la','et','les','des']),
+      |    ('zh', ['de','shi','le','wo','ni'])) AS l(lang, words)),
+      |r AS (
+      |  SELECT doc_id, labeled_lang, lang, hits,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn
+      |  FROM s)
+      |SELECT doc_id, labeled_lang, lang AS pred_lang, CAST(hits AS BIGINT) AS hits
+      |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   /** q_fingerprint: rolling hash over token xxhash64s — a 64-bit document
     * fingerprint in one narrow pass. Rotate-left-5 ⊕ hash combine: order
     * sensitive like a polynomial hash but wrap-safe under ANSI mode (long
@@ -364,6 +387,35 @@ object LlmOps {
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(100)
   }
+
+  /** DuckDB replay of the sparse Jaccard: same tokenization, 3-gram
+    * shingles as STRINGS (the engine's xxhash64 encoding is a bijection on
+    * distinct shingles w.h.p., so the set arithmetic is identical), same
+    * pair definition and tie-broken top-100. The single double division is
+    * correctly rounded in both engines. */
+  val qNgramJaccardSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+      |         ELSE list_distinct(
+      |           [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, len(tk)-1)])
+      |    END AS shl
+      |  FROM t),
+      |flat AS (SELECT doc_id, source, len(shl) AS n_sh, unnest(shl) AS s FROM sh),
+      |common AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common,
+      |         any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+      |  FROM flat a JOIN flat b
+      |    ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) AS jaccard
+      |FROM common
+      |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100""".stripMargin
 
   /** Connected components by min-label propagation: labels start as the
     * node id; each round every node takes the min of its own and its
