@@ -113,6 +113,8 @@ object SparkEntry {
     "q_multimodal_resize" -> Multimodal.qMultimodalResizeSql,
     "q_ngram_jaccard"     -> LlmOps.qNgramJaccardSql,
     "q_lang_id"           -> LlmOps.qLangIdSql,
+    "q_topk_group"        -> Aggregators.qTopkGroupSql,
+    "q_incremental_batch" -> Sink.qIncrementalBatchSql,
     "q_unpivot"           -> Relational.qUnpivotSql,
     "q_window_rank"       -> Relational.qWindowRankSql,
     "q_window_frame"      -> Relational.qWindowFrameSql,

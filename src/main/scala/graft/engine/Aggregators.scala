@@ -66,4 +66,16 @@ object Aggregators {
       .select(col("o_orderpriority"), (col("rank0") + 1).cast("long").as("rank"), col("o_orderkey"))
       .orderBy(col("o_orderpriority"), col("rank"))
   }
+
+  /** The aggregator's contract in SQL: descending score, ascending id
+    * tiebreak — the window formulation it outperforms at scale is its
+    * exact oracle. */
+  val qTopkGroupSql: String =
+    """SELECT o_orderpriority, CAST(rn AS BIGINT) AS rank, o_orderkey
+      |FROM (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3 ORDER BY o_orderpriority, rank""".stripMargin
 }

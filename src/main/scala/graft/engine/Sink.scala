@@ -50,8 +50,7 @@ object Sink {
 
   /** q_incremental_batch: one full state-machine batch over `orders` —
     * INITIAL_LOAD window opened at a pinned "now", state columns
-    * piggybacked on every record (the reference's offset persistence).
-    * Engine-only (state plumbing, not SQL). */
+    * piggybacked on every record (the reference's offset persistence). */
   def qIncrementalBatch(spark: SparkSession, sfDir: String): DataFrame = {
     import StateMachine._
     val s0 = initial("orders", 820454400000L)        // 1996-01-01 UTC
@@ -59,6 +58,19 @@ object Sink {
     batchFrame(spark, sfDir, s1, "o_orderdate")
       .orderBy(col("o_orderkey"))
   }
+
+  /** The state machine's batch window replayed as plain SQL: the half-open
+    * [last, end) filter plus the literal piggybacked state columns. */
+  val qIncrementalBatchSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderdate, o_orderpriority,
+      |  'INITIAL_LOAD' AS _load_mode,
+      |  CAST(820454400000 AS BIGINT) AS _last_processed_datetime,
+      |  CAST(852076800000 AS BIGINT) AS _batch_end_datetime
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |ORDER BY o_orderkey""".stripMargin
 
   /** Salted key for skewed wide ops: spread each hot key over
     * `saltBuckets` shuffle partitions (aggregate by (key, salt), then by
