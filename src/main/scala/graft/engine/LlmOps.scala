@@ -493,6 +493,46 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** DuckDB replay of the FULL dedup pipeline, with exhaustive candidate
+    * generation in place of LSH: true Jaccard over string shingle sets for
+    * every pair sharing a shingle (j > 0 implies a shared shingle, so this
+    * loses nothing), threshold 0.7, transitive closure via recursive-CTE
+    * reachability, min-label component + keeper. A stronger check than the
+    * engine's own path: it verifies LSH recall found every qualifying pair
+    * on this corpus AND that min-label propagation converged to the true
+    * closure. */
+  val qDedupGroupsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+      |         ELSE list_distinct(
+      |           [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, len(tk)-1)])
+      |    END AS shl
+      |  FROM t),
+      |flat AS (SELECT doc_id, len(shl) AS n_sh, unnest(shl) AS s FROM sh),
+      |common AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common,
+      |         any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+      |  FROM flat a JOIN flat b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM common
+      |  WHERE CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.7),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach AS (
+      |  WITH RECURSIVE r(src, dst) AS (
+      |    SELECT doc_id, doc_id FROM documents
+      |    UNION
+      |    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src)
+      |  SELECT * FROM r)
+      |SELECT src AS doc_id, MIN(dst) AS component, (src = MIN(dst)) AS keep
+      |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
   // --- similarity search -------------------------------------------------
 
   /** q_sim_topk: brute-force cosine top-5 for a small query set against the
