@@ -605,10 +605,15 @@ object LlmOps {
     * → 256 buckets; near-dup candidates only form within a bucket, then the
     * best in-bucket cosine neighbor is attached (left join keeps singleton
     * vectors). The hyperplanes are seeded constants, broadcast as literals. */
-  def qDedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Seeded random hyperplanes shared by the query and its generated
+    * oracle SQL — same literal doubles on both sides. */
+  private lazy val hyperplanes: Seq[Seq[Double]] = {
     val rng = new scala.util.Random(42)
-    val planes: Seq[Seq[Double]] =
-      Seq.fill(8)(Seq.fill(64)(rng.nextDouble() * 2.0 - 1.0))
+    Seq.fill(8)(Seq.fill(64)(rng.nextDouble() * 2.0 - 1.0))
+  }
+
+  def qDedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
+    val planes = hyperplanes
     val bucketBits = planes.zipWithIndex.map { case (p, i) =>
       when(dot(col("embedding"), typedLit(p)) > 0.0, lit(1 << i)).otherwise(lit(0))
     }
@@ -627,12 +632,42 @@ object LlmOps {
         .select(col("vec_id"), col("bucket"), col("vid_b"),
           cosine(col("embedding"), col("emb_b")).as("sim"))
       val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("vid_b").asc)
+      // the float score stays internal (ranking only) — the OUTPUT is the
+      // rank-stable neighbor id, which is what makes the query
+      // cross-engine-deterministic and oracle-checkable
       val best = pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("vid_b").as("best_neighbor"), col("sim").as("best_sim"))
+        .select(col("vec_id"), col("vid_b").as("best_neighbor"))
       Iterate.cut(
         emb.select(col("vec_id"), col("bucket"))
           .join(best, Seq("vec_id"), "left")
           .orderBy(col("vec_id")))
     } finally emb.unpersist(blocking = false)
+  }
+
+  /** DuckDB replay of the hyperplane-LSH dedup with the SAME literal
+    * hyperplanes: bucket bits from double dot-product signs, in-bucket
+    * best cosine neighbor with ascending-id tiebreak. Scores order pairs
+    * identically in both engines (IEEE doubles, differences far above
+    * ulp); only the rank-stable neighbor id is compared. */
+  lazy val qDedupEmbeddingSql: String = {
+    def arr(p: Seq[Double]): String = p.mkString("[", ",", "]")
+    val bucket = hyperplanes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${arr(p)}) > 0.0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH emb AS (
+       |  SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+       |pairs AS (
+       |  SELECT a.vec_id, a.bucket, b.vec_id AS vid_b,
+       |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |                           CAST(b.embedding AS DOUBLE[])) AS sim
+       |  FROM emb a JOIN emb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |best AS (
+       |  SELECT vec_id, vid_b AS best_neighbor,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, vid_b ASC) AS rn
+       |  FROM pairs)
+       |SELECT e.vec_id, e.bucket, b.best_neighbor
+       |FROM emb e LEFT JOIN (SELECT vec_id, best_neighbor FROM best WHERE rn = 1) b
+       |  ON e.vec_id = b.vec_id
+       |ORDER BY e.vec_id""".stripMargin
   }
 }
