@@ -116,6 +116,7 @@ object SparkEntry {
     "q_topk_group"        -> Aggregators.qTopkGroupSql,
     "q_dedup_groups"      -> LlmOps.qDedupGroupsSql,
     "q_dedup_embedding"   -> LlmOps.qDedupEmbeddingSql,
+    "q_paged_source"      -> Relational.qPagedSourceSql,
     "q_incremental_batch" -> Sink.qIncrementalBatchSql,
     "q_unpivot"           -> Relational.qUnpivotSql,
     "q_window_rank"       -> Relational.qWindowRankSql,

@@ -269,7 +269,9 @@ object Relational {
 
   /** q_paged_source: the DSv2 paginated connector as a declared query —
     * window pushdown prunes pages at planning, then a per-category
-    * aggregate. Engine-only (the source is ours). */
+    * aggregate. The connector's record generator is pure id arithmetic,
+    * so DuckDB replays it from range() — the oracle verifies the full
+    * source path (pushdown window → pages → rows) value-for-value. */
   def qPagedSource(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.sources.PagedEntitySource
     spark.read.format("graft.sources.PagedEntitySource")
@@ -281,6 +283,12 @@ object Relational {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .orderBy(col("category"))
   }
+
+  val qPagedSourceSql: String =
+    """SELECT 'cat' || CAST(id % 5 AS VARCHAR) AS category, COUNT(*) AS n,
+      |  CAST(SUM(CAST(((id * 7919) % 100000) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM range(10000, 60000) t(id)
+      |GROUP BY 1 ORDER BY category""".stripMargin
 
   // --- aggregations ------------------------------------------------------
 
