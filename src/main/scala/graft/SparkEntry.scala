@@ -117,6 +117,7 @@ object SparkEntry {
     "q_dedup_groups"      -> LlmOps.qDedupGroupsSql,
     "q_dedup_embedding"   -> LlmOps.qDedupEmbeddingSql,
     "q_paged_source"      -> Relational.qPagedSourceSql,
+    "q_map_funcs"         -> Relational.qMapFuncsSql,
     "q_incremental_batch" -> Sink.qIncrementalBatchSql,
     "q_unpivot"           -> Relational.qUnpivotSql,
     "q_window_rank"       -> Relational.qWindowRankSql,

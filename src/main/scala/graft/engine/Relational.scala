@@ -633,8 +633,9 @@ object Relational {
       |ORDER BY doc_id""".stripMargin
 
   /** q_map_funcs: MapType coverage — parse the props JSON into a typed map
-    * and exercise map_keys/map_values/element access/map_concat. Engine-only
-    * (map render order is engine-specific); spec-checked. */
+    * and exercise map_keys/map_values/element access/map_concat. Every
+    * output column is a deterministic scalar (keys exported sorted), so
+    * the DuckDB oracle replays it over the raw JSON. */
   def qMapFuncs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .withColumn("m", from_json(col("props"), org.apache.spark.sql.types.MapType(
@@ -646,6 +647,14 @@ object Relational {
         size(col("m")).cast("long").as("n_entries"),
         element_at(map_concat(col("m"), map(lit("et"), lit(-1L))), "et").as("added"))
       .orderBy(col("event_id"))
+
+  val qMapFuncsSql: String =
+    """SELECT event_id,
+      |  array_to_string(list_sort(json_keys(props)), ',') AS keys,
+      |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+      |  CAST(len(json_keys(props)) AS BIGINT) AS n_entries,
+      |  CAST(-1 AS BIGINT) AS added
+      |FROM events ORDER BY event_id""".stripMargin
 
   // --- scalar function catalog ------------------------------------------
 
