@@ -322,27 +322,34 @@ object LlmOps {
     } finally sh.unpersist(blocking = false)
   }
 
-  /** q_dedup_simhash: 64-bit SimHash per doc, computed entirely map-side:
-    * token hashes fold into a 64-slot sign-count array with nested
-    * higher-order functions (aggregate ∘ zip_with), then the bit vector is
-    * recombined against a powers-of-two literal. NO explode, NO shuffle —
-    * at 100 TB this is a pure narrow pass over the corpus. Bits are banded
-    * into four 16-bit keys for hamming-neighbor candidate joins. */
-  def qDedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The original nested-HOF SimHash (aggregate ∘ zip_with over a 64-slot
+    * sign-count array) — kept as the executable reference semantics; the
+    * query runs the codegen'd TextExprs.simhash64, and the spec pins the
+    * two bit-identical. */
+  private[graft] def simhashHof(text: Column): Column = {
     val powers = typedLit(Seq.tabulate(64)(i => 1L << i))
     val zeros = typedLit(Seq.fill(64)(0))
     val counts = aggregate(
-      transform(tokens(col("text")), t => xxhash64(t)),
+      transform(tokens(text), t => xxhash64(t)),
       zeros,
       // bit test via h & 2^i != 0 (shift-by-column doesn't exist); works
       // for the sign bit too (h & MinValue is 0 or MinValue)
       (acc, h) => zip_with(acc, powers,
         (a, p) => a + when(h.bitwiseAND(p) =!= 0L, 1).otherwise(-1)))
-    val simhash = aggregate(
+    aggregate(
       zip_with(counts, powers, (c, p) => when(c > 0, p).otherwise(lit(0L))),
       lit(0L), (a, b) => a.bitwiseOR(b))
+  }
+
+  /** q_dedup_simhash: 64-bit SimHash per doc, computed entirely map-side
+    * by the native codegen'd SimHash64 expression (one primitive loop per
+    * row — the HOF formulation ran interpreted and allocated two
+    * 64-element arrays per token). NO explode, NO shuffle — at 100 TB
+    * this is a pure narrow pass over the corpus. Bits are banded into
+    * four 16-bit keys for hamming-neighbor candidate joins. */
+  def qDedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     val agg = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), simhash.as("simhash"))
+      .select(col("doc_id"), TextExprs.simhash64(tokens(col("text"))).as("simhash"))
     agg.select(col("doc_id"), col("simhash"))
       .withColumn("band0", shiftright(col("simhash"), 0).bitwiseAND(lit(0xFFFFL)))
       .withColumn("band1", shiftright(col("simhash"), 16).bitwiseAND(lit(0xFFFFL)))

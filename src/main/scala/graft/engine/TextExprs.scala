@@ -1,0 +1,99 @@
+package graft.engine
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.GraftColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native 64-bit SimHash over a token array — the codegen'd replacement
+  * for the nested higher-order-function formulation (aggregate ∘ zip_with
+  * over a 64-slot sign-count array), which runs interpreted
+  * (CodegenFallback) and allocates two 64-element arrays per token per
+  * row. This expression hashes each token and folds all 64 bit-counts in
+  * one tight primitive loop, inside whole-stage codegen.
+  *
+  * Semantics are bit-identical to the HOF version (pinned by spec):
+  * per token t, h = xxhash64(t) (Spark's seed-42 XXH64 over the
+  * UTF8String bytes — the generated code calls the same
+  * XXH64.hashUTF8String Spark's own hash expression emits); each
+  * of the 64 bits votes +1/-1 into its counter; the result sets bit i
+  * where counter i is positive. Null tokens hash to the seed, matching
+  * XxHash64's null-skip behavior (tokens() never produces them).
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 needs array<string>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var k = 0
+    while (k < n) {
+      val h =
+        if (arr.isNullAt(k)) 42L
+        else XXH64.hashUTF8String(arr.getUTF8String(k), 42L)
+      var i = 0
+      while (i < 64) {
+        counts(i) += (if (((h >>> i) & 1L) != 0L) 1 else -1)
+        i += 1
+      }
+      k += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) {
+      if (counts(i) > 0) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val counts = ctx.freshName("counts")
+      val n = ctx.freshName("n")
+      val k = ctx.freshName("k")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val out = ctx.freshName("out")
+      val xxh = classOf[XXH64].getName
+      s"""
+         |int[] $counts = new int[64];
+         |int $n = $a.numElements();
+         |for (int $k = 0; $k < $n; $k++) {
+         |  long $h = $a.isNullAt($k) ? 42L :
+         |    $xxh.hashUTF8String($a.getUTF8String($k), 42L);
+         |  for (int $i = 0; $i < 64; $i++) {
+         |    $counts[$i] += ((($h >>> $i) & 1L) != 0L) ? 1 : -1;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $i = 0; $i < 64; $i++) {
+         |  if ($counts[$i] > 0) $out |= (1L << $i);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash64"
+}
+
+object TextExprs {
+  /** Column-level SimHash backed by the codegen'd expression. */
+  def simhash64(tokens: Column): Column =
+    GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(tokens)))
+}

@@ -96,6 +96,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(ham <= 16, s"hamming distance $ham too large for a near-dup")
   }
 
+  test("native SimHash64 expression is bit-identical to the HOF formulation") {
+    val docs = graft.engine.Tables.documents(spark, sf)
+    val both = docs.select(
+      graft.engine.TextExprs.simhash64(
+        filter(split(lower(col("text")), " "), t => t =!= lit(""))).as("native"),
+      graft.engine.LlmOps.simhashHof(col("text")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0,
+      "codegen'd simhash must reproduce the reference HOF bits exactly")
+    // and it must actually run inside whole-stage codegen
+    both.collect()
+    val plan = both.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"expected a codegen stage:\n${plan.take(600)}")
+  }
+
   private def docsSimhash(docs: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
     val th = docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
