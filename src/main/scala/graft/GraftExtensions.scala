@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.engine.JsonStringCast
+import graft.engine.{JsonStringCast, SimHash64}
+import graft.engine.FloatDotProduct
 import graft.plans.NanosRangePushdown
 
 /** Session-extension entry point for cluster deployments:
@@ -33,5 +34,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("json_string_cast"),
       new ExpressionInfo(classOf[JsonStringCast].getName, "json_string_cast"),
       (exprs: Seq[Expression]) => JsonStringCast(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("float_dot_product"),
+      new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot_product"),
+      (exprs: Seq[Expression]) => FloatDotProduct(exprs.head, exprs(1))))
   }
 }

@@ -1,7 +1,6 @@
 package graft.engine
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Mini k-means for IVF coarse quantization, in pure DataFrame ops — the
@@ -57,10 +56,15 @@ object KMeans {
     // are a materialized leaf
     val v = vectors.persist()
     try {
-      val w = Window.orderBy(col("vec_id"))
+      // init = first k by vec_id. orderBy.limit(k) is a distributed
+      // TakeOrdered; numbering the K-ROW result uses a single-group
+      // collect_list + posexplode instead of a window — a bare
+      // Window.orderBy would single-partition (and warn on) its input
       var cents = Iterate.cut(v
-        .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-        .select((col("rn") - 1).cast("int").as("cid"), col("embedding").as("ce")))
+        .orderBy(col("vec_id")).limit(k)
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("cs"))
+        .select(posexplode(col("cs")).as(Seq("cid", "s")))
+        .select(col("cid").cast("int").as("cid"), col("s.embedding").as("ce")))
       for (_ <- 0 until iters) cents = Iterate.cut(update(v, cents))
       cents
     } finally v.unpersist(blocking = false)

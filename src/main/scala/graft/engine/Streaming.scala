@@ -160,7 +160,8 @@ object Streaming {
     * state store evicts rows once no future match can arrive — state is
     * bounded by (watermark + interval) × arrival rate, the only shape of
     * stream-stream join that survives unbounded input. */
-  def intervalJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+  def intervalJoin(views: DataFrame, purchases: DataFrame,
+      joinType: String = "inner"): DataFrame = {
     val v = views
       .select(col("user_id"), col("ts").as("v_ts"), col("event_id").as("view_id"))
       .withWatermark("v_ts", "1 hour")
@@ -168,10 +169,14 @@ object Streaming {
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
         col("event_id").as("purchase_id"))
       .withWatermark("p_ts", "1 hour")
+    // leftOuter emits the unmatched view WITH NULLS only once the
+    // watermark proves no matching purchase can still arrive — the
+    // streaming-correct "did not convert" signal
     v.join(p,
         col("user_id") === col("p_user") &&
         col("p_ts") >= col("v_ts") &&
-        col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
+        joinType)
       .select(col("user_id"), col("view_id"), col("purchase_id"),
         col("v_ts"), col("p_ts"))
   }

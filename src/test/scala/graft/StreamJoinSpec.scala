@@ -61,6 +61,39 @@ class StreamJoinSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("stream-stream LEFT OUTER interval join emits unmatched views with nulls") {
+    val dir = stageEvents(1)
+    val df = Streaming.streamEvents(spark, sf, dir)
+    val sv = df.filter(col("event_type") === "view")
+    val sp = df.filter(col("event_type") === "purchase")
+    val q = Streaming.runToMemoryAppend(
+      Streaming.intervalJoin(sv, sp, "leftOuter"), "sj_louter")
+    q.awaitTermination(120000)
+    val streamed = spark.table("sj_louter")
+    val batch = Tables.events(spark, sf)
+    val (bv, bp) = (batch.filter(col("event_type") === "view"),
+      batch.filter(col("event_type") === "purchase"))
+    val inner = Streaming.intervalJoin(bv, bp) // batch inner for reference
+    // Every view appears EXCEPT those the final watermark cannot yet rule
+    // on: an unmatched view is only emitted once watermark > v_ts + 30min,
+    // and the terminal watermark is max(ts) - 1h — correct streaming
+    // semantics, not data loss. Compute the provable set and assert on it.
+    val maxTs = batch.agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime
+    val horizonMs = maxTs - 3600 * 1000L - 30 * 60 * 1000L
+    val provable = bv.filter(col("ts").cast("long") * 1000 < horizonMs)
+      .select(col("event_id")).distinct().count()
+    val matchedViews = inner.select(col("view_id")).distinct().count()
+    val gotViews = streamed.select(col("view_id")).distinct().count()
+    val gotNulls = streamed.filter(col("purchase_id").isNull)
+      .select(col("view_id")).distinct().count()
+    assert(gotNulls > 0, "some views must surface as provably unconverted")
+    assert(gotViews >= provable && gotViews >= matchedViews,
+      s"left outer must carry at least the $provable watermark-provable views " +
+        s"and all $matchedViews matched ones, got $gotViews")
+    assert(gotViews + (bv.count() - provable) >= bv.count(),
+      "only watermark-pending views may be withheld")
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val dir = stageEvents(1)
     def sides(df: org.apache.spark.sql.DataFrame) = (
