@@ -28,6 +28,25 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // shuffle/spill accounting (measure, don't guess): task metrics
+    // accumulate through a listener; per-query deltas go to STDERR as a
+    // diagnostic line so the stdout one-JSON-line contract stays intact.
+    // Listener delivery is async, so attribution is approximate at the
+    // boundary of very short queries — totals are exact.
+    val shRead = new java.util.concurrent.atomic.AtomicLong
+    val shWrite = new java.util.concurrent.atomic.AtomicLong
+    val spilled = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          shRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          shWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          spilled.addAndGet(m.diskBytesSpilled)
+        }
+      }
+    })
+
     // min-of-2 per query: this host shows heavy run-to-run variance
     // (identical benches measured 19s-180s total); the min is the standard
     // noise-robust estimator for wall-clock microbenchmarks
@@ -37,11 +56,18 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(once(fn), once(fn))
+      val r0 = shRead.get; val w0 = shWrite.get; val s0 = spilled.get
+      val t = math.min(once(fn), once(fn))
+      System.err.println(s"""[bench-metrics] {"query":"$name","sec":$t,""" +
+        s""""shuffleReadB":${shRead.get - r0},"shuffleWriteB":${shWrite.get - w0},""" +
+        s""""spillB":${spilled.get - s0}}""")
+      name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    System.err.println(s"""[bench-metrics] {"query":"TOTAL","shuffleReadB":${shRead.get},""" +
+      s""""shuffleWriteB":${shWrite.get},"spillB":${spilled.get}}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
