@@ -216,6 +216,46 @@ object Streaming {
       }
   }
 
+  /** upsertLatest with a state TTL: NoTimeout state grows with the key
+    * space forever — on an unbounded id-churning stream that is the
+    * 100 TB failure mode. Here every update arms a processing-time
+    * timeout; a key silent for `ttlMs` gets one final eviction snapshot
+    * (flagged `evicted`) and its state removed, so the store holds only
+    * keys active within the TTL horizon. The reference's analog is
+    * per-entity state that dies with the connector task rather than
+    * accreting (ChargeOverSourceTask.java:84-90). */
+  case class UpsertTtlOut(user_id: Long, lastTsMicros: Long, eventType: String,
+    nSeen: Long, evicted: Boolean)
+
+  def upsertLatestTtl(events: org.apache.spark.sql.Dataset[EventIn], ttlMs: Long):
+      org.apache.spark.sql.Dataset[UpsertTtlOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UpsertState, UpsertTtlOut](
+        OutputMode.Update(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (key: Long, rows: Iterator[EventIn], state: GroupState[UpsertState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              UpsertTtlOut(key, s.lastTsMicros, s.eventType, s.nSeen, evicted = true))
+            state.remove()
+            out.iterator
+          } else {
+            val prev = state.getOption.getOrElse(UpsertState(Long.MinValue, "", 0L))
+            val batch = rows.toSeq
+            val best = batch.maxBy(e => (e.tsMicros, e.event_type))
+            val next =
+              if (best.tsMicros >= prev.lastTsMicros)
+                UpsertState(best.tsMicros, best.event_type, prev.nSeen + batch.size)
+              else prev.copy(nSeen = prev.nSeen + batch.size)
+            state.update(next)
+            state.setTimeoutDuration(ttlMs)
+            Iterator(UpsertTtlOut(key, next.lastTsMicros, next.eventType, next.nSeen,
+              evicted = false))
+          }
+      }
+  }
+
   /** Events as the typed stream the stateful operator consumes. */
   def typedEvents(df: DataFrame): org.apache.spark.sql.Dataset[EventIn] = {
     import df.sparkSession.implicits._

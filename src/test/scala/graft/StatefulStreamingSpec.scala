@@ -66,6 +66,61 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(total == e.count(), s"state must have seen every event, got $total")
   }
 
+  test("TTL upsert evicts idle keys with a final snapshot across micro-batches") {
+    // batch 1: all users; batch 2 (same stream, next file): only users
+    // 0-4 — by then every key's 1ms TTL has lapsed, so keys absent from
+    // batch 2 must surface once as evicted=true and leave the store
+    val raw = Tables.eventsRaw(spark, sf)
+    val flat = java.nio.file.Files.createTempDirectory("graft_ttl").toString
+    raw.coalesce(1).write.parquet(s"$flat/stage1")
+    raw.filter(col("user_id") < 5).coalesce(1).write.parquet(s"$flat/stage2")
+    var idx = 0
+    for (sub <- Seq("stage1", "stage2");
+         f <- new java.io.File(s"$flat/$sub").listFiles()
+         if f.getName.endsWith(".parquet")) {
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(s"$flat/batch_$idx.parquet"))
+      idx += 1
+    }
+    val schema = raw.schema
+    val rawStream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$flat/batch_*.parquet")
+    val stream = rawStream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val out = Streaming.upsertLatestTtl(Streaming.typedEvents(stream), ttlMs = 1L).toDF()
+    val perUserCount = Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    val q = Streaming.runToMemoryUpdate(out, "ttl_test")
+    // evictions arrive in no-data batches after the data is done; whether
+    // AvailableNow then self-terminates is timing-dependent, so poll the
+    // sink for the expected eviction count and stop the query explicitly
+    try {
+      def evictedUsers(): Long = spark.table("ttl_test")
+        .filter(col("evicted")).select(col("user_id")).distinct().count()
+      val deadline = System.currentTimeMillis + 180000
+      while (evictedUsers() < perUserCount && System.currentTimeMillis < deadline)
+        Thread.sleep(500)
+      assert(evictedUsers() == perUserCount,
+        s"all $perUserCount keys must evict, saw ${evictedUsers()}")
+    } finally q.stop()
+    val t = spark.table("ttl_test")
+    // AvailableNow ends with a no-data batch that advances processing
+    // time, so EVERY key eventually evicts — the discriminating signal is
+    // the eviction snapshot's nSeen: users < 5 were replayed in batch 2,
+    // so their state must have survived batch 1's TTL arm and counted
+    // both passes; users >= 5 evict with only their batch-1 count.
+    val perUser = Tables.events(spark, sf)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n1"))
+    val evicted = t.filter(col("evicted"))
+      .groupBy(col("user_id")).agg(max(col("nSeen")).as("nSeen"))
+    assert(evicted.count() == perUser.count(),
+      "every key must evict exactly once by stream end")
+    val wrong = evicted.join(perUser, "user_id")
+      .filter((col("user_id") < 5 && col("nSeen") =!= col("n1") * 2) ||
+              (col("user_id") >= 5 && col("nSeen") =!= col("n1")))
+    assert(wrong.count() == 0,
+      "eviction snapshots must carry the full per-key seen count")
+  }
+
   test("seen-count accumulates all events per key") {
     import spark.implicits._
     val evs = Seq(
