@@ -30,11 +30,24 @@ object Sink {
     * (plus a date bucket for pruning). At 100 TB this is the difference
     * between scanning one entity-day and scanning the lake — readers prune
     * `_entity_type=<e>/dt=<d>` directories without touching data. */
-  def writePartitioned(df: DataFrame, outDir: String, tsCol: String): Unit =
-    df.withColumn("dt", date_format(col(tsCol), "yyyy-MM-dd"))
-      .write.mode("overwrite")
+  def writePartitioned(df: DataFrame, outDir: String, tsCol: String,
+      compact: Boolean = false): Unit = {
+    val dated = df.withColumn("dt", date_format(col(tsCol), "yyyy-MM-dd"))
+    // compact=true repartitions by the partition columns before the write,
+    // so each _entity_type/dt directory gets ONE file per shuffle partition
+    // holding that key instead of one per upstream task — the small-files
+    // guard. Without it, N upstream partitions × M partition values can
+    // write N·M files, the classic 100 TB lake pathology. (AQE coalescing
+    // shrinks the shuffle side; maxRecordsPerFile re-splits oversized
+    // partitions if a single day-entity is huge.)
+    val arranged =
+      if (compact) dated.repartition(col("_entity_type"), col("dt"))
+      else dated
+    arranged.write.mode("overwrite")
+      .option("maxRecordsPerFile", 5000000)
       .partitionBy("_entity_type", "dt")
       .parquet(outDir)
+  }
 
   /** q_kafka_frame: the reference's full sink frame over `events` — the
     * enveloped record rendered as (key, value, topic). Engine-only (the

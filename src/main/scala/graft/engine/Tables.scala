@@ -54,4 +54,16 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every table as a temp view (events with the normalized
+    * timestamp) so `spark.sql` users query by name — the SQL-facing entry
+    * point for anyone switching from the reference's entity list. */
+  def registerAll(s: SparkSession, d: String): Unit =
+    names.foreach { n =>
+      val df = if (n == "events") events(s, d) else load(s, d, n)
+      df.createOrReplaceTempView(n)
+    }
 }

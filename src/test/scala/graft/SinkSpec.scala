@@ -30,6 +30,40 @@ class SinkSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && back.count() > 0)
   }
 
+  test("compact partitioned write bounds files per partition dir") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cmp").toString
+    // many upstream partitions × many dt values = the small-files setup
+    val df = graft.engine.Envelope.enriched(
+      Tables.events(spark, sf), "events", "INITIAL_LOAD", 0L).repartition(8)
+    Sink.writePartitioned(df, s"$base/loose", "ts")
+    Sink.writePartitioned(df, s"$base/compact", "ts", compact = true)
+    def filesPerDir(root: String): Seq[Int] =
+      new java.io.File(s"$root/_entity_type=events").listFiles()
+        .filter(_.getName.startsWith("dt="))
+        .map(_.listFiles().count(_.getName.endsWith(".parquet"))).toSeq
+    val loose = filesPerDir(s"$base/loose")
+    val tight = filesPerDir(s"$base/compact")
+    assert(tight.forall(_ == 1),
+      s"compacted write must land one file per day-dir, got $tight")
+    assert(loose.sum > tight.sum,
+      s"expected the uncompacted layout to carry more files (${loose.sum} vs ${tight.sum})")
+    // same data either way
+    assert(spark.read.parquet(s"$base/compact").count() ==
+      spark.read.parquet(s"$base/loose").count())
+  }
+
+  test("registerAll exposes every table to spark.sql by name") {
+    Tables.registerAll(spark, sf)
+    val n = spark.sql(
+      "SELECT COUNT(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey")
+      .collect()(0).getLong(0)
+    assert(n > 0)
+    val ev = spark.sql("SELECT COUNT(*) FROM events WHERE ts IS NOT NULL")
+      .collect()(0).getLong(0)
+    assert(ev > 0, "events must register with the normalized timestamp")
+    assert(Tables.names.forall(spark.catalog.tableExists))
+  }
+
   test("typed top-k aggregator matches the window formulation") {
     val agg = Aggregators.qTopkGroup(spark, sf)
       .select(col("o_orderpriority"), col("rank"), col("o_orderkey"))
