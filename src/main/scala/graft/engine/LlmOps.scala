@@ -208,7 +208,7 @@ object LlmOps {
     * the indexed form re-split the text once per shingle (measured 7.7 s
     * for a 0.4 s job at sf0.1). Here every lambda references only its own
     * lambda variables; array children are evaluated once per row. */
-  private def shingleHashesOf(t: Column): Column = {
+  private[graft] def shingleHashesOf(t: Column): Column = {
     val h1 = transform(t, x => xxhash64(x))
     // zip_with pads the shorter side with null; xxhash64 skips null args,
     // and the padded tail is sliced off anyway
@@ -223,7 +223,11 @@ object LlmOps {
     docs.withColumn("_tk", tokens(col("text")))
       .withColumn("sh", array_distinct(shinglesOf(col("_tk"))))
 
-  /** documents + `shl` (distinct shingle-hash longs) column.
+  /** documents + `shl` (distinct shingle-hash longs) column, computed by
+    * the native codegen'd ShingleHashes expression (TextExprs) — the HOF
+    * chain `shingleHashesOf` stays as the executable reference semantics,
+    * bit-equality pinned by spec (the LSH bucket contents and therefore
+    * the closure-oracle recall depend on these exact bits).
     *
     * The `shuffle()` wrapper is a deliberate optimizer barrier, not data
     * munging: CollapseProject + filter pushdown otherwise inline the whole
@@ -234,8 +238,8 @@ object LlmOps {
     * it feeds explode→aggregate and array_min), so the random permutation
     * cannot change any query result. */
   private def withShingleHashes(docs: DataFrame): DataFrame =
-    docs.withColumn("_tk", tokens(col("text")))
-      .withColumn("shl", shuffle(array_distinct(shingleHashesOf(col("_tk")))))
+    docs.withColumn("shl",
+      shuffle(array_distinct(TextExprs.shingleHashes(tokens(col("text"))))))
 
   /** q_dedup_minhash: shingle → 16 minhashes → 4 LSH band keys per doc
     * (exploded). Near-dup candidates are docs sharing any (band, band_key) —

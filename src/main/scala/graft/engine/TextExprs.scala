@@ -92,8 +92,82 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash64"
 }
 
+/** Native 3-gram shingle hashes over a token array — the codegen'd
+  * replacement for the tokenize→shingle HOF chain (transform + two
+  * zip_with passes), the last interpreted stretch on the dedup hot path.
+  *
+  * Bit-identical to the HOF formulation (pinned by spec) — this is a hard
+  * requirement: the LSH bucket contents derive from these hashes, and the
+  * q_dedup_groups oracle asserts LSH recall against the exhaustive
+  * closure, so changed bits would change candidate sets. Per token,
+  * h1 = xxhash64(t) (null → seed 42, matching the null-skip); shingle i is
+  * the chained combine xxhash64(xxhash64(h1(i), h1(i+1)), h1(i+2)) with
+  * Spark's fold order (hashLong(second, hashLong(first, 42))); fewer than
+  * 3 tokens falls back to hashing the space-joined text. */
+case class ShingleHashes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes needs array<string>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.engine.ShingleHashes.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingle_hashes"
+}
+
+object ShingleHashes {
+  /** Static entry shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = arr.numElements()
+    if (n >= 3) {
+      val th = new Array[Long](n)
+      var k = 0
+      while (k < n) {
+        th(k) =
+          if (arr.isNullAt(k)) 42L
+          else XXH64.hashUTF8String(arr.getUTF8String(k), 42L)
+        k += 1
+      }
+      val out = new Array[Long](n - 2)
+      var i = 0
+      while (i < n - 2) {
+        var p = XXH64.hashLong(th(i), 42L)      // xxhash64(h1(i), h1(i+1))
+        p = XXH64.hashLong(th(i + 1), p)
+        var q = XXH64.hashLong(p, 42L)          // xxhash64(h12(i), h1(i+2))
+        q = XXH64.hashLong(th(i + 2), q)
+        out(i) = q
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    } else {
+      // concat_ws(" ", t) skips null elements, then one string hash
+      val parts = (0 until n).flatMap(k =>
+        if (arr.isNullAt(k)) None else Some(arr.getUTF8String(k)))
+      val joined = UTF8String.concatWs(UTF8String.fromString(" "), parts: _*)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array(XXH64.hashUTF8String(joined, 42L)))
+    }
+  }
+}
+
 object TextExprs {
   /** Column-level SimHash backed by the codegen'd expression. */
   def simhash64(tokens: Column): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(tokens)))
+
+  /** Column-level shingle hashes backed by the codegen'd expression. */
+  def shingleHashes(tokens: Column): Column =
+    GraftColumnBridge.column(ShingleHashes(GraftColumnBridge.expression(tokens)))
 }

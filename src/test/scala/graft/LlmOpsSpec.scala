@@ -96,6 +96,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(ham <= 16, s"hamming distance $ham too large for a near-dup")
   }
 
+  test("native ShingleHashes expression is bit-identical to the HOF chain") {
+    val docs = graft.engine.Tables.documents(spark, sf)
+    val toks = filter(split(lower(col("text")), " "), t => t =!= lit(""))
+    val both = docs.select(
+      sort_array(array_distinct(graft.engine.TextExprs.shingleHashes(toks))).as("native"),
+      sort_array(array_distinct(graft.engine.LlmOps.shingleHashesOf(toks))).as("hof"),
+      col("doc_id"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0,
+      "codegen'd shingle hashes must reproduce the HOF chain bits exactly")
+    // short-text fallback paths: 0, 1, 2, 3 tokens
+    import spark.implicits._
+    val edge = Seq("", "one", "two words", "three word text").toDF("text")
+    val e = edge.select(
+      sort_array(graft.engine.TextExprs.shingleHashes(toks)).as("native"),
+      sort_array(graft.engine.LlmOps.shingleHashesOf(toks)).as("hof"))
+    assert(e.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
   test("native SimHash64 expression is bit-identical to the HOF formulation") {
     val docs = graft.engine.Tables.documents(spark, sf)
     val both = docs.select(
