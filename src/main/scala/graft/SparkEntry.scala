@@ -111,6 +111,8 @@ object SparkEntry {
     "q_cube"              -> Relational.qCubeSql,
     "q_percentile_disc"   -> Relational.qPercentileDiscSql,
     "q_multimodal_resize" -> Multimodal.qMultimodalResizeSql,
+    "q_multimodal_embed"  -> Multimodal.qMultimodalEmbedSql,
+    "q_expand_nested"     -> Relational.qExpandNestedSql,
     "q_ngram_jaccard"     -> LlmOps.qNgramJaccardSql,
     "q_lang_id"           -> LlmOps.qLangIdSql,
     "q_topk_group"        -> Aggregators.qTopkGroupSql,

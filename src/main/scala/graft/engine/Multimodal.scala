@@ -102,8 +102,10 @@ object Multimodal {
       |ORDER BY doc_id""".stripMargin
 
   /** Per-row "embedding" from the encoder stub: an 8-bin byte-class
-    * histogram — deterministic per row, independent of batching. */
-  case class Embedded(doc_id: Long, embedding: Seq[Float])
+    * histogram — deterministic per row, independent of batching. Carries
+    * the payload byte count alongside (real encoders emit metadata too;
+    * it also lets the normalized histogram be de-normalized exactly). */
+  case class Embedded(doc_id: Long, n_bytes: Long, embedding: Seq[Float])
 
   /** The batch-shaped encoder: groups the partition's rows into
     * fixed-size batches and "encodes" each batch in one call — the shape
@@ -119,15 +121,15 @@ object Multimodal {
         var i = 0
         while (i < r.payload.length) { h((r.payload(i) & 0xFF) >> 5) += 1f; i += 1 }
         val n = math.max(1, r.payload.length).toFloat
-        Embedded(r.doc_id, h.map(_ / n).toSeq)
+        Embedded(r.doc_id, r.payload.length.toLong, h.map(_ / n).toSeq)
       }
     }
 
-  /** q_multimodal_embed: feature extraction over media payloads in
+  /** Typed embed pipeline: feature extraction over media payloads in
     * fixed-size batches (32). Output is per-row deterministic regardless
-    * of partitioning; engine-only (float vectors), contract pinned by
-    * spec. */
-  def qMultimodalEmbed(spark: SparkSession, sfDir: String): DataFrame = {
+    * of partitioning; the float-vector contract is pinned by spec
+    * (EnvelopeSpec batch-invariance + L1 normalization). */
+  def qMultimodalEmbedTyped(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val media = Tables.documents(spark, sfDir)
       .select(col("doc_id"), lit("img").as("fmt"),
@@ -136,6 +138,44 @@ object Multimodal {
     media.mapPartitions(it => encodeBatches(it, 32))
       .toDF().orderBy(col("doc_id"))
   }
+
+  /** q_multimodal_embed, driver-comparable rendering: the comparison
+    * harness cannot sort an array<float> column, so the registered query
+    * de-normalizes the histogram back to its exact integer bin counts
+    * (round(h·n) — float32 error « 0.5 at these lengths) and renders them
+    * as one comma-joined string. The DuckDB oracle recomputes the byte
+    * histogram per document (text is ASCII, so codepoint == byte), which
+    * verifies the whole encode path, not just the rendering. */
+  def qMultimodalEmbed(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = greatest(lit(1L), col("n_bytes"))
+    qMultimodalEmbedTyped(spark, sfDir)
+      .select(col("doc_id"), col("n_bytes"),
+        array_join(transform(col("embedding"),
+          x => round(x * n).cast("long")), ",").as("histogram"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Byte-class histogram replayed per character in DuckDB. */
+  val qMultimodalEmbedSql: String =
+    """SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_bytes,
+      |  concat_ws(',', b0, b1, b2, b3, b4, b5, b6, b7) AS histogram
+      |FROM documents d
+      |JOIN (
+      |  SELECT doc_id,
+      |    count(*) FILTER (WHERE bin = 0) AS b0,
+      |    count(*) FILTER (WHERE bin = 1) AS b1,
+      |    count(*) FILTER (WHERE bin = 2) AS b2,
+      |    count(*) FILTER (WHERE bin = 3) AS b3,
+      |    count(*) FILTER (WHERE bin = 4) AS b4,
+      |    count(*) FILTER (WHERE bin = 5) AS b5,
+      |    count(*) FILTER (WHERE bin = 6) AS b6,
+      |    count(*) FILTER (WHERE bin = 7) AS b7
+      |  FROM (
+      |    SELECT doc_id, ord(substr(text, CAST(i AS INT), 1)) >> 5 AS bin
+      |    FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+      |          FROM documents))
+      |  GROUP BY doc_id) h ON d.doc_id = h.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 
   /** One sampled frame: offset into the payload + a fingerprint of the
     * sampled bytes (what a real pipeline feeds the vision encoder). */

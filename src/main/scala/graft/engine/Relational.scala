@@ -59,8 +59,8 @@ object Relational {
     * struct and an array of line-item structs), exactly what the remote
     * API's server-side join returned. Broadcast dim for the struct; the
     * collect_list side aggregates lineitem once, keyed by the join key.
-    * Engine-only (nested JSON layout is ours). */
-  def qExpandNested(spark: SparkSession, sfDir: String): DataFrame = {
+    * Ref: mk-chargeover-source-connector/README.md:162-169. */
+  def qExpandNestedTyped(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
     val c = Tables.customer(spark, sfDir)
     val items = Tables.lineitem(spark, sfDir)
@@ -76,6 +76,62 @@ object Relational {
         coalesce(col("invoice_items"), array()).as("invoice_items"))
       .orderBy(col("o_orderkey"))
   }
+
+  /** A double known to be 2-decimal (FIXTURES.md) rendered as its exact
+    * "123.45" string — cast to DECIMAL(18,2) first so Spark and DuckDB
+    * print the identical fixed-point form (double→string would use Java
+    * scientific notation above 1e7). Same trick as Exact.dsum2. */
+  private def dec2str(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast(org.apache.spark.sql.types.DecimalType(18, 2)).cast("string")
+
+  /** q_expand_nested, driver-comparable rendering: the nested customer
+    * struct and invoice_items array serialized to deterministic strings
+    * (the comparison harness cannot sort struct/array columns). Same plan
+    * shape as the typed variant — broadcast dim join + one lineitem
+    * aggregation — only the final projection renders to strings. */
+  def qExpandNested(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val items = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), concat_ws(":",
+        col("l_linenumber"), col("l_partkey"),
+        dec2str(col("l_quantity")), dec2str(col("l_extendedprice"))).as("item"))
+      .groupBy(col("l_orderkey"))
+      .agg(array_join(sort_array(collect_list(col("item"))), ";").as("items_str"))
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .withColumn("customer", concat(
+        lit("{\"c_custkey\":"), col("c_custkey"),
+        lit(",\"c_name\":\""), col("c_name"),
+        lit("\",\"c_mktsegment\":\""), col("c_mktsegment"),
+        lit("\",\"c_acctbal\":"), dec2str(col("c_acctbal")), lit("}")))
+      .join(items, o("o_orderkey") === items("l_orderkey"), "left")
+      .select(col("o_orderkey"), col("o_totalprice"), col("customer"),
+        coalesce(col("items_str"), lit("")).as("invoice_items"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** DuckDB replay: identical string renderings (decimal(18,2) fixed-point
+    * for the 2-decimal doubles; binary-collation string sort on both
+    * sides, so sort_array == string_agg ORDER BY). */
+  val qExpandNestedSql: String =
+    """SELECT o_orderkey, o_totalprice,
+      |  concat('{"c_custkey":', c_custkey,
+      |         ',"c_name":"', c_name,
+      |         '","c_mktsegment":"', c_mktsegment,
+      |         '","c_acctbal":', CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR), '}') AS customer,
+      |  coalesce(i.items_str, '') AS invoice_items
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |LEFT JOIN (
+      |  SELECT l_orderkey, string_agg(item, ';' ORDER BY item) AS items_str
+      |  FROM (
+      |    SELECT l_orderkey,
+      |      concat(l_linenumber, ':', l_partkey, ':',
+      |             CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR), ':',
+      |             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR)) AS item
+      |    FROM lineitem)
+      |  GROUP BY l_orderkey) i ON o_orderkey = i.l_orderkey
+      |ORDER BY o_orderkey""".stripMargin
 
   /** q_percentile: exact percentile + the sketch the 100 TB path uses
     * (approx_percentile: fixed-memory one-pass). Engine-only (sketch and
