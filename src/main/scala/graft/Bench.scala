@@ -21,11 +21,19 @@ object Bench {
     // warmup (untimed): run EVERY query once at the smallest SF — each
     // query's generated code JIT-compiles on data 100× smaller than the
     // timed run (measured: first execution of a codegen-heavy query costs
-    // ~14 s extra before the JIT kicks in)
-    val warmSf = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
+    // ~14 s extra before the JIT kicks in). Warmup dir derives from the
+    // configured SF dir (sf0.001 sibling when present, else the SF dir
+    // itself) and failures are LOGGED — a silently skipped warmup lands
+    // the cold-start cost on the first timed query.
+    val warmSf = sys.env.get("SPARK_GRAFT_WARM_DIR").getOrElse {
+      val sibling = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+      if (sibling.isDirectory) sibling.getPath else sfDir
+    }
+    SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, warmSf).count()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+      }
     }
 
     // shuffle/spill accounting (measure, don't guess): task metrics

@@ -296,7 +296,7 @@ object LlmOps {
     * member pairs from the collected (bounded, sorted) doc list — replaces
     * a bucket self-join that built a hash map over the whole exploded
     * bucket frame and had no guard against a degenerate bucket. */
-  def minhashCandidatePairs(docs: DataFrame): DataFrame = {
+  def minhashCandidatePairs(docs: DataFrame, cap: Int = maxBucketDocs): DataFrame = {
     val sh = withShingleHashes(docs).select(col("doc_id"), col("shl")).persist()
     try {
       val sigCols = (0 until minhashSeeds).map { j =>
@@ -309,8 +309,24 @@ object LlmOps {
       }
       val buckets = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
-      val cand = buckets.groupBy(col("band"), col("band_key"))
-        .agg(slice(sort_array(collect_list(col("doc_id"))), 1, maxBucketDocs).as("m"))
+      // Membership is bounded BEFORE the collect_list: a degenerate bucket
+      // (the documented 100 TB pathology) must never materialize a full
+      // aggregation buffer only to be sliced after. The window shuffles on
+      // the same (band, band_key) key the groupBy needs, so Catalyst plans
+      // ONE exchange for both. Cap hits are counted via observe() — zero
+      // extra jobs — and logged: silent truncation would read as full
+      // recall while the q_dedup_groups oracle is exhaustive.
+      val w = Window.partitionBy(col("band"), col("band_key"))
+      val bounded = buckets
+        .withColumn("bucket_n", count(lit(1)).over(w))
+        .withColumn("rn", row_number().over(w.orderBy(col("doc_id"))))
+        .filter(col("rn") <= cap)
+      val obs = org.apache.spark.sql.Observation()
+      val cand = bounded.groupBy(col("band"), col("band_key"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("m"),
+          max(col("bucket_n")).as("bucket_n"))
+        .observe(obs,
+          sum(when(col("bucket_n") > cap, 1L).otherwise(0L)).as("capped_buckets"))
         .filter(size(col("m")) > 1)
         .select(explode(pairsOf(col("m"))).as("p"))
         .select(col("p.a").as("doc_a"), col("p.b").as("doc_b")).distinct()
@@ -322,6 +338,13 @@ object LlmOps {
             size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
         .persist()
       out.count() // materialize while the shingle cache is alive
+      val capped = obs.get.get("capped_buckets") match {
+        case Some(n: Long) => n
+        case _ => 0L
+      }
+      if (capped > 0)
+        System.err.println(s"[graft] minhash LSH: $capped bucket(s) over " +
+          s"cap=$cap — membership truncated, near-dup recall may drop")
       out
     } finally sh.unpersist(blocking = false)
   }

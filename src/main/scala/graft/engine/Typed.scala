@@ -37,7 +37,10 @@ object Typed {
         var n = 0L
         rows.foreach { r =>
           val product = r.l_extendedprice * (1.0 - r.l_discount) // same double op as SQL
-          sum = sum.add(new JBigDecimal(product).setScale(6, RoundingMode.HALF_UP))
+          // valueOf (shortest decimal repr), NOT new JBigDecimal (exact
+          // binary expansion): Spark's double→decimal cast goes through
+          // valueOf, and the two can round differently at scale 6
+          sum = sum.add(JBigDecimal.valueOf(product).setScale(6, RoundingMode.HALF_UP))
           n += 1
         }
         (flag, sum.doubleValue(), n)

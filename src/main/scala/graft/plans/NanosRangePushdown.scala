@@ -15,10 +15,12 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   *
   * — is an expression over the column, so the parquet reader can't push it
   * down and every row group gets read. The conversion is monotonic, so the
-  * predicate is exactly equivalent to a raw-long range:
+  * predicate is exactly equivalent to a raw-long range (bounds adjusted
+  * for IntegralDivide's truncate-toward-zero semantics, see nsLowerBound —
+  * plain a·1000 would mis-filter pre-1970 negative nanos):
   *
-  *   floor(x/1000) >= a_us  ⇔  x >= a_us*1000
-  *   floor(x/1000) <  b_us  ⇔  x <  b_us*1000      (floor div, 1000 > 0)
+  *   trunc(x/1000) >= a_us  ⇔  x >= L(a_us)
+  *   trunc(x/1000) <  b_us  ⇔  x <  L(b_us)
   *
   * After this rewrite the comparison is on the bare column and lands in the
   * scan's PushedFilters — at 100 TB that's row-group/partition pruning for
@@ -40,27 +42,31 @@ object NanosRangePushdown extends Rule[LogicalPlan] {
     }
   }
 
-  private def us2ns(us: Long): Option[Literal] =
-    if (us > Long.MaxValue / 1000 || us < Long.MinValue / 1000) None
-    else Some(Literal(us * 1000L, LongType))
+  /** With t = trunc(x/1000) (IntegralDivide truncates toward ZERO, not
+    * floor — they differ for negative pre-1970 nanos):
+    *   t >= a ⇔ x >= L(a)  and  t < b ⇔ x < L(b), where
+    *   L(a) = a·1000        for a > 0   (x < 0 ⇒ t <= 0 < a, both false)
+    *   L(a) = a·1000 − 999  for a <= 0  (e.g. t >= 0 ⇔ x >= −999).
+    * None when the ns bound would overflow a long (rewrite skipped). */
+  private def nsLowerBound(us: Long): Option[Literal] =
+    if (us > Long.MaxValue / 1000 || us < Long.MinValue / 1000 + 1) None
+    else Some(Literal(if (us > 0) us * 1000L else us * 1000L - 999L, LongType))
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, _) =>
       val rewritten = cond.transform {
-        case GreaterThanOrEqual(NanosToMicros(x), Literal(us: Long, TimestampType)) =>
-          us2ns(us).map(GreaterThanOrEqual(x, _)).getOrElse(
-            GreaterThanOrEqual(MicrosToTimestamp(IntegralDivide(x, Literal(1000L))), Literal(us, TimestampType)))
-        case LessThan(NanosToMicros(x), Literal(us: Long, TimestampType)) =>
-          us2ns(us).map(LessThan(x, _)).getOrElse(
-            LessThan(MicrosToTimestamp(IntegralDivide(x, Literal(1000L))), Literal(us, TimestampType)))
-        case GreaterThan(NanosToMicros(x), Literal(us: Long, TimestampType)) =>
-          // floor(x/1000) > a ⇔ x >= (a+1)*1000
-          us2ns(us + 1).map(GreaterThanOrEqual(x, _)).getOrElse(
-            GreaterThan(MicrosToTimestamp(IntegralDivide(x, Literal(1000L))), Literal(us, TimestampType)))
-        case LessThanOrEqual(NanosToMicros(x), Literal(us: Long, TimestampType)) =>
-          // floor(x/1000) <= a ⇔ x < (a+1)*1000
-          us2ns(us + 1).map(LessThan(x, _)).getOrElse(
-            LessThanOrEqual(MicrosToTimestamp(IntegralDivide(x, Literal(1000L))), Literal(us, TimestampType)))
+        case e @ GreaterThanOrEqual(NanosToMicros(x), Literal(us: Long, TimestampType)) =>
+          nsLowerBound(us).map(GreaterThanOrEqual(x, _)).getOrElse(e)
+        case e @ LessThan(NanosToMicros(x), Literal(us: Long, TimestampType)) =>
+          nsLowerBound(us).map(LessThan(x, _)).getOrElse(e)
+        case e @ GreaterThan(NanosToMicros(x), Literal(us: Long, TimestampType)) =>
+          // t > a ⇔ t >= a+1 ⇔ x >= L(a+1); a = MaxValue is unsatisfiable, skip
+          if (us == Long.MaxValue) e
+          else nsLowerBound(us + 1).map(GreaterThanOrEqual(x, _)).getOrElse(e)
+        case e @ LessThanOrEqual(NanosToMicros(x), Literal(us: Long, TimestampType)) =>
+          // t <= a ⇔ t < a+1 ⇔ x < L(a+1); a = MaxValue is trivially true, skip
+          if (us == Long.MaxValue) e
+          else nsLowerBound(us + 1).map(LessThan(x, _)).getOrElse(e)
       }
       if (rewritten fastEquals cond) f else f.copy(condition = rewritten)
   }

@@ -135,8 +135,12 @@ class PagedScanBuilder(rows: Long, pageSize: Int)
     * in the request URL. Everything else stays a residual for Spark. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ours, residual) = filters.partition {
-      case GreaterThanOrEqual("ts_us", _: Long) | GreaterThan("ts_us", _: Long) |
-           LessThan("ts_us", _: Long) | LessThanOrEqual("ts_us", _: Long) |
+      // GT/LTE compute v+1: at v == Long.MaxValue that overflows to
+      // MinValue and would wrongly serve zero rows — DSv2 trusts accepted
+      // filters, so leave the (vacuous GT / all-rows LTE) case residual.
+      case GreaterThan("ts_us", v: Long) => v != Long.MaxValue
+      case LessThanOrEqual("ts_us", v: Long) => v != Long.MaxValue
+      case GreaterThanOrEqual("ts_us", _: Long) | LessThan("ts_us", _: Long) |
            GreaterThanOrEqual("id", _: Long) | LessThan("id", _: Long) => true
       case _ => false
     }

@@ -25,6 +25,19 @@ class LlmOpsSpec extends SparkSpec {
       s"expected (0,1) pair, got ${pairs.mkString(",")}")
   }
 
+  test("minhash bucket cap bounds membership BEFORE aggregation, deterministically") {
+    import spark.implicits._
+    val text = Seq.tabulate(40)(j => s"tok$j").mkString(" ")
+    val docs = (0L until 5L).map(i => (i, text)).toDF("doc_id", "text")
+    // identical docs share every band bucket: full run emits all C(5,2) pairs
+    assert(LlmOps.minhashCandidatePairs(docs).count() == 10)
+    // cap=2 keeps the 2 smallest doc_ids per bucket → exactly the (0,1) pair;
+    // a degenerate bucket degrades to cap² work instead of n²
+    val capped = LlmOps.minhashCandidatePairs(docs, cap = 2)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    assert(capped == Set((0L, 1L)), s"got $capped")
+  }
+
   test("minhash does not pair unrelated documents above threshold") {
     import spark.implicits._
     val docs = (0 until 10).map(i =>

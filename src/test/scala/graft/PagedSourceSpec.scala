@@ -37,6 +37,19 @@ class PagedSourceSpec extends SparkSpec {
       s"pushdown must narrow the scan range:\n${plan.take(1200)}")
   }
 
+  test("Long.MaxValue bounds don't overflow the +1 pushdown arithmetic") {
+    val df = src(100, 10)
+    // ts_us <= MaxValue is all rows; the naive v+1 wrapped to MinValue and
+    // served ZERO rows (DSv2 trusts accepted filters) — now left residual
+    assert(df.filter(col("ts_us") <= Long.MaxValue).count() == 100)
+    // ts_us > MaxValue is unsatisfiable; must be 0 via residual, not wrap
+    assert(df.filter(col("ts_us") > Long.MaxValue).count() == 0)
+    // sanity: non-boundary GT/LTE still push and stay correct
+    val a = PagedEntitySource.tsOf(10)
+    assert(df.filter(col("ts_us") > a).count() == 89)
+    assert(df.filter(col("ts_us") <= a).count() == 11)
+  }
+
   test("column pruning reaches the source (fields= analog)") {
     val df = src(500, 100).select(col("id"))
     val plan = df.queryExecution.executedPlan.toString

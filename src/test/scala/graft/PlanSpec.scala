@@ -47,6 +47,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Broadcast"))
   }
 
+  test("NanosRangePushdown: truncation-correct bounds for negative (pre-1970) nanos") {
+    import spark.implicits._
+    graft.plans.NanosRangePushdown.install(spark)
+    // raw nanos straddling the epoch; trunc-toward-zero ≠ floor below 0
+    val xs = Seq(-2000L, -1999L, -1500L, -1000L, -999L, -500L, -1L, 0L,
+      1L, 499L, 500L, 999L, 1000L, 1500L, 2000L)
+    // parquet, not a local relation: ConvertToLocalRelation would evaluate
+    // the original predicate before extraOptimizations ever run
+    val dir = java.nio.file.Files.createTempDirectory("graft_nanos").toString
+    xs.toDF("x").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    // every (op, µs-bound) pair the rule rewrites, around zero where the
+    // original IntegralDivide semantics and a naive ·1000 rewrite diverge
+    for (us <- Seq(-2L, -1L, 0L, 1L); op <- Seq(">=", ">", "<", "<=")) {
+      val out = df.filter(
+        s"timestamp_micros(x div 1000) $op timestamp_micros(${us}L)")
+        .collect().map(_.getLong(0)).toSet
+      val expect = xs.filter { x =>
+        val t = x / 1000 // Scala / on Long is trunc-toward-zero, like div
+        op match {
+          case ">=" => t >= us; case ">" => t > us
+          case "<" => t < us; case "<=" => t <= us
+        }
+      }.toSet
+      assert(out == expect, s"op=$op us=$us: got $out expected $expect")
+    }
+  }
+
   test("q_string_cast: single narrow projection, no exchange before sort") {
     val p = plan(graft.engine.Cast.qStringCast(spark, sf))
     assert(!p.contains("Exchange hashpartitioning"),
