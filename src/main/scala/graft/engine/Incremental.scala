@@ -21,9 +21,36 @@ object Incremental {
   /** R2/R10: half-open datetime window `ts >= start && ts < end` — exactly
     * the reference's GTE/LT pair. The predicate reaches the parquet scan
     * (PushedFilters), so at scale only matching row groups are read; with
-    * date-partitioned layout this becomes partition pruning. */
-  def filterRange(df: DataFrame, tsCol: String, start: String, end: String): DataFrame =
-    df.filter(col(tsCol) >= to_timestamp(lit(start)) && col(tsCol) < to_timestamp(lit(end)))
+    * date-partitioned layout this becomes partition pruning.
+    *
+    * `zone` mirrors `chargeover.timezone` (Config.java:64-68, default UTC;
+    * Task.java:80-81 renders window bounds in the configured zone): the
+    * bound strings are wall-clock datetimes IN that zone, converted to the
+    * instant once at plan time — the scan still sees a plain timestamp
+    * range, so pushdown is unaffected. */
+  def filterRange(df: DataFrame, tsCol: String, start: String, end: String,
+      zone: String = "UTC"): DataFrame = {
+    def bound(s: String) =
+      if (zone == "UTC") to_timestamp(lit(s))
+      else to_utc_timestamp(to_timestamp(lit(s)), zone)
+    df.filter(col(tsCol) >= bound(start) && col(tsCol) < bound(end))
+  }
+
+  /** The reference's datetime-string rendering of a window bound:
+    * `yyyy-MM-dd HH:mm:ss` formatted in the configured zone
+    * (SimpleDateFormat + setTimeZone, Task.java:80-81,
+    * Config.java:190-209 validation). Pure helper for offset/state
+    * round-trips. */
+  def windowBoundString(epochMillis: Long, zone: String = "UTC"): String =
+    java.time.Instant.ofEpochMilli(epochMillis)
+      .atZone(java.time.ZoneId.of(zone))
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+
+  /** Inverse: parse a wall-clock bound string in `zone` to epoch millis —
+    * windowBoundString ∘ parseWindowBound == identity on whole seconds. */
+  def parseWindowBound(s: String, zone: String = "UTC"): Long =
+    java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+      .atZone(java.time.ZoneId.of(zone)).toInstant.toEpochMilli
 
   /** R3/R4: one "page" of an ordered incremental scan. The reference pages
     * by `order=ts:ASC` + limit/offset (ChargeOverApiClient.java:88-116);

@@ -62,7 +62,7 @@ object StateMachine {
 
   /** Complete: last := end, mode flips INITIAL→INCREMENTAL exactly once,
     * next run comes from the schedule (Task.java:267-291). */
-  def completeBatch(s: EntityState, schedule: DailySchedule): EntityState = {
+  def completeBatch(s: EntityState, schedule: Schedule): EntityState = {
     val end = s.batchEndMillis.getOrElse(s.lastProcessedMillis)
     s.copy(
       loadMode = IncrementalLoad,
@@ -74,13 +74,17 @@ object StateMachine {
       nextScheduledRunMillis = schedule.nextRunAfter(end))
   }
 
+  /** R11: when does the next incremental window open. Implementations:
+    * `DailySchedule` (the fast path for the reference's default cadence)
+    * and `CronSchedule` (arbitrary 6-field Quartz-subset expressions with
+    * timezone, Config.java:59-68,159-169). */
+  trait Schedule { def nextRunAfter(tMillis: Long): Long }
+
   /** The reference's default cadence: daily at a fixed UTC time (Quartz
-    * `0 0 0 * * ?`, Config.java:59-63). A full Quartz parser is out of
-    * scope (and out of dependencies); the schedule abstraction carries the
-    * semantic that matters: a deterministic next-fire strictly after t.
-    * Parse failure in the reference falls back to +24 h (Task.java:386-388)
-    * — `DailySchedule.fallback` mirrors that. */
-  final case class DailySchedule(hourUtc: Int, minuteUtc: Int = 0) {
+    * `0 0 0 * * ?`, Config.java:59-63). Parse failure in the reference
+    * falls back to +24 h (Task.java:386-388) — `DailySchedule.fallback`
+    * mirrors that. */
+  final case class DailySchedule(hourUtc: Int, minuteUtc: Int = 0) extends Schedule {
     private val dayMs = 86400000L
     private val offsetMs = (hourUtc * 3600L + minuteUtc * 60L) * 1000L
     def nextRunAfter(tMillis: Long): Long = {
@@ -95,15 +99,18 @@ object StateMachine {
     def fallback(tMillis: Long): Long = tMillis + 86400000L
   }
 
-  /** R12: retry backoff — `2^attempt × 1 s + jitter`, capped at 30 s
-    * (Task.java:330-336); HTTP-429-style rate limiting waits a flat 60 s
-    * (:319-323). Jitter is 0-10% of the backoff, passed in as a unit
-    * sample so the function stays pure. */
+  /** R12: retry backoff — `min(2^attempt × 1 s + jitter, 30 s)`, the cap
+    * applied AFTER the jitter exactly as the reference computes it
+    * (Task.java:330-336: baseBackoffMs + jitterMs, then Math.min with
+    * 30000); HTTP-429-style rate limiting waits a flat 60 s (:319-323).
+    * Jitter is 0-10% of the base, passed in as a unit sample so the
+    * function stays pure. Computed in double so huge attempts saturate at
+    * the cap instead of overflowing. */
   def backoffMillis(attempt: Int, rateLimited: Boolean, jitterUnit: Double): Long =
     if (rateLimited) 60000L
     else {
-      val base = Math.min(Math.pow(2.0, attempt.toDouble).toLong * 1000L, 30000L)
-      base + (base * 0.1 * jitterUnit).toLong
+      val base = Math.pow(2.0, attempt.toDouble) * 1000.0
+      Math.min(base + Math.floor(base * 0.1 * jitterUnit), 30000.0).toLong
     }
 
   /** Reset after too many consecutive failures (10 polls, Task.java:356):

@@ -20,6 +20,22 @@ class IncrementalSpec extends SparkSpec {
     assert(ab.union(bc).exceptAll(ac).count() == 0)
   }
 
+  test("filterRange zone: a NY wall-clock window == its UTC-shifted twin") {
+    val e = Tables.events(spark, sf)
+    // January ⇒ America/New_York is EST = UTC-5, no DST edge in-window
+    val ny = Incremental.filterRange(e, "ts",
+      "2024-01-08 00:00:00", "2024-01-15 00:00:00", "America/New_York")
+    val shifted = Incremental.filterRange(e, "ts",
+      "2024-01-08 05:00:00", "2024-01-15 05:00:00")
+    assert(ny.count() > 0)
+    assert(ny.count() == shifted.count())
+    assert(ny.exceptAll(shifted).count() == 0)
+    // bound-string round trip in the configured zone (Task.java:80-81)
+    val ms = Incremental.parseWindowBound("2024-01-08 00:00:00", "America/New_York")
+    assert(Incremental.windowBoundString(ms, "America/New_York") == "2024-01-08 00:00:00")
+    assert(Incremental.windowBoundString(ms, "UTC") == "2024-01-08 05:00:00")
+  }
+
   test("pages partition the ordered scan: no overlap, no loss, stable") {
     val total = events.count().toInt
     val pageSize = 137

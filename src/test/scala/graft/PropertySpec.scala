@@ -49,9 +49,30 @@ class PropertySpec extends SparkSpec {
     check(Prop.forAll(gen) { case (att, j) =>
       val b = StateMachine.backoffMillis(att, rateLimited = false, j)
       val base = StateMachine.backoffMillis(att, rateLimited = false, 0.0)
-      b >= base && b <= base + base / 10 + 1 && base <= 30000L &&
+      // the reference's exact arithmetic (Task.java:330-336): cap applied
+      // AFTER the jitter — engine must agree value-for-value
+      val rawBase = Math.pow(2.0, att.toDouble).toLong * 1000L
+      val ref = Math.min(rawBase + (rawBase * 0.1 * j).toLong, 30000L)
+      b == ref && b <= 30000L && b >= base &&
         StateMachine.backoffMillis(att, rateLimited = true, j) == 60000L
     }, "backoff")
+  }
+
+  test("cron: next fire strictly after t, matches every restricted field") {
+    val gen = for {
+      t <- Gen.choose(1577836800000L, 4102444800000L) // 2020..2100
+      s <- Gen.choose(0, 59); m <- Gen.choose(0, 59); h <- Gen.choose(0, 23)
+      dowTok <- Gen.oneOf("?", "*", "1", "7", "2-6", "1,4,7", "*/2")
+    } yield (t, s, m, h, dowTok)
+    check(Prop.forAll(gen) { case (t, s, m, h, dowTok) =>
+      val c = engine.CronSchedule.parse(s"$s $m $h * * $dowTok").get
+      val next = c.nextRunAfter(t)
+      val z = java.time.Instant.ofEpochMilli(next).atZone(java.time.ZoneOffset.UTC)
+      val quartzDow = z.getDayOfWeek.getValue % 7 + 1
+      next > t && z.getSecond == s && z.getMinute == m && z.getHour == h &&
+        c.dow.matches(quartzDow) &&
+        c.nextRunAfter(next) > next // strict progress when re-fired at a fire time
+    }, "cron")
   }
 
   test("daily schedule: strictly after t, within 24h, at the configured time") {
