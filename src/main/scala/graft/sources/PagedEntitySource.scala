@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -46,17 +46,44 @@ import org.apache.spark.unsafe.types.UTF8String
   *   .option("rows", 100000).option("pageSize", 500)   // batch.size ≤ 500
   *   .load()
   * }}}
+  *
+  * Multi-entity mode mirrors `chargeover.entities` + per-entity query
+  * params (`getQueryParamsForEntity`, Config.java:279-289; entity list
+  * Config.java:79-83): `entities=customer,invoice` loads every entity in
+  * one frame with an `_entity_type` discriminator column, and each entity
+  * can carry its own server-side projection and params —
+  * {{{
+  * spark.read.format("graft.sources.PagedEntitySource")
+  *   .option("entities", "customer,invoice")
+  *   .option("customer.rows", 1000)
+  *   .option("customer.fields", "id,ts_us,value")      // fields= analog
+  *   .option("invoice.params", "category_mod=3")       // extra query params
+  *   .load()
+  * }}}
+  * Unrequested fields come back null (schemaless records simply lack
+  * them); `_entity_type = 'x'` predicates prune whole entities at
+  * planning time (the analog of not polling that entity at all).
   */
 class PagedEntitySource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    PagedEntitySource.fullSchema
+    if (options.containsKey("entities")) PagedEntitySource.multiSchema
+    else PagedEntitySource.fullSchema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new PagedEntityTable(
-      properties.getOrDefault("rows", "10000").toLong,
-      properties.getOrDefault("pageSize", "500").toInt,
-      properties.getOrDefault("entity", "events").toString)
+      properties: util.Map[String, String]): Table = {
+    val pageSize = properties.getOrDefault("pageSize", "500").toInt
+    val defaultRows = properties.getOrDefault("rows", "10000").toLong
+    if (properties.containsKey("entities")) {
+      val confs = properties.get("entities").split(",").map(_.trim).filter(_.nonEmpty)
+        .map(e => PagedEntitySource.entityConf(e, properties, defaultRows))
+      new PagedEntityTable(confs.toSeq, pageSize, multi = true)
+    } else {
+      val e = properties.getOrDefault("entity", "events")
+      new PagedEntityTable(
+        Seq(PagedEntitySource.EntityConf(e, defaultRows, None, 5)),
+        pageSize, multi = false)
+    }
+  }
 }
 
 object PagedEntitySource {
@@ -71,6 +98,38 @@ object PagedEntitySource {
     StructField("value", DoubleType, nullable = false),
     StructField("category", StringType, nullable = false)))
 
+  /** Multi-entity frames carry the routing discriminator (R8/R9; the
+    * reference's `_entity_type`, Task.java:426-428). Data fields are
+    * nullable: a per-entity `fields=` projection means the "API response"
+    * simply lacks the others. */
+  val multiSchema: StructType = StructType(
+    StructField("_entity_type", StringType, nullable = false) +:
+    fullSchema.fields.map(f =>
+      if (f.name == "id") f else f.copy(nullable = true)).toSeq)
+
+  /** Per-entity config (getQueryParamsForEntity, Config.java:279-289):
+    * row count, server-side field projection, and extra query params —
+    * the simulated remote honors `category_mod=<n>` (response category
+    * cardinality), unknown params are ignored like any REST API ignores
+    * unknown query strings. */
+  final case class EntityConf(name: String, rows: Long,
+    fields: Option[Set[String]], categoryMod: Int)
+
+  private[sources] def entityConf(e: String, props: util.Map[String, String],
+      defaultRows: Long): EntityConf = {
+    val fields = Option(props.get(s"$e.fields"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val params = Option(props.get(s"$e.params")).getOrElse("")
+      .split("&").flatMap(_.split("=", 2) match {
+        case Array(k, v) => Some(k.trim -> v.trim)
+        case _ => None
+      }).toMap
+    EntityConf(e,
+      Option(props.get(s"$e.rows")).map(_.toLong).getOrElse(defaultRows),
+      fields,
+      params.get("category_mod").map(_.toInt).getOrElse(5))
+  }
+
   def tsOf(id: Long): Long = BaseUs + id * StepUs
   def idOfTsCeil(tsUs: Long): Long = // first id with ts >= tsUs
     if (tsUs <= BaseUs) 0L else (tsUs - BaseUs + StepUs - 1) / StepUs
@@ -78,29 +137,36 @@ object PagedEntitySource {
     if (tsUs <= BaseUs) 0L else (tsUs - BaseUs + StepUs - 1) / StepUs
 }
 
-class PagedEntityTable(rows: Long, pageSize: Int, entity: String)
-    extends Table with SupportsRead {
-  override def name(): String = s"paged_$entity"
-  override def schema(): StructType = PagedEntitySource.fullSchema
+class PagedEntityTable(confs: Seq[PagedEntitySource.EntityConf], pageSize: Int,
+    multi: Boolean) extends Table with SupportsRead {
+  override def name(): String = s"paged_${confs.map(_.name).mkString("+")}"
+  override def schema(): StructType =
+    if (multi) PagedEntitySource.multiSchema else PagedEntitySource.fullSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PagedScanBuilder(rows, pageSize)
+    new PagedScanBuilder(confs, pageSize, multi)
 }
 
-class PagedScanBuilder(rows: Long, pageSize: Int)
+class PagedScanBuilder(confs: Seq[PagedEntitySource.EntityConf], pageSize: Int,
+    multi: Boolean)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownOffset with SupportsPushDownTopN {
 
   private var lo: Long = 0L          // first id to serve (inclusive)
-  private var hi: Long = rows        // end id (exclusive)
+  private var hi: Long = confs.map(_.rows).max // end id (exclusive)
+  private var kept: Seq[PagedEntitySource.EntityConf] = confs
   private var accepted: Array[Filter] = Array.empty
-  private var required: StructType = PagedEntitySource.fullSchema
+  private var required: StructType =
+    if (multi) PagedEntitySource.multiSchema else PagedEntitySource.fullSchema
 
   /** R4: LIMIT lands in the page plan — `hi` caps so trailing pages are
     * never planned, the exact analog of stopping the pagination loop after
-    * `limit` records. Fully pushed: the source emits at most `limit` rows. */
+    * `limit` records. Fully pushed: the source emits at most `limit` rows.
+    * Multi-entity: a global row cap across entity streams isn't a page
+    * bound — declined, Spark applies it after the union. */
   override def pushLimit(limit: Int): Boolean = {
+    if (kept.size > 1) return false
     hi = math.min(hi, math.min(lo, hi) + limit)
     true
   }
@@ -109,6 +175,7 @@ class PagedScanBuilder(rows: Long, pageSize: Int)
   /** R4: OFFSET advances the serve cursor (`state.currentOffset`,
     * ChargeOverSourceTask.java:221-226) — leading pages are never planned. */
   override def pushOffset(offset: Int): Boolean = {
+    if (kept.size > 1) return false
     lo = math.min(lo + offset, hi)
     true
   }
@@ -127,7 +194,10 @@ class PagedScanBuilder(rows: Long, pageSize: Int)
         case _ => false
       })
     }
-    if (nativeOrder && orders.nonEmpty) { pushLimit(limit); true } else false
+    // pushLimit declines in multi-entity mode (entities share the id
+    // space, so the unioned stream is not globally id-ordered) — TopN
+    // pushes only when the limit itself could
+    nativeOrder && orders.nonEmpty && pushLimit(limit)
   }
 
   /** R2: accept range predicates on the ordered ts column (and id), narrow
@@ -142,6 +212,9 @@ class PagedScanBuilder(rows: Long, pageSize: Int)
       case LessThanOrEqual("ts_us", v: Long) => v != Long.MaxValue
       case GreaterThanOrEqual("ts_us", _: Long) | LessThan("ts_us", _: Long) |
            GreaterThanOrEqual("id", _: Long) | LessThan("id", _: Long) => true
+      // R9 inverse: an entity predicate prunes whole entity streams at
+      // planning time — the analog of not polling that entity at all
+      case EqualTo("_entity_type", _: String) => multi
       case _ => false
     }
     ours.foreach {
@@ -155,6 +228,7 @@ class PagedScanBuilder(rows: Long, pageSize: Int)
         hi = math.min(hi, PagedEntitySource.idOfTsExclUpper(v + 1))
       case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v)
       case LessThan("id", v: Long) => hi = math.min(hi, v)
+      case EqualTo("_entity_type", v: String) => kept = kept.filter(_.name == v)
       case _ =>
     }
     accepted = ours
@@ -167,32 +241,40 @@ class PagedScanBuilder(rows: Long, pageSize: Int)
     required = requiredSchema
 
   override def build(): Scan =
-    new PagedScan(math.min(lo, hi), hi, pageSize, required)
+    new PagedScan(math.min(lo, hi), hi, pageSize, required, kept)
 }
 
 /** R4: the planner turns the (narrowed) id range into pages — out-of-window
-  * pages simply never exist. */
-class PagedScan(lo: Long, hi: Long, pageSize: Int, required: StructType)
+  * pages simply never exist. Multi-entity: pages are planned per entity
+  * (entity-level parallelism, the partitioned-source reading of R15). */
+class PagedScan(lo: Long, hi: Long, pageSize: Int, required: StructType,
+    confs: Seq[PagedEntitySource.EntityConf])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String =
-    s"PagedScan(lo=$lo, hi=$hi, pageSize=$pageSize, fields=${required.fieldNames.mkString(",")})"
-
-  override def planInputPartitions(): Array[InputPartition] = {
-    val n = math.max(0L, hi - lo)
-    val pages = ((n + pageSize - 1) / pageSize).toInt
-    (0 until pages).map { p =>
-      PagedPartition(lo + p.toLong * pageSize,
-        math.min(hi, lo + (p.toLong + 1) * pageSize)): InputPartition
-    }.toArray
+  override def description(): String = {
+    val ent = if (confs.size == 1) "" else s", entities=${confs.map(_.name).mkString("+")}"
+    s"PagedScan(lo=$lo, hi=$hi, pageSize=$pageSize, fields=${required.fieldNames.mkString(",")}$ent)"
   }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    confs.toArray.flatMap { conf =>
+      val eLo = math.min(lo, conf.rows)
+      val eHi = math.min(hi, conf.rows)
+      val n = math.max(0L, eHi - eLo)
+      val pages = ((n + pageSize - 1) / pageSize).toInt
+      (0 until pages).map { p =>
+        PagedPartition(eLo + p.toLong * pageSize,
+          math.min(eHi, eLo + (p.toLong + 1) * pageSize), conf): InputPartition
+      }
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PagedReaderFactory(required)
 }
 
-case class PagedPartition(startId: Long, endId: Long) extends InputPartition
+case class PagedPartition(startId: Long, endId: Long,
+  conf: PagedEntitySource.EntityConf) extends InputPartition
 
 class PagedReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -200,22 +282,29 @@ class PagedReaderFactory(required: StructType) extends PartitionReaderFactory {
 }
 
 /** One page fetch (ChargeOverApiClient.fetchChangesWithPagination analog):
-  * deterministic record generator in place of the HTTP GET. */
+  * deterministic record generator in place of the HTTP GET. Per-entity
+  * `fields=` means unrequested data columns come back null (a schemaless
+  * record that lacks the field); `category_mod` stands in for an arbitrary
+  * extra query param the remote honors. */
 class PagedPartitionReader(page: PagedPartition, required: StructType)
     extends PartitionReader[InternalRow] {
   private var id = page.startId - 1
   private val fields = required.fieldNames
+  private val conf = page.conf
+  private def served(f: String): Boolean = conf.fields.forall(_.contains(f))
 
   override def next(): Boolean = { id += 1; id < page.endId }
 
   override def get(): InternalRow = {
-    val vals = fields.map {
+    val vals: Array[Any] = fields.map {
+      case "_entity_type" => UTF8String.fromString(conf.name)
       case "id" => java.lang.Long.valueOf(id)
+      case f if !served(f) => null
       case "ts_us" => java.lang.Long.valueOf(PagedEntitySource.tsOf(id))
       case "value" => java.lang.Double.valueOf(((id * 7919) % 100000) / 100.0)
-      case "category" => UTF8String.fromString(s"cat${id % 5}")
+      case "category" => UTF8String.fromString(s"cat${id % conf.categoryMod}")
     }
-    new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+    new GenericInternalRow(vals)
   }
 
   override def close(): Unit = ()

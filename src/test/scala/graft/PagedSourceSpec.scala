@@ -37,6 +37,49 @@ class PagedSourceSpec extends SparkSpec {
       s"pushdown must narrow the scan range:\n${plan.take(1200)}")
   }
 
+  test("multi-entity load: per-entity rows/fields/params, _entity_type routing") {
+    val df = spark.read.format("graft.sources.PagedEntitySource")
+      .option("entities", "customer,invoice")
+      .option("pageSize", "100")
+      .option("customer.rows", "250")
+      .option("customer.fields", "id,ts_us,value")   // no category served
+      .option("invoice.rows", "400")
+      .option("invoice.params", "category_mod=3")    // per-entity query param
+      .load()
+    // per-entity row counts under one _entity_type-discriminated frame
+    val counts = df.groupBy(col("_entity_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("customer" -> 250L, "invoice" -> 400L))
+    // per-entity fields=: customer's unrequested category is null,
+    // invoice (no projection) serves everything
+    assert(df.filter(col("_entity_type") === "customer" &&
+      col("category").isNotNull).count() == 0)
+    assert(df.filter(col("_entity_type") === "invoice" &&
+      col("category").isNull).count() == 0)
+    // per-entity extra param honored by the "remote": 3 categories
+    assert(df.filter(col("_entity_type") === "invoice")
+      .select(col("category")).distinct().count() == 3)
+  }
+
+  test("entity predicate prunes whole entity streams at planning time") {
+    val df = spark.read.format("graft.sources.PagedEntitySource")
+      .option("entities", "customer,invoice")
+      .option("pageSize", "100")
+      .option("customer.rows", "200")
+      .option("invoice.rows", "600")
+      .load()
+    val one = df.filter(col("_entity_type") === "customer")
+    assert(one.count() == 200)
+    // only customer's 2 pages are planned, not invoice's 6
+    assert(one.rdd.getNumPartitions == 2,
+      s"expected entity pruning to 2 pages, got ${one.rdd.getNumPartitions}")
+    // ts window still composes with entity pruning
+    val win = df.filter(col("_entity_type") === "invoice" &&
+      col("ts_us") >= PagedEntitySource.tsOf(100) &&
+      col("ts_us") < PagedEntitySource.tsOf(300))
+    assert(win.count() == 200 && win.rdd.getNumPartitions == 2)
+  }
+
   test("Long.MaxValue bounds don't overflow the +1 pushdown arithmetic") {
     val df = src(100, 10)
     // ts_us <= MaxValue is all rows; the naive v+1 wrapped to MinValue and
