@@ -40,6 +40,7 @@ object SparkEntry {
     "q_grouping_sets"     -> (Relational.qGroupingSets _),
     "q_cube"              -> (Relational.qCube _),
     "q_percentile_disc"   -> (Relational.qPercentileDisc _),
+    "q_percentile_exact"  -> (Relational.qPercentileExact _),
     "q_multimodal_resize" -> (Multimodal.qMultimodalResize _),
     "q_multimodal_embed"  -> (Multimodal.qMultimodalEmbed _),
     "q_unpivot"           -> (Relational.qUnpivot _),
@@ -110,6 +111,9 @@ object SparkEntry {
     "q_grouping_sets"     -> Relational.qGroupingSetsSql,
     "q_cube"              -> Relational.qCubeSql,
     "q_percentile_disc"   -> Relational.qPercentileDiscSql,
+    "q_percentile_exact"  -> Relational.qPercentileExactSql,
+    "q_kafka_frame"       -> Sink.qKafkaFrameSql,
+    "q_multimodal_frames" -> Multimodal.qMultimodalFramesSql,
     "q_multimodal_resize" -> Multimodal.qMultimodalResizeSql,
     "q_multimodal_embed"  -> Multimodal.qMultimodalEmbedSql,
     "q_expand_nested"     -> Relational.qExpandNestedSql,

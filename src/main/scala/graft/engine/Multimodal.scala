@@ -207,4 +207,37 @@ object Multimodal {
       }
     }.toDF().orderBy(col("doc_id"), col("frame_idx"))
   }
+
+  /** The rotate-XOR frame hash replayed in DuckDB: 64-bit two's-complement
+    * arithmetic emulated in HUGEINT — rotl5(h) = (h·32 mod 2⁶⁴) + (h ÷ 2⁵⁹)
+    * (low 5 bits of the product are 0, so + == |), per-byte fold via
+    * list_reduce over the sampled window's codepoints (text is ASCII, so
+    * codepoint == payload byte), signed back at the end. */
+  val qMultimodalFramesSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, text,
+      |    CAST(length(text) AS BIGINT) AS n,
+      |    CAST(1 + doc_id % 8 AS BIGINT) AS frames
+      |  FROM documents
+      |), fr AS (
+      |  SELECT doc_id, text, n, frames, unnest(range(frames)) AS frame_idx FROM f
+      |), off AS (
+      |  SELECT doc_id, text, n, frame_idx,
+      |    CASE WHEN frames = 1 THEN 0 ELSE frame_idx * (n // frames) END AS byte_offset
+      |  FROM fr
+      |), hashed AS (
+      |  SELECT doc_id, frame_idx, byte_offset,
+      |    list_reduce(
+      |      list_prepend(CAST(1125899906842597 AS HUGEINT),
+      |        [CAST(ord(substr(text, CAST(j AS INT), 1)) AS HUGEINT)
+      |         for j in range(byte_offset + 1, least(n, byte_offset + 16) + 1)]),
+      |      (acc, b) -> xor((acc * 32) % 18446744073709551616::HUGEINT
+      |                        + acc // 576460752303423488::HUGEINT, b)
+      |    ) AS uh
+      |  FROM off
+      |)
+      |SELECT doc_id, frame_idx, byte_offset,
+      |  CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
+      |    THEN uh - 18446744073709551616::HUGEINT ELSE uh END AS BIGINT) AS frame_hash
+      |FROM hashed ORDER BY doc_id, frame_idx""".stripMargin
 }

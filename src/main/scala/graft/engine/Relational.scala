@@ -145,6 +145,30 @@ object Relational {
         percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99_approx"))
       .orderBy(col("l_returnflag"))
 
+  /** q_percentile_exact: exact medians — at p=0.5 the interpolated value
+    * is either an order statistic or the midpoint of two, and both
+    * engines compute it with the identical double op, so it is bit-exact
+    * cross-engine and DuckDB-checked (arbitrary-fraction interpolation is
+    * NOT — engines disagree in the last ulp — which is why q_percentile's
+    * p25/p99 family stays engine-only alongside its sketches). */
+  def qPercentileExact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("med_qty"),
+        expr("percentile(l_extendedprice, 0.5)").as("med_price"),
+        expr("percentile(l_discount, 0.5)").as("med_disc"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val qPercentileExactSql: String =
+    """SELECT l_returnflag,
+      |  median(l_quantity) AS med_qty,
+      |  median(l_extendedprice) AS med_price,
+      |  median(l_discount) AS med_disc,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** q_percentile_disc: discrete percentiles — the returned value is an
     * actual order statistic of the group, no interpolation arithmetic, so
     * it is bit-exact across engines and DuckDB-oracle-checked (the

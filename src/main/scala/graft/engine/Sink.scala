@@ -50,8 +50,11 @@ object Sink {
   }
 
   /** q_kafka_frame: the reference's full sink frame over `events` — the
-    * enveloped record rendered as (key, value, topic). Engine-only (the
-    * JSON value layout is Spark's to_json). */
+    * enveloped record rendered as (key, value, topic). The JSON value is
+    * Spark's to_json, but its layout is fully determined (struct field
+    * order, ms-truncated ISO-8601 timestamps, shortest-round-trip
+    * doubles, JSON string escaping) — so the oracle replays it
+    * byte-for-byte with string building in DuckDB. */
   def qKafkaFrame(spark: SparkSession, sfDir: String): DataFrame = {
     val enveloped = Envelope.routed(
       Envelope.enriched(
@@ -60,6 +63,25 @@ object Sink {
     toKafkaFrame(enveloped.drop("key", "topic"), "event_id", "events", "chargeover")
       .orderBy(col("key"))
   }
+
+  /** Spark's to_json replayed as deterministic string building: field
+    * order is the struct's, timestamps render as ISO-8601 truncated to
+    * milliseconds, doubles as shortest round-trip (identical in both
+    * engines for these magnitudes), and embedded JSON in `props` gets
+    * standard backslash escaping. */
+  val qKafkaFrameSql: String =
+    """SELECT CAST(event_id AS VARCHAR) AS key,
+      |  concat('{"event_id":', event_id,
+      |    ',"ts":"', strftime(ts, '%Y-%m-%dT%H:%M:%S.'), substr(strftime(ts, '%f'), 1, 3), 'Z"',
+      |    ',"user_id":', user_id,
+      |    ',"event_type":"', event_type, '"',
+      |    ',"value":', CAST(value AS VARCHAR),
+      |    ',"props":"', replace(replace(props, '\', '\\'), '"', '\"'), '"',
+      |    ',"_entity_type":"events"',
+      |    ',"_ingestion_timestamp":1730476800000',
+      |    ',"_load_mode":"INCREMENTAL_LOAD"}') AS value,
+      |  'chargeover.events' AS topic
+      |FROM events ORDER BY key""".stripMargin
 
   /** q_incremental_batch: one full state-machine batch over `orders` —
     * INITIAL_LOAD window opened at a pinned "now", state columns
