@@ -69,6 +69,11 @@ object SparkEntry {
     "q_lang_id"           -> (LlmOps.qLangId _),
     "q_fingerprint"       -> (LlmOps.qFingerprint _),
     "q_multimodal_meta"   -> (Multimodal.qMultimodalMeta _),
+    // corpus curation (repetition gate, PII scrub, URL extract, decontamination)
+    "q_repetition"        -> (Curation.qRepetition _),
+    "q_pii_scrub"         -> (Curation.qPiiScrub _),
+    "q_url_extract"       -> (Curation.qUrlExtract _),
+    "q_decontaminate"     -> (Curation.qDecontaminate _),
     // streaming window algebra (batch-checkable)
     "q_stream_tumbling"   -> (Streaming.qStreamTumbling _),
     "q_stream_session"    -> (Streaming.qStreamSession _),
@@ -141,6 +146,10 @@ object SparkEntry {
     "q_token_count"       -> LlmOps.qTokenCountSql,
     "q_text_quality"      -> LlmOps.qTextQualitySql,
     "q_multimodal_meta"   -> Multimodal.qMultimodalMetaSql,
+    "q_repetition"        -> Curation.qRepetitionSql,
+    "q_pii_scrub"         -> Curation.qPiiScrubSql,
+    "q_url_extract"       -> Curation.qUrlExtractSql,
+    "q_decontaminate"     -> Curation.qDecontaminateSql,
     "q_stream_tumbling"   -> Streaming.qStreamTumblingSql,
     "q_stream_session"    -> Streaming.qStreamSessionSql,
     "q_typed_revenue"     -> Typed.qTypedRevenueSql,

@@ -1,0 +1,272 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a pretraining pipeline runs between ingest and
+  * dedup: repetition filtering (Gopher-style signals), PII detection +
+  * redaction, URL extraction, and benchmark decontamination. Everything is
+  * codegen'd built-ins (regexp_*, higher-order array functions, two-level
+  * aggregation) — no UDFs — and every query carries an exact DuckDB oracle
+  * (integer counts, single-division doubles, common Java/RE2 regex subset).
+  *
+  * Scale design (100 TB of documents):
+  *  - repetition: token stats via explode → partial-agg on (doc_id, token) —
+  *    per-doc keys, uniform, map-side combine does most of the work; the
+  *    3-gram stats are doc-local array arithmetic (narrow, zero shuffle).
+  *  - PII/URL: pure map-side regex passes; whole-stage codegen end to end.
+  *  - decontamination: the benchmark shingle set is small by construction
+  *    (eval suites are MBs, corpora are TBs) — broadcast semi-join, so the
+  *    corpus never shuffles; per-doc hit counts partial-aggregate on doc_id.
+  */
+object Curation {
+
+  // --- repetition filtering ----------------------------------------------
+
+  /** q_repetition: per-document duplicate-token / top-token / duplicate-
+    * 3-gram fractions with a pass flag — the Gopher/MassiveText-style
+    * repetition gate (filter docs that are mostly the same line or phrase
+    * repeated). All numerators/denominators are exact longs; each fraction
+    * is one IEEE-double division, identical cross-engine. */
+  def qRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("_tk", LlmOps.tokens(col("text")))
+    // token duplicate stats: two-level aggregate. Level 1 keys on
+    // (doc_id, token) — high cardinality, uniform — and map-side partial
+    // aggregation collapses each doc's repeats before the shuffle.
+    val tokStats = docs
+      .select(col("doc_id"), explode(col("_tk")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("top_token_n"))
+    // 3-gram duplicate stats: doc-local array arithmetic, narrow pass.
+    val gramStats = docs
+      .withColumn("_sh", LlmOps.shinglesOf(col("_tk")))
+      .select(col("doc_id"),
+        size(col("_sh")).cast("long").as("n_3grams"),
+        size(array_distinct(col("_sh"))).cast("long").as("n_3grams_distinct"))
+    tokStats.join(gramStats, "doc_id")
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct"), col("top_token_n"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+          .as("dup_token_frac"),
+        (col("top_token_n").cast("double") / col("n_tokens").cast("double"))
+          .as("top_token_frac"),
+        col("n_3grams"), col("n_3grams_distinct"),
+        (lit(1.0) - col("n_3grams_distinct").cast("double") / col("n_3grams").cast("double"))
+          .as("dup_3gram_frac"))
+      .withColumn("passes",
+        col("dup_token_frac") <= 0.6 && col("top_token_frac") <= 0.2 &&
+          col("dup_3gram_frac") <= 0.2)
+      .orderBy(col("doc_id"))
+  }
+
+  val qRepetitionSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, tok, COUNT(*) AS cnt
+      |  FROM (SELECT doc_id, unnest(tk) AS tok FROM t) GROUP BY 1, 2),
+      |ts AS (
+      |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+      |    COUNT(*) AS n_distinct, CAST(MAX(cnt) AS BIGINT) AS top_token_n
+      |  FROM tok GROUP BY 1),
+      |gr AS (
+      |  SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS n_3grams,
+      |    CAST(len(list_distinct(sh)) AS BIGINT) AS n_3grams_distinct
+      |  FROM (SELECT doc_id,
+      |      CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+      |           ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, len(tk)-1)]
+      |      END AS sh
+      |    FROM t))
+      |SELECT ts.doc_id, n_tokens, n_distinct, top_token_n,
+      |  1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_token_frac,
+      |  CAST(top_token_n AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_token_frac,
+      |  n_3grams, n_3grams_distinct,
+      |  1.0 - CAST(n_3grams_distinct AS DOUBLE) / CAST(n_3grams AS DOUBLE) AS dup_3gram_frac,
+      |  (1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)) <= 0.6
+      |    AND CAST(top_token_n AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.2
+      |    AND (1.0 - CAST(n_3grams_distinct AS DOUBLE) / CAST(n_3grams AS DOUBLE)) <= 0.2 AS passes
+      |FROM ts JOIN gr ON ts.doc_id = gr.doc_id
+      |ORDER BY ts.doc_id""".stripMargin
+
+  // --- PII detection + redaction -----------------------------------------
+
+  // Shared Java/RE2 regex subset: character classes, bounded repetition,
+  // alternation — no backreferences, no lookaround (RE2 has neither).
+  private[graft] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val phoneRe = "\\([0-9]{3}\\) [0-9]{3}-[0-9]{4}"
+  private[graft] val ipRe    = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Deterministic synthetic log line per event — the testdata tables carry
+    * no natural PII, so the query materializes it from the event keys (the
+    * oracle rebuilds the identical line), then the scrub operators below do
+    * real regex work over it. */
+  private def piiLine: Column = concat(
+    lit("uid="), col("user_id").cast("string"),
+    when(col("user_id") % 7 =!= 0,
+      concat(lit(" email=user"), col("user_id").cast("string"), lit("@example.com")))
+      .otherwise(lit("")),
+    when(col("event_id") % 5 === 0, lit(" cc=admin@corp.example.org")).otherwise(lit("")),
+    lit(" ip=10."), (expr("event_id div 65536") % 256).cast("string"),
+    lit("."), (expr("event_id div 256") % 256).cast("string"),
+    lit("."), (col("event_id") % 256).cast("string"),
+    lit(" phone=("), (col("event_id") % 900 + 100).cast("string"),
+    lit(") 555-"), (col("event_id") % 9000 + 1000).cast("string"),
+    lit(" type="), col("event_type"))
+
+  /** Count + redact PII categories in a text column. Redaction order is
+    * email → phone → IP (the placeholders contain no digits, so later
+    * patterns cannot match inside earlier replacements). */
+  def piiScrub(text: Column): Seq[Column] = Seq(
+    regexp_count(text, lit(emailRe)).cast("long").as("n_emails"),
+    regexp_count(text, lit(phoneRe)).cast("long").as("n_phones"),
+    regexp_count(text, lit(ipRe)).cast("long").as("n_ips"),
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "[EMAIL]"),
+        phoneRe, "[PHONE]"),
+      ipRe, "[IP]").as("redacted"))
+
+  /** q_pii_scrub: per-event PII counts and the fully redacted line.
+    * Map-side regex only; zero shuffle (the sort is the oracle's). */
+  def qPiiScrub(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("line", piiLine)
+      .select(Seq(col("event_id"), col("line")) ++ piiScrub(col("line")): _*)
+      .orderBy(col("event_id"))
+
+  val qPiiScrubSql: String = {
+    // single line: interpolating a multi-line fragment into the outer
+    // stripMargin template would re-strip `||` operators at line starts
+    val line = "'uid=' || CAST(user_id AS VARCHAR)" +
+      " || CASE WHEN user_id % 7 <> 0 THEN ' email=user' || CAST(user_id AS VARCHAR) || '@example.com' ELSE '' END" +
+      " || CASE WHEN event_id % 5 = 0 THEN ' cc=admin@corp.example.org' ELSE '' END" +
+      " || ' ip=10.' || CAST((event_id // 65536) % 256 AS VARCHAR)" +
+      " || '.' || CAST((event_id // 256) % 256 AS VARCHAR)" +
+      " || '.' || CAST(event_id % 256 AS VARCHAR)" +
+      " || ' phone=(' || CAST(event_id % 900 + 100 AS VARCHAR)" +
+      " || ') 555-' || CAST(event_id % 9000 + 1000 AS VARCHAR)" +
+      " || ' type=' || event_type"
+    s"""WITH l AS (SELECT event_id, $line AS line FROM events)
+       |SELECT event_id, line,
+       |  CAST(len(regexp_extract_all(line, '$emailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(line, '$phoneRe')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(line, '$ipRe')) AS BIGINT) AS n_ips,
+       |  regexp_replace(regexp_replace(regexp_replace(line,
+       |    '$emailRe', '[EMAIL]', 'g'), '$phoneRe', '[PHONE]', 'g'), '$ipRe', '[IP]', 'g')
+       |    AS redacted
+       |FROM l ORDER BY event_id""".stripMargin
+  }
+
+  // --- URL extraction ----------------------------------------------------
+
+  private[graft] val urlRe = "https?://[A-Za-z0-9.-]+/[A-Za-z0-9/?=._-]*"
+
+  /** q_url_extract: pull every URL out of a log line, one output row per
+    * (event, url), with the parsed domain and scheme flag. Extraction and
+    * parse are map-side regexes; explode is narrow. */
+  def qUrlExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("line", concat(
+        lit("GET https://cdn"), (col("event_id") % 3).cast("string"),
+        lit(".example.com/"), col("event_type"),
+        lit("/item"), col("event_id").cast("string"),
+        lit("?ref=u"), col("user_id").cast("string"),
+        when(col("user_id") % 4 === 0,
+          concat(lit(" via http://mirror.example.net/"), col("event_type")))
+          .otherwise(lit(""))))
+      .select(col("event_id"),
+        // group idx 0 = whole match (Spark defaults idx to 1, and the
+        // pattern deliberately has no capture groups)
+        explode(regexp_extract_all(col("line"), lit(urlRe), lit(0))).as("url"))
+      .select(col("event_id"), col("url"),
+        regexp_extract(col("url"), "^https?://([A-Za-z0-9.-]+)", 1).as("domain"),
+        col("url").startsWith("https://").as("is_secure"))
+      .orderBy(col("event_id"), col("url"))
+
+  val qUrlExtractSql: String =
+    s"""WITH l AS (
+       |  SELECT event_id,
+       |    'GET https://cdn' || CAST(event_id % 3 AS VARCHAR)
+       |      || '.example.com/' || event_type
+       |      || '/item' || CAST(event_id AS VARCHAR)
+       |      || '?ref=u' || CAST(user_id AS VARCHAR)
+       |      || CASE WHEN user_id % 4 = 0
+       |              THEN ' via http://mirror.example.net/' || event_type
+       |              ELSE '' END AS line
+       |  FROM events),
+       |u AS (SELECT event_id, unnest(regexp_extract_all(line, '$urlRe')) AS url FROM l)
+       |SELECT event_id, url,
+       |  regexp_extract(url, '^https?://([A-Za-z0-9.-]+)', 1) AS domain,
+       |  url LIKE 'https://%' AS is_secure
+       |FROM u ORDER BY event_id, url""".stripMargin
+
+  // --- benchmark decontamination -----------------------------------------
+
+  /** Synthetic eval-set membership: every 50th document plays the held-out
+    * benchmark. Real pipelines load the benchmark corpus from a separate
+    * (small) table; the split keeps the query self-contained. */
+  private val evalPred: Column = col("doc_id") % 50 === 0
+
+  /** q_decontaminate: per training document, how many of its distinct
+    * 3-gram shingles appear in ANY benchmark document — the standard
+    * n-gram-overlap decontamination check run before training. The
+    * benchmark shingle set is broadcast (eval suites are tiny next to the
+    * corpus), so the corpus side never shuffles for the membership test;
+    * per-doc hit counts partial-aggregate on doc_id. */
+  def qDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("_tk", LlmOps.tokens(col("text")))
+      .withColumn("sh", array_distinct(LlmOps.shinglesOf(col("_tk"))))
+    val evalSet = docs.filter(evalPred)
+      .select(explode(col("sh")).as("shingle")).distinct()
+    val train = docs.filter(!evalPred)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"), col("sh"))
+    val hits = train
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .join(broadcast(evalSet), Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated"))
+    train.drop("sh")
+      .join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_contaminated"))
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        (col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
+          .as("contamination"))
+      .withColumn("flagged", col("contamination") >= 0.5)
+      .orderBy(col("doc_id"))
+  }
+
+  val qDecontaminateSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+      |         ELSE list_distinct(
+      |           [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, len(tk)-1)])
+      |    END AS shl
+      |  FROM t),
+      |ev AS (SELECT DISTINCT unnest(shl) AS s FROM sh WHERE doc_id % 50 = 0),
+      |tr AS (SELECT doc_id, CAST(len(shl) AS BIGINT) AS n_shingles, shl
+      |       FROM sh WHERE doc_id % 50 <> 0),
+      |hits AS (
+      |  SELECT doc_id, COUNT(*) AS n_contaminated
+      |  FROM (SELECT doc_id, unnest(shl) AS s FROM tr)
+      |  WHERE s IN (SELECT s FROM ev) GROUP BY 1)
+      |SELECT tr.doc_id, n_shingles,
+      |  CAST(COALESCE(n_contaminated, 0) AS BIGINT) AS n_contaminated,
+      |  CAST(COALESCE(n_contaminated, 0) AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+      |    AS contamination,
+      |  CAST(COALESCE(n_contaminated, 0) AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= 0.5
+      |    AS flagged
+      |FROM tr LEFT JOIN hits ON tr.doc_id = hits.doc_id
+      |ORDER BY tr.doc_id""".stripMargin
+}

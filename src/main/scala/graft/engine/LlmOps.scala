@@ -30,7 +30,7 @@ object LlmOps {
     * referenced from inside a higher-order function is re-evaluated per
     * lambda invocation, i.e. the text gets re-split once per shingle
     * (measured ~2 s of pure re-splitting at sf0.1). */
-  private def tokens(c: Column): Column =
+  private[engine] def tokens(c: Column): Column =
     filter(split(lower(c), " "), t => t =!= lit(""))
 
   /** Double-precision dot product. Backed by the codegen'd
@@ -191,7 +191,7 @@ object LlmOps {
 
   /** 3-token shingles from a MATERIALIZED tokens column (see `tokens` perf
     * note — passing `tokens(text)` here would re-split per shingle). */
-  private def shinglesOf(t: Column): Column =
+  private[engine] def shinglesOf(t: Column): Column =
     when(size(t) >= 3,
       transform(sequence(lit(0), size(t) - 3),
         i => concat_ws(" ", slice(t, i + 1, lit(3)))))

@@ -30,8 +30,11 @@ def main(sf_dir, out_dir):
             print(f"{name:22s} ORACLE ERROR: {e}"); fails.append(name); continue
         sdf = pd.read_parquet(files[0]) if len(files) == 1 else pd.concat(
             [pd.read_parquet(f) for f in sorted(files)])
-        o = odf[sorted(odf.columns)].reset_index(drop=True)
-        s = sdf[sorted(sdf.columns)].reset_index(drop=True) if set(sdf.columns) == set(odf.columns) else None
+        # sort rows by all columns, like the driver's hash compare — query
+        # ORDER BY ties would otherwise show up as false value diffs
+        cols = sorted(odf.columns)
+        o = odf[cols].sort_values(by=cols).reset_index(drop=True)
+        s = sdf[cols].sort_values(by=cols).reset_index(drop=True) if set(sdf.columns) == set(odf.columns) else None
         if s is None:
             print(f"{name:22s} COLUMN MISMATCH spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
             fails.append(name); continue
