@@ -262,4 +262,53 @@ object Streaming {
     df.select(col("user_id"), unix_micros(col("ts")).as("tsMicros"), col("event_type"))
       .as[EventIn]
   }
+
+  // --- transformWithState (Spark 4 arbitrary-state API) ------------------
+
+  /** `transformWithState` port of `upsertLatest`/`upsertLatestTtl` — the
+    * successor API to flatMapGroupsWithState: state is declared through a
+    * handle as NAMED typed slots (here one ValueState; a processor can hold
+    * several value/list/map states) with the store enforcing TTL natively,
+    * instead of one implicit state blob with a hand-armed timeout per key.
+    * Requires the RocksDB state-store provider, which is also the 100 TB
+    * pairing: O(live keys) state on executor local disk with changelog
+    * checkpointing, never heap.
+    *
+    * TTL semantics deliberately differ from `upsertLatestTtl`: expired
+    * state silently vanishes (nSeen restarts), no eviction snapshot row —
+    * eviction-as-data was changelog parity; here expiry is the store's own
+    * job. Keep `upsertLatestTtl` when consumers need the final snapshot. */
+  class UpsertProcessor(ttl: Option[java.time.Duration])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventIn, UpsertOut] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[UpsertState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UpsertState]("upsert",
+        org.apache.spark.sql.Encoders.product[UpsertState],
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+
+    override def handleInputRows(key: Long, rows: Iterator[EventIn],
+        tv: TimerValues): Iterator[UpsertOut] = {
+      val prev = if (state.exists()) state.get() else UpsertState(Long.MinValue, "", 0L)
+      val batch = rows.toSeq
+      val best = batch.maxBy(e => (e.tsMicros, e.event_type))
+      val next =
+        if (best.tsMicros >= prev.lastTsMicros)
+          UpsertState(best.tsMicros, best.event_type, prev.nSeen + batch.size)
+        else prev.copy(nSeen = prev.nSeen + batch.size)
+      state.update(next)
+      Iterator(UpsertOut(key, next.lastTsMicros, next.eventType, next.nSeen))
+    }
+  }
+
+  def upsertLatestTws(events: org.apache.spark.sql.Dataset[EventIn],
+      ttl: Option[java.time.Duration] = None): org.apache.spark.sql.Dataset[UpsertOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.groupByKey(_.user_id)
+      .transformWithState(new UpsertProcessor(ttl),
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Update())
+  }
 }
