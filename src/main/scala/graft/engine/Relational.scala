@@ -323,27 +323,42 @@ object Relational {
       |  FROM events)
       |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
 
+  /** Per-call temp-view scope: views get a unique numeric suffix and are
+    * dropped right after `spark.sql` ANALYZES the statement (the returned
+    * DataFrame holds resolved relations, not view names), so two
+    * concurrent callers on one session at different sfDirs can't
+    * cross-read each other's tables. */
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong
+  private def sqlOverViews(spark: SparkSession, sfDir: String,
+      tables: Seq[String])(sql: String => String): DataFrame = {
+    val sfx = viewSeq.incrementAndGet().toString
+    val views = tables.map(t => s"graft_${t}_$sfx")
+    tables.zip(views).foreach { case (t, v) =>
+      Tables.load(spark, sfDir, t).createOrReplaceTempView(v)
+    }
+    try spark.sql(sql(sfx))
+    finally views.foreach(spark.catalog.dropTempView(_))
+  }
+
   /** q_sql_multiway: the SQL-string API surface — same Q5 shape as
     * q_join_multiway but declared through spark.sql over temp views
     * (Catalyst plans both identically; the oracle pins it). */
-  def qSqlMultiway(spark: SparkSession, sfDir: String): DataFrame = {
-    Seq("lineitem", "orders", "customer", "nation", "region").foreach { t =>
-      Tables.load(spark, sfDir, t).createOrReplaceTempView(s"graft_$t")
-    }
-    spark.sql(
+  def qSqlMultiway(spark: SparkSession, sfDir: String): DataFrame =
+    sqlOverViews(spark, sfDir,
+      Seq("lineitem", "orders", "customer", "nation", "region")) { sfx =>
       s"""SELECT n_name,
          |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
          |  COUNT(*) AS n_items
-         |FROM graft_lineitem
-         |JOIN graft_orders ON l_orderkey = o_orderkey
-         |JOIN graft_customer ON o_custkey = c_custkey
-         |JOIN graft_nation ON c_nationkey = n_nationkey
-         |JOIN graft_region ON n_regionkey = r_regionkey
+         |FROM graft_lineitem_$sfx
+         |JOIN graft_orders_$sfx ON l_orderkey = o_orderkey
+         |JOIN graft_customer_$sfx ON o_custkey = c_custkey
+         |JOIN graft_nation_$sfx ON c_nationkey = n_nationkey
+         |JOIN graft_region_$sfx ON n_regionkey = r_regionkey
          |WHERE r_name = 'ASIA'
          |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
          |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
-         |GROUP BY n_name ORDER BY n_name""".stripMargin)
-  }
+         |GROUP BY n_name ORDER BY n_name""".stripMargin
+    }
 
   val qSqlMultiwaySql: String = qJoinMultiwaySql
 
@@ -594,15 +609,13 @@ object Relational {
     * it into a left outer aggregate join (RewriteCorrelatedScalarSubquery,
     * SURVEY §4 "built-in" row), so the 100 TB plan is a join, not a
     * per-row probe. */
-  def qSubqueryScalar(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_sq_customer")
-    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_sq_orders")
-    spark.sql(
-      """SELECT c_custkey,
-        |  (SELECT MAX(o_totalprice) FROM graft_sq_orders WHERE o_custkey = c_custkey) AS max_order,
-        |  (SELECT COUNT(*) FROM graft_sq_orders WHERE o_custkey = c_custkey) AS n_orders
-        |FROM graft_sq_customer ORDER BY c_custkey""".stripMargin)
-  }
+  def qSubqueryScalar(spark: SparkSession, sfDir: String): DataFrame =
+    sqlOverViews(spark, sfDir, Seq("customer", "orders")) { sfx =>
+      s"""SELECT c_custkey,
+         |  (SELECT MAX(o_totalprice) FROM graft_orders_$sfx WHERE o_custkey = c_custkey) AS max_order,
+         |  (SELECT COUNT(*) FROM graft_orders_$sfx WHERE o_custkey = c_custkey) AS n_orders
+         |FROM graft_customer_$sfx ORDER BY c_custkey""".stripMargin
+    }
 
   val qSubqueryScalarSql: String =
     """SELECT c_custkey,
