@@ -30,7 +30,9 @@ object Bench {
       if (sibling.isDirectory) sibling.getPath else sfDir
     }
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, warmSf).count()
+      // toRdd for the same reason as the timed loop: warm the JIT on the
+      // FULL plan, not the count-pruned one
+      try fn(spark, warmSf).queryExecution.toRdd.count()
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
       }
@@ -58,14 +60,26 @@ object Bench {
     // min-of-2 per query: this host shows heavy run-to-run variance
     // (identical benches measured 19s-180s total); the min is the standard
     // noise-robust estimator for wall-clock microbenchmarks
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def once(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      // Materialize through the query's OWN physical plan (toRdd), not
+      // df.count(): count() stacks an Aggregate on top and ColumnPruning
+      // then deletes every cardinality-preserving operator whose output
+      // the count doesn't reference — windows, regex/JSON projections,
+      // whole map-side queries — leaving a bare filtered scan (measured:
+      // q_asof_join at sf10 "ran" in 47 ms). toRdd computes every output
+      // row of the declared plan, rows stay distributed.
+      // A swallowed failure would time as ~0 s and silently flatter the
+      // total — log it so a scaled-dir schema surprise can't hide.
+      try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage.take(200)}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val r0 = shRead.get; val w0 = shWrite.get; val s0 = spilled.get
-      val t = math.min(once(fn), once(fn))
+      val t = math.min(once(name, fn), once(name, fn))
       System.err.println(s"""[bench-metrics] {"query":"$name","sec":$t,""" +
         s""""shuffleReadB":${shRead.get - r0},"shuffleWriteB":${shWrite.get - w0},""" +
         s""""spillB":${spilled.get - s0}}""")

@@ -41,9 +41,17 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     graft.plans.NanosRangePushdown.install(s)
     val raw = eventsRaw(s, d)
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // parquet written by µs-native engines (DuckDB, Hive) carries
+      // isAdjustedToUTC=false → Spark reads TIMESTAMP_NTZ; under the UTC
+      // session the cast to LTZ is wall-clock identity, and downstream
+      // unix_micros/window functions require LTZ
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Raw events read (ts as nanosecond long) — streaming needs the
