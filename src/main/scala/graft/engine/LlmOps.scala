@@ -406,9 +406,19 @@ object LlmOps {
     val flat = withShingleHashes(Tables.documents(spark, sfDir))
       .select(col("source"), col("doc_id"), size(col("shl")).as("n_sh"),
         explode(col("shl")).as("hs"))
-    val common = flat.groupBy(col("source"), col("hs"))
-      .agg(slice(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))),
-        1, maxBucketDocs).as("m"))
+    // Posting lists are bounded BEFORE the collect_list (same fix as
+    // minhashCandidatePairs): slicing after aggregation still materializes
+    // the full buffer for a stop-shingle shared by half the corpus — at
+    // sf10 a single such UnsafeRow buffer OOM'd an 8 GB heap. The window
+    // shuffles on the same (source, hs) key the groupBy needs → one
+    // exchange, and window sort spills where an agg buffer can't.
+    val wPost = Window.partitionBy(col("source"), col("hs"))
+      .orderBy(col("doc_id"), col("n_sh"))
+    val bounded = flat
+      .withColumn("rn", row_number().over(wPost))
+      .filter(col("rn") <= maxBucketDocs)
+    val common = bounded.groupBy(col("source"), col("hs"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("m"))
       .filter(size(col("m")) > 1)
       .select(explode(pairsOf(col("m"))).as("p"))
       .groupBy(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"))
