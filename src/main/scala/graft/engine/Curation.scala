@@ -11,9 +11,9 @@ import org.apache.spark.sql.functions._
   * (integer counts, single-division doubles, common Java/RE2 regex subset).
   *
   * Scale design (100 TB of documents):
-  *  - repetition: token stats via explode → partial-agg on (doc_id, token) —
-  *    per-doc keys, uniform, map-side combine does most of the work; the
-  *    3-gram stats are doc-local array arithmetic (narrow, zero shuffle).
+  *  - repetition: every signal is doc-local, so the whole gate is one
+  *    narrow pass — token stats fold over the sorted in-row token array,
+  *    3-gram stats are doc-local array arithmetic; zero shuffle.
   *  - PII/URL: pure map-side regex passes; whole-stage codegen end to end.
   *  - decontamination: the benchmark shingle set is small by construction
   *    (eval suites are MBs, corpora are TBs) — broadcast semi-join, so the
@@ -27,29 +27,48 @@ object Curation {
     * 3-gram fractions with a pass flag — the Gopher/MassiveText-style
     * repetition gate (filter docs that are mostly the same line or phrase
     * repeated). All numerators/denominators are exact longs; each fraction
-    * is one IEEE-double division, identical cross-engine. */
+    * is one IEEE-double division, identical cross-engine.
+    *
+    * Every stat here is doc-local, so the whole query is a NARROW pass:
+    * token counts come from one `aggregate` HOF over the sorted token
+    * array (distinct count + longest run in a single fold) instead of an
+    * explode → groupBy(doc_id, token) → groupBy(doc_id) two-level shuffle.
+    * Measured at sf10: 28.4 s / 796 MB shuffled (explode formulation) →
+    * map-side only; at 100 TB the explode version shuffles the corpus'
+    * entire token stream, this one shuffles nothing but the final sort.
+    * The `size(_tk) > 0` filter preserves the join formulation's
+    * semantics (docs with no tokens produced no exploded rows and were
+    * inner-join-dropped; the oracle SQL drops them the same way). */
   def qRepetition(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+    // fold state: (prev token, current run, best run, distinct count).
+    // Tokens are non-empty (LlmOps.tokens filters ""), so prev="" can't
+    // collide with a real first element. Lambda bodies reference only the
+    // accumulator and element — nothing for CollapseProject to inline and
+    // re-evaluate per element (LlmOps.scala:206 pitfall).
+    val runStats = aggregate(
+      sort_array(col("_tk")),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"),
+        lit(0L).as("nd")),
+      (s, x) => {
+        val same = x === s.getField("prev")
+        val run = when(same, s.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(s.getField("best"), run).as("best"),
+          (s.getField("nd") + when(same, 0L).otherwise(1L)).as("nd"))
+      },
+      s => struct(s.getField("best").as("best"), s.getField("nd").as("nd")))
+    Tables.documents(spark, sfDir)
       .withColumn("_tk", LlmOps.tokens(col("text")))
-    // token duplicate stats: two-level aggregate. Level 1 keys on
-    // (doc_id, token) — high cardinality, uniform — and map-side partial
-    // aggregation collapses each doc's repeats before the shuffle.
-    val tokStats = docs
-      .select(col("doc_id"), explode(col("_tk")).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(col("cnt")).as("n_tokens"),
-        count(lit(1)).as("n_distinct"),
-        max(col("cnt")).as("top_token_n"))
-    // 3-gram duplicate stats: doc-local array arithmetic, narrow pass.
-    val gramStats = docs
+      .filter(size(col("_tk")) > 0)
+      .withColumn("_rs", runStats)
       .withColumn("_sh", LlmOps.shinglesOf(col("_tk")))
-      .select(col("doc_id"),
+      .select(
+        col("doc_id"),
+        size(col("_tk")).cast("long").as("n_tokens"),
+        col("_rs").getField("nd").as("n_distinct"),
+        col("_rs").getField("best").as("top_token_n"),
         size(col("_sh")).cast("long").as("n_3grams"),
         size(array_distinct(col("_sh"))).cast("long").as("n_3grams_distinct"))
-    tokStats.join(gramStats, "doc_id")
       .select(
         col("doc_id"), col("n_tokens"), col("n_distinct"), col("top_token_n"),
         (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens").cast("double"))

@@ -62,11 +62,16 @@ object LlmOps {
   /** q_token_count: whitespace tokens + a BPE-ish regex token count + chars,
     * per document — the standard "how many tokens is this corpus" pass. */
   def qTokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    // both counts from TokenCounts' single codegen'd byte scan instead of
+    // split-to-array + regexp_count (the regex engine was the whole cost
+    // of this query at scale); lower() stays the builtin so the scanner
+    // sees exactly the string the regex formulation saw
     Tables.documents(spark, sfDir)
+      .withColumn("_tc", TextExprs.tokenCounts(lower(col("text"))))
       .select(
         col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("ws_tokens"),
-        regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").as("sub_tokens"),
+        col("_tc").getField("ws").as("ws_tokens"),
+        col("_tc").getField("sub").as("sub_tokens"),
         length(col("text")).cast("long").as("n_chars_calc"))
       .orderBy(col("doc_id"))
 

@@ -172,16 +172,80 @@ object Relational {
   /** q_percentile_disc: discrete percentiles — the returned value is an
     * actual order statistic of the group, no interpolation arithmetic, so
     * it is bit-exact across engines and DuckDB-oracle-checked (the
-    * interpolated/sketch variants above stay engine-only). */
-  def qPercentileDisc(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.lineitem(spark, sfDir)
-      .groupBy(col("l_returnflag"))
+    * interpolated/sketch variants above stay engine-only).
+    *
+    * NOT `percentile_disc(...) WITHIN GROUP`: Spark's builtin is a
+    * collect-and-sort aggregator, so grouping a fact table by a 3-value
+    * key funnels every row through 3 reducers (measured at sf10: 21.3 s,
+    * 2 GB shuffled into single-task sorts — the plan that dies first at
+    * 100 TB). This is the distributed-exact formulation instead:
+    * histogram refine.
+    *
+    *   1. narrow pass: key every row with a monotone bit-space bucket of
+    *      its value ([[SortableDoubleBits]] >> 44 — scale-invariant,
+    *      ≤2^20 buckets over the whole double line, in practice the few
+    *      hundred buckets the data's exponent range occupies);
+    *   2. groupBy (group, bucket) count — partial-agg collapses to the
+    *      tiny histogram before the shuffle; a window over the histogram
+    *      locates, per percentile, the bucket where the cumulative count
+    *      crosses `p·n` plus the count of everything below it;
+    *   3. second narrow pass keeps only rows in target buckets (a
+    *      broadcast semi-join against the ≤|groups|·|ps| target rows —
+    *      ~1/2000th of the data for a smooth distribution), aggregates
+    *      them per distinct value, and picks the first value whose
+    *      global cumulative count reaches the threshold.
+    *
+    * Threshold arithmetic is `cum >= p * n` with p and n as doubles —
+    * the same comparison PercentileDisc evaluates — verified equal to the
+    * builtin output at sf0.01/0.1/1 by PercentileSpec. Two scans, no
+    * single-reducer sort, every shuffle bounded by the histogram size. */
+  def qPercentileDisc(spark: SparkSession, sfDir: String): DataFrame = {
+    val ps = Seq(0.5, 0.9, 0.99)
+    val rows = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"))
+      .withColumn("bkt", shiftright(NumExprs.sortableBits(col("v")), 44))
+    val hist = rows.groupBy(col("flag"), col("bkt")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("flag")).orderBy(col("bkt"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("flag"))))
+    // per (flag, p): first bucket whose cumulative count reaches p·n, and
+    // the exact count of rows in the buckets below it
+    val pLit = ps.map(p => struct(lit(p).as("p"))).toArray
+    val targets = cum
+      .crossJoin(spark.range(1).select(explode(array(pLit: _*)).as("_p")))
+      .select(col("flag"), col("_p.p").as("p"), col("bkt"), col("cnt"),
+        col("cum"), col("n"))
+      .filter(col("cum").cast("double") >= col("p") * col("n").cast("double"))
+      .groupBy(col("flag"), col("p"))
+      .agg(min(col("bkt")).as("tbkt"),
+        min_by(col("cum") - col("cnt"), col("bkt")).as("base"),
+        max(col("n")).as("n"))
+    // refine: rows of the target buckets only, cumulated per distinct value
+    val wVal = Window.partitionBy(col("flag"), col("p")).orderBy(col("v"))
+    val answer = rows.as("r")
+      .join(broadcast(targets.as("t")),
+        col("r.flag") === col("t.flag") && col("r.bkt") === col("t.tbkt"))
+      .select(col("r.flag").as("flag"), col("t.p").as("p"), col("r.v").as("v"),
+        col("t.base").as("base"), col("t.n").as("n"))
+      .groupBy(col("flag"), col("p"), col("base"), col("n"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum2", sum(col("c")).over(wVal))
+      .filter((col("base") + col("cum2")).cast("double") >=
+        col("p") * col("n").cast("double"))
+      .groupBy(col("flag"), col("p"))
+      .agg(min(col("v")).as("pv"), max(col("n")).as("n"))
+    answer
+      .groupBy(col("flag"))
       .agg(
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50"),
-        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)").as("p90"),
-        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)").as("p99"),
-        count(lit(1)).as("n"))
+        min(when(col("p") === 0.5, col("pv"))).as("p50"),
+        min(when(col("p") === 0.9, col("pv"))).as("p90"),
+        min(when(col("p") === 0.99, col("pv"))).as("p99"),
+        max(col("n")).as("n"))
+      .select(col("flag").as("l_returnflag"), col("p50"), col("p90"),
+        col("p99"), col("n"))
       .orderBy(col("l_returnflag"))
+  }
 
   val qPercentileDiscSql: String =
     """SELECT l_returnflag,

@@ -162,10 +162,93 @@ object ShingleHashes {
   }
 }
 
+/** Single-scan token counters — the codegen'd replacement for the two
+  * regex/array passes in the token-count query (`size(split(...))` builds a
+  * throwaway array per doc just to take its length; `regexp_count` drags
+  * the full java.util.regex machinery over every char of the corpus —
+  * measured 16.5 s at sf10, pure CPU).
+  *
+  * Returns struct(ws BIGINT, sub BIGINT) over the input string:
+  *  - `ws`  = runs of non-space bytes — exactly
+  *    `size(filter(split(s, " "), t -> t <> ""))` (0x20 never occurs
+  *    inside a multi-byte UTF-8 sequence, so byte-level runs are exact);
+  *  - `sub` = matches of `[a-z]+|[0-9]+|[^a-z0-9 ]` — the regex scanner's
+  *    maximal-munch behavior replayed directly: letter runs and digit runs
+  *    count once, every other non-space CODE POINT counts once (multi-byte
+  *    lead byte advances by the sequence length, matching the per-code-
+  *    point semantics of a Java regex negated class).
+  *
+  * Both counts come from one pass over the raw UTF-8 bytes, no
+  * allocation. Pinned byte-equal to the regex/split formulation by
+  * LlmOpsSpec on the real corpus plus unicode edge strings. */
+case class TokenCounts(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = TokenCounts.schema
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_counts needs a string child, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TokenCounts.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.engine.TokenCounts.compute($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCounts =
+    copy(child = newChild)
+
+  override def prettyName: String = "token_counts"
+}
+
+object TokenCounts {
+  val schema: StructType = StructType(Seq(
+    StructField("ws", LongType, nullable = false),
+    StructField("sub", LongType, nullable = false)))
+
+  /** Static entry shared by interpreted eval and generated code. */
+  def compute(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = s.numBytes()
+    var ws = 0L
+    var sub = 0L
+    var prev = 0 // 0 = other/none, 1 = in letter run, 2 = in digit run
+    var inTok = false
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b == ' ') { prev = 0; inTok = false; i += 1 }
+      else {
+        if (!inTok) { ws += 1; inTok = true }
+        if (b >= 'a' && b <= 'z') {
+          if (prev != 1) sub += 1
+          prev = 1; i += 1
+        } else if (b >= '0' && b <= '9') {
+          if (prev != 2) sub += 1
+          prev = 2; i += 1
+        } else if ((b & 0x80) == 0) {
+          sub += 1; prev = 0; i += 1
+        } else {
+          sub += 1; prev = 0
+          i += UTF8String.numBytesForFirstByte(b)
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](ws, sub))
+  }
+}
+
 object TextExprs {
   /** Column-level SimHash backed by the codegen'd expression. */
   def simhash64(tokens: Column): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(tokens)))
+
+  /** Column-level single-scan token counts (struct(ws, sub)). */
+  def tokenCounts(s: Column): Column =
+    GraftColumnBridge.column(TokenCounts(GraftColumnBridge.expression(s)))
 
   /** Column-level shingle hashes backed by the codegen'd expression. */
   def shingleHashes(tokens: Column): Column =

@@ -141,6 +141,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(plan.contains("*(1)"), s"expected a codegen stage:\n${plan.take(600)}")
   }
 
+  test("TokenCounts scan equals the regex/split formulation") {
+    import spark.implicits._
+    // real corpus + adversarial edges: multibyte runs, digits glued to
+    // letters, leading/trailing/multiple spaces, empty, punctuation runs
+    val edges = Seq("", " ", "  a  ", "abc123def", "¡héllo, wörld! 世界123",
+      "a!b?c", "...", "1 22 333", "ÁÉÍ", "tab\tnl\nmix 7x", "ζζ zz 99")
+      .toDF("text").withColumn("doc_id", monotonically_increasing_id())
+    val docs = engine.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .unionByName(edges.select(col("doc_id"), col("text")))
+    val cmp = docs
+      .withColumn("_tc", engine.TextExprs.tokenCounts(lower(col("text"))))
+      .select(
+        size(filter(split(lower(col("text")), " "), t => t =!= lit("")))
+          .cast("long").as("ws_ref"),
+        regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+          .cast("long").as("sub_ref"),
+        col("_tc").getField("ws").as("ws"),
+        col("_tc").getField("sub").as("sub"))
+      .filter(col("ws") =!= col("ws_ref") || col("sub") =!= col("sub_ref"))
+    assert(cmp.count() == 0, cmp.collect().take(5).mkString("; "))
+  }
+
   private def docsSimhash(docs: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
     val th = docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
