@@ -1,0 +1,95 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed rank over LOW-CARDINALITY window partitions.
+  *
+  * `Window.partitionBy(k)` plans one task per distinct key: with a 5-value
+  * key over a 100 TB fact table, every ranking function funnels the whole
+  * table through 5 single-task sorts — the first plan to die at scale
+  * (measured: q_window_misc was the slowest non-dedup query at sf10).
+  * This is the classic scale-out alternative: chunk the GLOBAL
+  * (group, order) sort order uniformly, rank within chunks, and stitch
+  * chunk offsets with metadata-sized aggregations.
+  *
+  *   1. `repartitionByRange` on (group ++ order) — Spark's range
+  *      partitioner samples bounds, so chunks are uniform regardless of
+  *      group skew, and each chunk holds a contiguous slice of the global
+  *      order;
+  *   2. `row_number` windowed BY CHUNK ID — ~rows/numChunks per task, no
+  *      skew (one hash shuffle of only the projected columns);
+  *   3. chunk row-counts → running offsets (a numChunks-row aggregate,
+  *      broadcast back): global row number = chunk offset + local rank;
+  *   4. per-group count + first global row number (a |groups|-row
+  *      aggregate, broadcast back): rank within group = global row number
+  *      − group start + 1.
+  *
+  * Requires a TIE-FREE (total) ordering — callers append a unique key to
+  * `order`, exactly what deterministic output needs anyway. With unique
+  * orderings rank = row_number and `percent_rank = (rank−1)/(n−1)`,
+  * `ntile` follow arithmetically from (rank, n) — same formulas Spark's
+  * window evaluators use, pinned to the builtins by BigWindowSpec.
+  */
+object BigWindow {
+
+  /** Appends `_grank` (1-based rank of the row within its group under
+    * `order`) and `_gn` (group size) — both BIGINT — to `df`. */
+  def ranked(df: DataFrame, group: Seq[Column], order: Seq[Column],
+      numChunks: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val chunks =
+      if (numChunks > 0) numChunks
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df
+      .repartitionByRange(chunks, (group ++ order): _*)
+      .withColumn("_chunk", spark_partition_id())
+    // local rank within the chunk: chunk sizes are range-partitioner
+    // uniform, so this window has no skewed partitions. The ordering must
+    // re-state group ++ order because a chunk can straddle a group edge.
+    val wChunk = Window.partitionBy(col("_chunk")).orderBy((group ++ order): _*)
+    val local = ranged.withColumn("_lrank", row_number().over(wChunk))
+    // chunk offsets: numChunks rows — window over a singleton partition is
+    // metadata-sized by construction
+    val offsets = local.groupBy(col("_chunk")).agg(count(lit(1)).as("_c"))
+      .withColumn("_offset",
+        coalesce(sum(col("_c")).over(
+          Window.orderBy(col("_chunk"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_chunk"), col("_offset"))
+    val global = local
+      .join(broadcast(offsets), "_chunk")
+      .withColumn("_grn", col("_offset") + col("_lrank"))
+      .drop("_chunk", "_lrank", "_offset")
+    // group metadata: |groups| rows after partial aggregation
+    val groups = global.groupBy(group: _*)
+      .agg(count(lit(1)).as("_gn"), min(col("_grn")).as("_gstart"))
+    global
+      .join(broadcast(groups), group.map(_.toString))
+      .withColumn("_grank", col("_grn") - col("_gstart") + 1L)
+      .drop("_grn", "_gstart")
+  }
+
+  /** Spark-exact `percent_rank` from (rank, n): (rank−1)/(n−1), 0.0 for
+    * single-row groups (the builtin's convention). */
+  def percentRank(rank: Column, n: Column): Column =
+    when(n === 1L, 0.0)
+      .otherwise((rank - 1L).cast("double") / (n - 1L).cast("double"))
+
+  /** Spark-exact `ntile(k)` from (rank, n): the first n % k buckets take
+    * one extra row — SQL-standard remainder-to-the-front sizing.
+    * Divisions go through floor-of-double, exact for ranks < 2^53 (ample:
+    * that is 9e15 rows per group). */
+  def ntileOf(k: Int, rank: Column, n: Column): Column = {
+    def idiv(a: Column, b: Column): Column = floor(a / b).cast("long")
+    val small = idiv(n, lit(k))             // floor bucket size
+    val large = n % k                       // buckets holding small + 1
+    val cut = large * (small + 1L)          // rows covered by large buckets
+    val r0 = rank - 1L
+    when(small === 0L, r0 + 1L) // n < k: every row its own bucket
+      .otherwise(
+        when(r0 < cut, idiv(r0, small + 1L) + 1L)
+          .otherwise(large + idiv(r0 - cut, small) + 1L))
+  }
+}

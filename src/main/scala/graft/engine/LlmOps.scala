@@ -169,12 +169,11 @@ object LlmOps {
     * sensitive like a polynomial hash but wrap-safe under ANSI mode (long
     * multiply would overflow-error). Engine-only (hash function is ours). */
   def qFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    // native codegen'd fold (TextExprs.RollingFingerprint) — the HOF
+    // formulation ran interpreted per token; bit-identity pinned by spec
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
-        aggregate(transform(tokens(col("text")), t => xxhash64(t)),
-          lit(0L),
-          (acc, h) => shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59)).bitwiseXOR(h))
-          .as("fingerprint"))
+        TextExprs.rollingFingerprint(tokens(col("text"))).as("fingerprint"))
       .orderBy(col("doc_id"))
 
   // --- dedup -------------------------------------------------------------

@@ -648,14 +648,30 @@ object Relational {
     * deterministic. percent_rank = (rank-1)/(n-1): one identical double
     * division in both engines. */
   def qWindowMisc(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-    Tables.orders(spark, sfDir)
-      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
-      .withColumn("quartile", ntile(4).over(w).cast("long"))
-      .withColumn("pct_rank", percent_rank().over(w))
-      .withColumn("top_key", first_value(col("o_orderkey")).over(w))
-      .withColumn("second_key", nth_value(col("o_orderkey"), 2).over(w))
+    // o_orderpriority has FIVE distinct values — a direct
+    // Window.partitionBy would funnel the whole table through 5
+    // single-task sorts at any scale. BigWindow.ranked computes the same
+    // (rank, n) via uniform range chunks + metadata joins; ntile /
+    // percent_rank follow arithmetically, and first/nth_value come from a
+    // broadcast join of the rank-1/rank-2 rows. nth_value keeps the
+    // builtin's default running frame: null until rank 2.
+    val ranked = BigWindow.ranked(
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")),
+      Seq(col("o_orderpriority")),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+    val tops = ranked.filter(col("_grank") <= 2)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        min(when(col("_grank") === 1L, col("o_orderkey"))).as("_top"),
+        min(when(col("_grank") === 2L, col("o_orderkey"))).as("_second"))
+    ranked.join(broadcast(tops), "o_orderpriority")
+      .select(
+        col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        BigWindow.ntileOf(4, col("_grank"), col("_gn")).as("quartile"),
+        BigWindow.percentRank(col("_grank"), col("_gn")).as("pct_rank"),
+        col("_top").as("top_key"),
+        when(col("_grank") >= 2L, col("_second")).as("second_key"))
       .orderBy(col("o_orderkey"))
   }
 

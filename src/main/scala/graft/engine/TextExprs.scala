@@ -241,10 +241,63 @@ object TokenCounts {
   }
 }
 
+/** Native rolling document fingerprint over a token array — the codegen'd
+  * replacement for `aggregate(transform(tokens, xxhash64), 0L, rotl5⊕h)`,
+  * which runs interpreted per token (HOFs are CodegenFallback) and was the
+  * last interpreted narrow pass over the corpus at sf10. Bit-identical to
+  * the HOF formulation (pinned by LlmOpsSpec): per token
+  * h = xxhash64(t) (seed-42 XXH64, the same hashUTF8String Spark's hash
+  * expression calls), acc = rotateLeft(acc, 5) ^ h, starting from 0. */
+case class RollingFingerprint(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"rolling_fingerprint needs array<string>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    RollingFingerprint.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.engine.RollingFingerprint.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingFingerprint =
+    copy(child = newChild)
+
+  override def prettyName: String = "rolling_fingerprint"
+}
+
+object RollingFingerprint {
+  /** Static entry shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      // xxhash64(null) is the seed itself — tokens() never yields nulls,
+      // but keep the builtin's null behavior for bit parity
+      val h =
+        if (arr.isNullAt(i)) 42L
+        else XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      acc = java.lang.Long.rotateLeft(acc, 5) ^ h
+      i += 1
+    }
+    acc
+  }
+}
+
 object TextExprs {
   /** Column-level SimHash backed by the codegen'd expression. */
   def simhash64(tokens: Column): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(tokens)))
+
+  /** Column-level rolling fingerprint backed by the codegen'd expression. */
+  def rollingFingerprint(tokens: Column): Column =
+    GraftColumnBridge.column(RollingFingerprint(GraftColumnBridge.expression(tokens)))
 
   /** Column-level single-scan token counts (struct(ws, sub)). */
   def tokenCounts(s: Column): Column =

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.{BigWindow, Relational, Tables}
+
+/** Pins BigWindow's distributed (rank, n) — and the ntile / percent_rank
+  * arithmetic derived from them — to Spark's builtin window functions,
+  * including single-row groups, groups smaller than the tile count, and
+  * chunk boundaries straddling a group edge. */
+class BigWindowSpec extends SparkSpec {
+
+  test("qWindowMisc equals the direct Window formulation on orders") {
+    val ours = Relational.qWindowMisc(spark, sf).collect()
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val direct = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("top_key", first_value(col("o_orderkey")).over(w))
+      .withColumn("second_key", nth_value(col("o_orderkey"), 2).over(w))
+      .orderBy(col("o_orderkey")).collect()
+    assert(ours.length == direct.length && ours.length > 0)
+    ours.zip(direct).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+  }
+
+  test("ranked matches row_number/count over adversarial group sizes") {
+    import spark.implicits._
+    // group sizes 1, 2, 3 (< ntile k), 4, and 997 (straddles every chunk)
+    var s = 0x2545F4914F6CDD1DL
+    def next(): Long = { s ^= s << 13; s ^= s >>> 7; s ^= s << 17; s }
+    val data = Seq(1 -> 1, 2 -> 2, 3 -> 3, 4 -> 4, 5 -> 997).flatMap {
+      case (g, sz) => (1 to sz).map(_ => (s"g$g", next()))
+    }
+    val df = data.toDF("grp", "k")
+    val ours = BigWindow.ranked(df, Seq(col("grp")), Seq(col("k")), 7)
+      .select(col("grp"), col("k"), col("_grank"), col("_gn"),
+        BigWindow.ntileOf(4, col("_grank"), col("_gn")).as("nt"),
+        BigWindow.percentRank(col("_grank"), col("_gn")).as("pr"))
+      .orderBy(col("grp"), col("k")).collect()
+    val w = Window.partitionBy(col("grp")).orderBy(col("k"))
+    val direct = df
+      .withColumn("_grank", row_number().over(w).cast("long"))
+      .withColumn("_gn", count(lit(1)).over(Window.partitionBy(col("grp"))))
+      .withColumn("nt", ntile(4).over(w).cast("long"))
+      .withColumn("pr", percent_rank().over(w))
+      .orderBy(col("grp"), col("k")).collect()
+    assert(ours.length == direct.length)
+    ours.zip(direct).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+  }
+}

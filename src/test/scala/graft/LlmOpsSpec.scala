@@ -163,6 +163,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(cmp.count() == 0, cmp.collect().take(5).mkString("; "))
   }
 
+  test("RollingFingerprint is bit-identical to the HOF fold") {
+    val docs = engine.Tables.documents(spark, sf)
+    val toks = filter(split(lower(col("text")), " "), t => t =!= lit(""))
+    val cmp = docs.select(
+      engine.TextExprs.rollingFingerprint(toks).as("native"),
+      aggregate(transform(toks, t => xxhash64(t)), lit(0L),
+        (acc, h) => shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59))
+          .bitwiseXOR(h)).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(cmp.count() == 0)
+    // empty token array folds to the zero seed
+    import spark.implicits._
+    val empty = Seq("").toDF("text")
+      .select(engine.TextExprs.rollingFingerprint(
+        filter(split(col("text"), " "), t => t =!= lit(""))))
+      .collect()(0).getLong(0)
+    assert(empty == 0L)
+  }
+
   private def docsSimhash(docs: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
     val th = docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
