@@ -74,6 +74,7 @@ object SparkEntry {
     "q_pii_scrub"         -> (Curation.qPiiScrub _),
     "q_url_extract"       -> (Curation.qUrlExtract _),
     "q_decontaminate"     -> (Curation.qDecontaminate _),
+    "q_pack_sequences"    -> (Curation.qPackSequences _),
     // streaming window algebra (batch-checkable)
     "q_stream_tumbling"   -> (Streaming.qStreamTumbling _),
     "q_stream_session"    -> (Streaming.qStreamSession _),
@@ -150,6 +151,7 @@ object SparkEntry {
     "q_pii_scrub"         -> Curation.qPiiScrubSql,
     "q_url_extract"       -> Curation.qUrlExtractSql,
     "q_decontaminate"     -> Curation.qDecontaminateSql,
+    "q_pack_sequences"    -> Curation.qPackSequencesSql,
     "q_stream_tumbling"   -> Streaming.qStreamTumblingSql,
     "q_stream_session"    -> Streaming.qStreamSessionSql,
     "q_typed_revenue"     -> Typed.qTypedRevenueSql,

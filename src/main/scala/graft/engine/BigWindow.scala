@@ -71,6 +71,38 @@ object BigWindow {
       .drop("_grn", "_gstart")
   }
 
+  /** Appends `_psum` (inclusive prefix sum of `value` over the GLOBAL
+    * `order`) to `df` — the scale-out replacement for
+    * `sum(value).over(Window.orderBy(order))`, which moves the entire
+    * dataset to one task. Same chunking scheme as [[ranked]]: local
+    * running sums within uniform range chunks, plus a chunk-total running
+    * offset (numChunks rows). `order` must be total (tie-free) for a
+    * deterministic result. `value` must be integral (summed as BIGINT). */
+  def prefixSummed(df: DataFrame, order: Seq[Column], value: Column,
+      numChunks: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val chunks =
+      if (numChunks > 0) numChunks
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df
+      .repartitionByRange(chunks, order: _*)
+      .withColumn("_chunk", spark_partition_id())
+      .withColumn("_v", value.cast("long"))
+    val wChunk = Window.partitionBy(col("_chunk")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("_lsum", sum(col("_v")).over(wChunk))
+    val offsets = local.groupBy(col("_chunk")).agg(sum(col("_v")).as("_c"))
+      .withColumn("_offset",
+        coalesce(sum(col("_c")).over(
+          Window.orderBy(col("_chunk"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_chunk"), col("_offset"))
+    local
+      .join(broadcast(offsets), "_chunk")
+      .withColumn("_psum", col("_offset") + col("_lsum"))
+      .drop("_chunk", "_v", "_lsum", "_offset")
+  }
+
   /** Spark-exact `percent_rank` from (rank, n): (rank−1)/(n−1), 0.0 for
     * single-row groups (the builtin's convention). */
   def percentRank(rank: Column, n: Column): Column =

@@ -288,4 +288,54 @@ object Curation {
       |    AS flagged
       |FROM tr LEFT JOIN hits ON tr.doc_id = hits.doc_id
       |ORDER BY tr.doc_id""".stripMargin
+
+  // --- sequence packing ---------------------------------------------------
+
+  /** Token budget per packed training sequence (a context-window size). */
+  private[engine] val packBudget = 2048L
+
+  /** q_pack_sequences: pack the corpus into fixed-token-budget training
+    * sequences in a deterministic pseudorandom order — the step between
+    * curation and the trainer. Shuffle order is the md5 of the doc id
+    * (reproducible, engine-independent, uniform); each doc's sequence is
+    * `floor(tokens-before-it / budget)` — streaming greedy packing, where
+    * a doc straddling a boundary stays in the sequence it started in (so
+    * a sequence can overflow by at most one doc; no doc is ever split).
+    *
+    * The global running token count is the textbook single-task window
+    * (`sum(...).over(Window.orderBy(...))` with no partition key) — at
+    * corpus scale that plan is exactly as dead as the 5-value window was,
+    * so it runs through [[BigWindow.prefixSummed]]'s chunked prefix sum
+    * instead. Token counts ride the codegen'd [[TokenCounts]] scan. */
+  def qPackSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .withColumn("_tc", TextExprs.tokenCounts(lower(col("text"))))
+      .select(
+        col("doc_id"),
+        md5(col("doc_id").cast("string")).as("skey"),
+        col("_tc").getField("ws").as("n_tokens"))
+    BigWindow.prefixSummed(d, Seq(col("skey"), col("doc_id")), col("n_tokens"))
+      .withColumn("cum_excl", col("_psum") - col("n_tokens"))
+      .select(
+        col("doc_id"), col("skey"), col("n_tokens"),
+        floor(col("cum_excl") / packBudget).cast("long").as("seq_id"),
+        (col("cum_excl") % packBudget).as("seq_offset"))
+      .orderBy(col("skey"), col("doc_id"))
+  }
+
+  val qPackSequencesSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    md5(CAST(doc_id AS VARCHAR)) AS skey,
+      |    CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+      |      AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT *, SUM(n_tokens) OVER (ORDER BY skey, doc_id
+      |    ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_excl
+      |  FROM d)
+      |SELECT doc_id, skey, n_tokens,
+      |  CAST(FLOOR(cum_excl / 2048.0) AS BIGINT) AS seq_id,
+      |  cum_excl % 2048 AS seq_offset
+      |FROM c ORDER BY skey, doc_id""".stripMargin
 }

@@ -25,6 +25,38 @@ class BigWindowSpec extends SparkSpec {
     ours.zip(direct).foreach { case (a, b) => assert(a == b, s"$a != $b") }
   }
 
+  test("prefixSummed equals the single-task global running sum") {
+    import spark.implicits._
+    var s = 0x9E3779B97F4A7C15L
+    def next(): Long = { s ^= s << 13; s ^= s >>> 7; s ^= s << 17; s }
+    val df = (1 to 5000).map(i => (i.toLong, math.abs(next()) % 500))
+      .toDF("k", "v")
+    val ours = BigWindow.prefixSummed(df, Seq(col("k")), col("v"), 13)
+      .orderBy(col("k")).select(col("k"), col("_psum")).collect()
+    val direct = df.withColumn("_psum",
+        sum(col("v")).over(Window.orderBy(col("k"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("k")).select(col("k"), col("_psum")).collect()
+    assert(ours.toSeq == direct.toSeq)
+  }
+
+  test("qPackSequences: budget law and determinism") {
+    val packed = engine.Curation.qPackSequences(spark, sf).collect()
+    assert(packed.nonEmpty)
+    // seq_offset < budget always; a doc starts in seq floor(cum/budget)
+    packed.foreach { r =>
+      val off = r.getLong(r.fieldIndex("seq_offset"))
+      assert(off >= 0 && off < 2048, r)
+    }
+    // deterministic across runs
+    val again = engine.Curation.qPackSequences(spark, sf).collect()
+    assert(packed.toSeq == again.toSeq)
+    // every sequence id between 0 and max is populated (greedy never
+    // skips a bucket) and totals line up with the token sum
+    val seqs = packed.map(_.getLong(packed.head.fieldIndex("seq_id"))).distinct.sorted
+    assert(seqs.head == 0L && seqs.last == seqs.length - 1L)
+  }
+
   test("ranked matches row_number/count over adversarial group sizes") {
     import spark.implicits._
     // group sizes 1, 2, 3 (< ntile k), 4, and 997 (straddles every chunk)
