@@ -92,7 +92,6 @@ object Cast {
         expr("json_string_cast(user_id)").as("user_id_cast"),
         expr("json_string_cast(event_type)").as("event_type_cast"),
         expr("json_string_cast(props)").as("props_cast"))
-      .orderBy(col("event_id"))
   }
 
   /** Jackson parity in SQL: longs print bare, strings get quoted with inner

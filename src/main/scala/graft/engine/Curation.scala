@@ -81,7 +81,6 @@ object Curation {
       .withColumn("passes",
         col("dup_token_frac") <= 0.6 && col("top_token_frac") <= 0.2 &&
           col("dup_3gram_frac") <= 0.2)
-      .orderBy(col("doc_id"))
   }
 
   val qRepetitionSql: String =
@@ -320,7 +319,6 @@ object Curation {
         col("doc_id"), col("skey"), col("n_tokens"),
         floor(col("cum_excl") / packBudget).cast("long").as("seq_id"),
         (col("cum_excl") % packBudget).as("seq_offset"))
-      .orderBy(col("skey"), col("doc_id"))
   }
 
   val qPackSequencesSql: String =

@@ -40,7 +40,6 @@ object Envelope {
     routed(enriched(keyed(e, "event_id"), "events", "INCREMENTAL_LOAD", 1730476800000L), "chargeover")
       .select(col("event_id"), col("key"), col("_entity_type"),
         col("_ingestion_timestamp"), col("_load_mode"), col("topic"))
-      .orderBy(col("event_id"))
   }
 
   val qKeyRouteSql: String =

@@ -24,7 +24,6 @@ object Functions {
         instr(col("c_name"), "0").cast("long").as("zero_at"),
         levenshtein(col("c_mktsegment"), lit("BUILDING")).cast("long").as("lev_building"),
         repeat(lit("ab"), 3).as("abab"))
-      .orderBy(col("c_custkey"))
 
   val qStringFuncsSql: String =
     """SELECT c_custkey,
@@ -53,7 +52,6 @@ object Functions {
         unix_micros(date_trunc("week", col("o_orderdate"))).as("week_start_us"),
         date_format(date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").as("plus30"),
         datediff(col("o_orderdate").cast("date"), to_date(lit("1995-01-01"))).cast("long").as("days_since_95"))
-      .orderBy(col("o_orderkey"))
 
   val qDatetimeFuncsSql: String =
     """SELECT o_orderkey,
@@ -80,8 +78,6 @@ object Functions {
         greatest(col("l_partkey"), col("l_suppkey")).as("max_key"),
         least(col("l_partkey"), col("l_suppkey")).as("min_key"),
         (col("l_tax") > col("l_discount")).as("tax_gt_disc"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-        col("l_suppkey"))
 
   val qConditionalFuncsSql: String =
     """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
@@ -103,7 +99,6 @@ object Functions {
         col("props").rlike("[0-9]{2,}").as("has_2digits"),
         regexp_count(col("props"), lit("[0-9]")).cast("long").as("n_digits"),
         regexp_replace(col("event_type"), "[aeiou]", "_").as("devoweled"))
-      .orderBy(col("event_id"))
 
   val qRegexFuncsSql: String =
     """SELECT event_id,

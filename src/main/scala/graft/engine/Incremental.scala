@@ -79,7 +79,6 @@ object Incremental {
       .select(
         col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("user_id"), col("event_type"), col("value"))
-      .orderBy(col("event_id"))
   }
 
   val qFilterRangeSql: String =
@@ -103,7 +102,6 @@ object Incremental {
   def qDedupLatest(spark: SparkSession, sfDir: String): DataFrame =
     latestPerKey(Tables.events(spark, sfDir), "user_id", "ts", "event_id")
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
-      .orderBy(col("user_id"))
 
   val qDedupLatestSql: String =
     """SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM (

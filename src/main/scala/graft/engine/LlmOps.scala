@@ -73,7 +73,6 @@ object LlmOps {
         col("_tc").getField("ws").as("ws_tokens"),
         col("_tc").getField("sub").as("sub_tokens"),
         length(col("text")).cast("long").as("n_chars_calc"))
-      .orderBy(col("doc_id"))
 
   val qTokenCountSql: String =
     """SELECT doc_id,
@@ -100,7 +99,6 @@ object LlmOps {
         size(filter(toks, t => array_contains(stopArr, t))).cast("long").as("stop_n"))
       .withColumn("stop_ratio", col("stop_n").cast("double") / col("n_tokens").cast("double"))
       .withColumn("passes", col("n_tokens") >= 10 && col("stop_n") >= 1)
-      .orderBy(col("doc_id"))
   }
 
   val qTextQualitySql: String =
@@ -138,7 +136,6 @@ object LlmOps {
         element_at(array_sort(array(scored: _*)), 1).as("best"))
       .select(col("doc_id"), col("labeled_lang"),
         col("best.lang").as("pred_lang"), (-col("best.neg_hits")).cast("long").as("hits"))
-      .orderBy(col("doc_id"))
   }
 
   /** DuckDB replay of the marker-lexicon argmax: same lexicon, same
@@ -174,7 +171,6 @@ object LlmOps {
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         TextExprs.rollingFingerprint(tokens(col("text"))).as("fingerprint"))
-      .orderBy(col("doc_id"))
 
   // --- dedup -------------------------------------------------------------
 
@@ -184,7 +180,6 @@ object LlmOps {
     Tables.documents(spark, sfDir)
       .groupBy(sha2(col("text"), 256).as("digest"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_doc_id"))
-      .orderBy(col("keeper_doc_id"))
 
   val qDedupExactTextSql: String =
     """SELECT sha256(text) AS digest, COUNT(*) AS n_copies, min(doc_id) AS keeper_doc_id
@@ -257,7 +252,6 @@ object LlmOps {
     }
     sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
-      .orderBy(col("doc_id"), col("band"))
   }
 
   /** Per-doc MinHash signature columns mh_0..mh_15, derived from shingle
@@ -386,7 +380,6 @@ object LlmOps {
       .withColumn("band1", shiftright(col("simhash"), 16).bitwiseAND(lit(0xFFFFL)))
       .withColumn("band2", shiftright(col("simhash"), 32).bitwiseAND(lit(0xFFFFL)))
       .withColumn("band3", shiftright(col("simhash"), 48).bitwiseAND(lit(0xFFFFL)))
-      .orderBy(col("doc_id"))
   }
 
   /** q_ngram_jaccard: token-3-gram Jaccard via the SPARSE formulation —
@@ -538,7 +531,6 @@ object LlmOps {
         min(col("doc_id")).over(Window.partitionBy(col("component"))))
       .select(col("doc_id"), col("component"),
         (col("doc_id") === col("keeper")).as("keep"))
-      .orderBy(col("doc_id"))
   }
 
   /** DuckDB replay of the FULL dedup pipeline, with exhaustive candidate

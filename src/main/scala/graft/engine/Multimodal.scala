@@ -48,7 +48,6 @@ object Multimodal {
     // one decoder per partition; rows stream through in batches
     media.mapPartitions { it => it.map(decodeStub) }
       .toDF()
-      .orderBy(col("doc_id"))
   }
 
   /** The stub's arithmetic replayed in SQL (text is ASCII so byte length ==
@@ -85,7 +84,7 @@ object Multimodal {
         val th = math.max(1L, math.floor(m.height * scale).toLong)
         Resized(m.doc_id, m.width, m.height, tw, th, tw * th * 3L)
       }
-    }.toDF().orderBy(col("doc_id"))
+    }.toDF()
   }
 
   val qMultimodalResizeSql: String =
@@ -136,7 +135,7 @@ object Multimodal {
         col("text").cast("binary").as("payload"))
       .as[MediaRecord]
     media.mapPartitions(it => encodeBatches(it, 32))
-      .toDF().orderBy(col("doc_id"))
+      .toDF()
   }
 
   /** q_multimodal_embed, driver-comparable rendering: the comparison
@@ -152,7 +151,6 @@ object Multimodal {
       .select(col("doc_id"), col("n_bytes"),
         array_join(transform(col("embedding"),
           x => round(x * n).cast("long")), ",").as("histogram"))
-      .orderBy(col("doc_id"))
   }
 
   /** Byte-class histogram replayed per character in DuckDB. */
@@ -205,7 +203,7 @@ object Multimodal {
           Frame(r.doc_id, i, off, h)
         }
       }
-    }.toDF().orderBy(col("doc_id"), col("frame_idx"))
+    }.toDF()
   }
 
   /** The rotate-XOR frame hash replayed in DuckDB: 64-bit two's-complement

@@ -25,10 +25,13 @@ object Relational {
     Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_quantity"), col("l_returnflag"))
-      // (l_orderkey, l_linenumber) is NOT unique in this generator — order
-      // by every projected column so ties can't reorder across engines
-      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-        col("l_quantity"), col("l_returnflag"))
+      // no trailing sort — convention for every fact-sized output in this
+      // library: operators return unordered Datasets (the correctness
+      // harness sorts rows itself before hashing), because a global sort
+      // of a corpus-sized result is exactly the exchange you'd never run
+      // at 100 TB. Sorts remain only where ORDER is the semantics
+      // (top-k, pagination, ranked neighbors) or the output is a handful
+      // of aggregate groups.
 
   val qScanProjectSql: String =
     """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_returnflag
@@ -46,7 +49,6 @@ object Relational {
     o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
         col("c_mktsegment"), col("o_totalprice"))
-      .orderBy(col("o_orderkey"))
   }
 
   val qExpandJoinSql: String =
@@ -74,7 +76,6 @@ object Relational {
       .join(items, o("o_orderkey") === items("l_orderkey"), "left")
       .select(col("o_orderkey"), col("o_totalprice"), col("customer"),
         coalesce(col("invoice_items"), array()).as("invoice_items"))
-      .orderBy(col("o_orderkey"))
   }
 
   /** A double known to be 2-decimal (FIXTURES.md) rendered as its exact
@@ -107,7 +108,6 @@ object Relational {
       .join(items, o("o_orderkey") === items("l_orderkey"), "left")
       .select(col("o_orderkey"), col("o_totalprice"), col("customer"),
         coalesce(col("items_str"), lit("")).as("invoice_items"))
-      .orderBy(col("o_orderkey"))
   }
 
   /** DuckDB replay: identical string renderings (decimal(18,2) fixed-point
@@ -345,7 +345,6 @@ object Relational {
         col("ts2") < col("e1.ts"), "left")
       .groupBy(col("e1.event_id").as("event_id"))
       .agg(count(col("id2")).as("n_prior"))
-      .orderBy(col("event_id"))
   }
 
   val qJoinAsofRangeSql: String =
@@ -375,7 +374,6 @@ object Relational {
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("ts_us"), col("last_click_us"))
-      .orderBy(col("event_id"))
   }
 
   val qAsofJoinSql: String =
@@ -552,8 +550,6 @@ object Relational {
         Array(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")),
         Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
         "metric", "metric_value")
-      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-        col("l_suppkey"), col("metric"))
 
   val qUnpivotSql: String =
     """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, metric, metric_value
@@ -576,7 +572,6 @@ object Relational {
       .filter(col("rn") <= 3)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
         col("rn"), col("rnk"), col("drnk"))
-      .orderBy(col("o_custkey"), col("rn"))
   }
 
   val qWindowRankSql: String =
@@ -605,7 +600,6 @@ object Relational {
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"), col("l_quantity"), col("running_qty"),
         col("prev_qty"), col("next_qty"))
-      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
   }
 
   val qWindowFrameSql: String =
@@ -631,7 +625,6 @@ object Relational {
       .withColumn("n_10min", count(lit(1)).over(w))
       .withColumn("sum_10min",
         sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
-      .orderBy(col("event_id"))
   }
 
   val qWindowRangeSql: String =
@@ -672,7 +665,6 @@ object Relational {
         BigWindow.percentRank(col("_grank"), col("_gn")).as("pct_rank"),
         col("_top").as("top_key"),
         when(col("_grank") >= 2L, col("_second")).as("second_key"))
-      .orderBy(col("o_orderkey"))
   }
 
   val qWindowMiscSql: String =
@@ -737,7 +729,7 @@ object Relational {
     val both = a.intersect(b).select(col("c_custkey"), lit("both").as("op"))
     val onlyA = a.except(b).select(col("c_custkey"), lit("only_building").as("op"))
     val onlyB = b.except(a).select(col("c_custkey"), lit("only_rich").as("op"))
-    both.unionAll(onlyA).unionAll(onlyB).orderBy(col("op"), col("c_custkey"))
+    both.unionAll(onlyA).unionAll(onlyB)
   }
 
   val qSetOpsSql: String =
@@ -791,7 +783,6 @@ object Relational {
         array_contains(col("_tk"), "the").as("has_the"),
         size(array_distinct(col("_tk"))).cast("long").as("n_distinct"),
         element_at(col("_tk"), 1).as("first_token"))
-      .orderBy(col("doc_id"))
   }
 
   val qArrayFuncsSql: String =
@@ -819,7 +810,6 @@ object Relational {
         element_at(col("m"), "k").as("k_value"),
         size(col("m")).cast("long").as("n_entries"),
         element_at(map_concat(col("m"), map(lit("et"), lit(-1L))), "et").as("added"))
-      .orderBy(col("event_id"))
 
   val qMapFuncsSql: String =
     """SELECT event_id,
@@ -848,7 +838,6 @@ object Relational {
         unix_micros(date_trunc("day", col("ts"))).as("day_us"),
         get_json_object(col("props"), "$.k").as("prop_k"),
         datediff(to_date(lit("2024-03-01")), col("ts").cast("date")).cast("long").as("days_to_march"))
-      .orderBy(col("event_id"))
 
   val qScalarFuncsSql: String =
     """SELECT event_id,

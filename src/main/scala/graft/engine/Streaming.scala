@@ -34,7 +34,6 @@ object Streaming {
       .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
       .select(unix_micros(col("window.start")).as("ws_us"), col("event_type"),
         col("n"), col("sum_value"))
-      .orderBy(col("ws_us"), col("event_type"))
 
   val qStreamTumblingSql: String =
     s"""SELECT epoch_us(date_trunc('hour', ts)) AS ws_us, event_type,
@@ -50,7 +49,6 @@ object Streaming {
       .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
       .select(unix_micros(col("window.start")).as("ws_us"), col("event_type"),
         col("n"), col("sum_value"))
-      .orderBy(col("ws_us"), col("event_type"))
 
   val qStreamSlidingSql: String =
     s"""SELECT epoch_us(ws) AS ws_us, event_type, COUNT(*) AS n,
@@ -73,7 +71,6 @@ object Streaming {
         unix_micros(col("session_window.start")).as("start_us"),
         unix_micros(col("session_window.end")).as("end_us"),
         col("n_events"))
-      .orderBy(col("user_id"), col("start_us"))
 
   val qStreamSessionSql: String =
     """SELECT user_id, epoch_us(min(ts)) AS start_us,

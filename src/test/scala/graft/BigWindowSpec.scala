@@ -11,7 +11,8 @@ import graft.engine.{BigWindow, Relational, Tables}
 class BigWindowSpec extends SparkSpec {
 
   test("qWindowMisc equals the direct Window formulation on orders") {
-    val ours = Relational.qWindowMisc(spark, sf).collect()
+    val ours = Relational.qWindowMisc(spark, sf)
+      .orderBy(col("o_orderkey")).collect()
     val w = Window.partitionBy(col("o_orderpriority"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
     val direct = Tables.orders(spark, sf)
