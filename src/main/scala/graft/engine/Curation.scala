@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   *    3-gram stats are doc-local array arithmetic; zero shuffle.
   *  - PII/URL: pure map-side regex passes; whole-stage codegen end to end.
   *  - decontamination: the benchmark shingle set is small by construction
-  *    (eval suites are MBs, corpora are TBs) — broadcast semi-join, so the
-  *    corpus never shuffles; per-doc hit counts partial-aggregate on doc_id.
+  *    (eval suites are MBs, corpora are TBs) — AQE broadcasts the semi-join
+  *    build side when it is, so the corpus never shuffles; per-doc hit
+  *    counts partial-aggregate on doc_id.
   */
 object Curation {
 
@@ -246,9 +247,14 @@ object Curation {
       .select(explode(col("sh")).as("shingle")).distinct()
     val train = docs.filter(!evalPred)
       .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"), col("sh"))
+    // no forced broadcast: a real eval suite is MBs and AQE broadcasts it
+    // on its own; this synthetic eval set scales WITH the corpus (doc_id
+    // % 50), and force-building a 6M-string broadcast relation on the
+    // driver at sf10 is exactly the hint-beats-optimizer failure mode —
+    // AQE degrades to a shuffled semi-join when the build side is big
     val hits = train
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .join(broadcast(evalSet), Seq("shingle"), "left_semi")
+      .join(evalSet, Seq("shingle"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_contaminated"))
     train.drop("sh")

@@ -60,8 +60,27 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events")
   }
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** Rebalance a COMPUTE-heavy corpus scan whose split planning came out
+    * degenerate. Spark plans file splits by compressed bytes (with a 4 MB
+    * open-cost floor), which is right for IO-bound scans but wrong for
+    * text/vector corpora: dictionary compression squeezes 500 k documents
+    * into ~5 MB, so the whole corpus lands on 1-2 tasks and every
+    * downstream tokenize/hash/fold runs single-threaded (measured at
+    * sf10: the entire doc-query family pinned one core of 32; a shingle
+    * query sat at 100%-of-one-CPU for minutes). One round-robin shuffle of
+    * the raw rows — costing the corpus' compressed size, the cheapest
+    * stage these pipelines have — buys back full parallelism. Guarded: a
+    * production corpus (many files/row groups ≥ cluster cores) plans
+    * enough splits and the rebalance is a no-op. */
+  private def rebalanced(s: SparkSession, df: DataFrame): DataFrame = {
+    val cores = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < cores) df.repartition(cores) else df
+  }
+
+  def documents(s: SparkSession, d: String): DataFrame =
+    rebalanced(s, load(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    rebalanced(s, load(s, d, "embeddings"))
 
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
