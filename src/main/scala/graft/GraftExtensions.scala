@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.engine.{JsonStringCast, SimHash64}
+import graft.engine.{JsonStringCast, RollingFingerprint, ShingleHashes, SimHash64, SortableDoubleBits, TokenCounts}
 import graft.engine.FloatDotProduct
 import graft.plans.NanosRangePushdown
 
@@ -42,5 +42,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("float_dot_product"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot_product"),
       (exprs: Seq[Expression]) => FloatDotProduct(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (exprs: Seq[Expression]) => ShingleHashes(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("token_counts"),
+      new ExpressionInfo(classOf[TokenCounts].getName, "token_counts"),
+      (exprs: Seq[Expression]) => TokenCounts(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_fingerprint"),
+      new ExpressionInfo(classOf[RollingFingerprint].getName, "rolling_fingerprint"),
+      (exprs: Seq[Expression]) => RollingFingerprint(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("sortable_double_bits"),
+      new ExpressionInfo(classOf[SortableDoubleBits].getName, "sortable_double_bits"),
+      (exprs: Seq[Expression]) => SortableDoubleBits(exprs.head)))
   }
 }
