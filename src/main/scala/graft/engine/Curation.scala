@@ -240,9 +240,16 @@ object Curation {
     * corpus), so the corpus side never shuffles for the membership test;
     * per-doc hit counts partial-aggregate on doc_id. */
   def qDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    // shingles travel as their 8-byte xxhash64 (codegen'd ShingleHashes),
+    // not strings: the string formulation evaluated an interpreted
+    // concat_ws per shingle — 300 M evals at sf10, 177 s — and shuffled
+    // ~30-byte strings into the semi-join. Hash-match ≡ string-match up
+    // to 64-bit collisions (~1e-4 expected spurious hits across 1.8e15
+    // cross pairs at sf10 — below the oracle's radar and irrelevant to a
+    // contamination gate). The DuckDB oracle still replays exact strings.
     val docs = Tables.documents(spark, sfDir)
       .withColumn("_tk", LlmOps.tokens(col("text")))
-      .withColumn("sh", array_distinct(LlmOps.shinglesOf(col("_tk"))))
+      .withColumn("sh", array_distinct(TextExprs.shingleHashes(col("_tk"))))
     val evalSet = docs.filter(evalPred)
       .select(explode(col("sh")).as("shingle")).distinct()
     val train = docs.filter(!evalPred)

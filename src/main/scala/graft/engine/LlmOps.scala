@@ -90,12 +90,16 @@ object LlmOps {
   def qTextQuality(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = tokens(col("text"))
     val stopArr = typedLit(stopwords)
+    // token and alnum-char counts from TokenCounts' single codegen'd byte
+    // scan (the regexp_replace char-class pass was the query's whole cost
+    // at scale); only the stopword filter still walks the token array
     Tables.documents(spark, sfDir)
+      .withColumn("_tc", TextExprs.tokenCounts(lower(col("text"))))
       .select(
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars_calc"),
-        size(toks).cast("long").as("n_tokens"),
-        (length(col("text")) - length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))).cast("long").as("alnum_chars"),
+        col("_tc").getField("ws").as("n_tokens"),
+        col("_tc").getField("alnum").as("alnum_chars"),
         size(filter(toks, t => array_contains(stopArr, t))).cast("long").as("stop_n"))
       .withColumn("stop_ratio", col("stop_n").cast("double") / col("n_tokens").cast("double"))
       .withColumn("passes", col("n_tokens") >= 10 && col("stop_n") >= 1)

@@ -168,7 +168,8 @@ object ShingleHashes {
   * the full java.util.regex machinery over every char of the corpus —
   * measured 16.5 s at sf10, pure CPU).
   *
-  * Returns struct(ws BIGINT, sub BIGINT) over the input string:
+  * Returns struct(ws BIGINT, sub BIGINT, alnum BIGINT) over the input
+  * string:
   *  - `ws`  = runs of non-space bytes — exactly
   *    `size(filter(split(s, " "), t -> t <> ""))` (0x20 never occurs
   *    inside a multi-byte UTF-8 sequence, so byte-level runs are exact);
@@ -176,7 +177,10 @@ object ShingleHashes {
   *    maximal-munch behavior replayed directly: letter runs and digit runs
   *    count once, every other non-space CODE POINT counts once (multi-byte
   *    lead byte advances by the sequence length, matching the per-code-
-  *    point semantics of a Java regex negated class).
+  *    point semantics of a Java regex negated class);
+  *  - `alnum` = code points in `[a-z0-9 ]` — exactly
+  *    `length(s) - length(regexp_replace(s, '[a-z0-9 ]', ''))`, the
+  *    quality gate's alphanumeric-density numerator.
   *
   * Both counts come from one pass over the raw UTF-8 bytes, no
   * allocation. Pinned byte-equal to the regex/split formulation by
@@ -207,27 +211,29 @@ case class TokenCounts(child: Expression) extends UnaryExpression {
 object TokenCounts {
   val schema: StructType = StructType(Seq(
     StructField("ws", LongType, nullable = false),
-    StructField("sub", LongType, nullable = false)))
+    StructField("sub", LongType, nullable = false),
+    StructField("alnum", LongType, nullable = false)))
 
   /** Static entry shared by interpreted eval and generated code. */
   def compute(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
     val n = s.numBytes()
     var ws = 0L
     var sub = 0L
+    var alnum = 0L
     var prev = 0 // 0 = other/none, 1 = in letter run, 2 = in digit run
     var inTok = false
     var i = 0
     while (i < n) {
       val b = s.getByte(i)
-      if (b == ' ') { prev = 0; inTok = false; i += 1 }
+      if (b == ' ') { alnum += 1; prev = 0; inTok = false; i += 1 }
       else {
         if (!inTok) { ws += 1; inTok = true }
         if (b >= 'a' && b <= 'z') {
           if (prev != 1) sub += 1
-          prev = 1; i += 1
+          alnum += 1; prev = 1; i += 1
         } else if (b >= '0' && b <= '9') {
           if (prev != 2) sub += 1
-          prev = 2; i += 1
+          alnum += 1; prev = 2; i += 1
         } else if ((b & 0x80) == 0) {
           sub += 1; prev = 0; i += 1
         } else {
@@ -237,7 +243,7 @@ object TokenCounts {
       }
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](ws, sub))
+      Array[Any](ws, sub, alnum))
   }
 }
 

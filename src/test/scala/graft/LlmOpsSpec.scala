@@ -157,9 +157,14 @@ class LlmOpsSpec extends SparkSpec {
           .cast("long").as("ws_ref"),
         regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
           .cast("long").as("sub_ref"),
+        (length(lower(col("text"))) -
+          length(regexp_replace(lower(col("text")), "[a-z0-9 ]", "")))
+          .cast("long").as("alnum_ref"),
         col("_tc").getField("ws").as("ws"),
-        col("_tc").getField("sub").as("sub"))
-      .filter(col("ws") =!= col("ws_ref") || col("sub") =!= col("sub_ref"))
+        col("_tc").getField("sub").as("sub"),
+        col("_tc").getField("alnum").as("alnum"))
+      .filter(col("ws") =!= col("ws_ref") || col("sub") =!= col("sub_ref") ||
+        col("alnum") =!= col("alnum_ref"))
     assert(cmp.count() == 0, cmp.collect().take(5).mkString("; "))
   }
 
