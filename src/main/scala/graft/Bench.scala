@@ -85,12 +85,18 @@ object Bench {
         s""""spillB":${spilled.get - s0}}""")
       name -> t
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver captures only the LAST 2000 chars of output and parses the
+    // JSON line out of that window (BENCH_r03: tail=2000 chars, full-precision
+    // line was ~2.9k → start cut off → parsed:null three rounds running).
+    // 3-decimal seconds keep the whole line ~1.6k chars: line + sbt's trailing
+    // "[success] Total time" line both fit inside the window.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     System.err.println(s"""[bench-metrics] {"query":"TOTAL","shuffleReadB":${shRead.get},""" +
       s""""shuffleWriteB":${shWrite.get},"spillB":${spilled.get}}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -34,22 +34,57 @@ import org.apache.spark.sql.functions._
   */
 object BigWindow {
 
+  /** The chunked frame is referenced from TWO plan branches (local
+    * ranks/sums, and the chunk-offset aggregate). `RangePartitioner`
+    * samples with an rdd-id-dependent seed, so if the planner ever
+    * recomputes the range exchange instead of reusing it, the branches
+    * see DIFFERENT chunk boundaries and ranks / prefix sums silently
+    * corrupt. A persisted frame pins ONE materialization for both
+    * branches regardless of exchange-reuse decisions (MEMORY_AND_DISK:
+    * an evicted block must spill, not drop-and-recompute — recompute is
+    * exactly the divergence being prevented). The broadcast-offsets
+    * subtree runs as its own job first, fully populating the cache
+    * before the main branch reads it.
+    *
+    * Footprint is bounded to one projected frame: calls are sequential
+    * per session (Verify/Bench run queries one at a time), so the
+    * PREVIOUS call's cache — fully consumed by then — is dropped when
+    * the next call pins its frame. */
+  private val lastPinned =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  private def pinned(df: DataFrame): DataFrame = {
+    val cached =
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prev = lastPinned.getAndSet(cached)
+    if (prev != null) prev.unpersist(blocking = false)
+    cached
+  }
+
   /** Appends `_grank` (1-based rank of the row within its group under
-    * `order`) and `_gn` (group size) — both BIGINT — to `df`. */
+    * `order`) and `_gn` (group size) — both BIGINT — to `df`.
+    *
+    * `group` may contain computed expressions (`upper(col)`): each group
+    * expression is aliased to a generated `_g{i}` column up front, so the
+    * group-metadata equi-join binds by name instead of re-parsing
+    * `Column.toString` (which only resolves bare references). */
   def ranked(df: DataFrame, group: Seq[Column], order: Seq[Column],
       numChunks: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val chunks =
       if (numChunks > 0) numChunks
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = df
-      .repartitionByRange(chunks, (group ++ order): _*)
+    val gNames = group.indices.map(i => s"_g$i")
+    val gCols = gNames.map(col)
+    val withG = df.select(
+      col("*") +: group.zip(gNames).map { case (g, n) => g.as(n) }: _*)
+    val ranged = withG
+      .repartitionByRange(chunks, (gCols ++ order): _*)
       .withColumn("_chunk", spark_partition_id())
     // local rank within the chunk: chunk sizes are range-partitioner
     // uniform, so this window has no skewed partitions. The ordering must
     // re-state group ++ order because a chunk can straddle a group edge.
-    val wChunk = Window.partitionBy(col("_chunk")).orderBy((group ++ order): _*)
-    val local = ranged.withColumn("_lrank", row_number().over(wChunk))
+    val wChunk = Window.partitionBy(col("_chunk")).orderBy((gCols ++ order): _*)
+    val local = pinned(ranged.withColumn("_lrank", row_number().over(wChunk)))
     // chunk offsets: numChunks rows — window over a singleton partition is
     // metadata-sized by construction
     val offsets = local.groupBy(col("_chunk")).agg(count(lit(1)).as("_c"))
@@ -63,12 +98,12 @@ object BigWindow {
       .withColumn("_grn", col("_offset") + col("_lrank"))
       .drop("_chunk", "_lrank", "_offset")
     // group metadata: |groups| rows after partial aggregation
-    val groups = global.groupBy(group: _*)
+    val groups = global.groupBy(gCols: _*)
       .agg(count(lit(1)).as("_gn"), min(col("_grn")).as("_gstart"))
     global
-      .join(broadcast(groups), group.map(_.toString))
+      .join(broadcast(groups), gNames)
       .withColumn("_grank", col("_grn") - col("_gstart") + 1L)
-      .drop("_grn", "_gstart")
+      .drop("_grn" +: "_gstart" +: gNames: _*)
   }
 
   /** Appends `_psum` (inclusive prefix sum of `value` over the GLOBAL
@@ -90,7 +125,7 @@ object BigWindow {
       .withColumn("_v", value.cast("long"))
     val wChunk = Window.partitionBy(col("_chunk")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = ranged.withColumn("_lsum", sum(col("_v")).over(wChunk))
+    val local = pinned(ranged.withColumn("_lsum", sum(col("_v")).over(wChunk)))
     val offsets = local.groupBy(col("_chunk")).agg(sum(col("_v")).as("_c"))
       .withColumn("_offset",
         coalesce(sum(col("_c")).over(

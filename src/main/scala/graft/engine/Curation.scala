@@ -347,6 +347,8 @@ object Curation {
       |  FROM d)
       |SELECT doc_id, skey, n_tokens,
       |  CAST(FLOOR(cum_excl / 2048.0) AS BIGINT) AS seq_id,
-      |  cum_excl % 2048 AS seq_offset
+      |  -- SUM(BIGINT) OVER widens to HUGEINT in DuckDB and % keeps it;
+      |  -- the comparator then reads float64 vs Spark's BIGINT. CAST back.
+      |  CAST(cum_excl % 2048 AS BIGINT) AS seq_offset
       |FROM c ORDER BY skey, doc_id""".stripMargin
 }

@@ -153,12 +153,18 @@ object Multimodal {
           x => round(x * n).cast("long")), ",").as("histogram"))
   }
 
-  /** Byte-class histogram replayed per character in DuckDB. */
+  /** Byte-class histogram replayed per character in DuckDB. LEFT JOIN +
+    * COALESCE: an empty document produces no rows from `unnest(range(...))`
+    * but the Spark side always emits one zero-histogram row (its divisor
+    * is `max(1, n_bytes)`) — an inner join would silently drop it. */
   val qMultimodalEmbedSql: String =
     """SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_bytes,
-      |  concat_ws(',', b0, b1, b2, b3, b4, b5, b6, b7) AS histogram
+      |  concat_ws(',',
+      |    COALESCE(b0, 0), COALESCE(b1, 0), COALESCE(b2, 0), COALESCE(b3, 0),
+      |    COALESCE(b4, 0), COALESCE(b5, 0), COALESCE(b6, 0), COALESCE(b7, 0)
+      |  ) AS histogram
       |FROM documents d
-      |JOIN (
+      |LEFT JOIN (
       |  SELECT doc_id,
       |    count(*) FILTER (WHERE bin = 0) AS b0,
       |    count(*) FILTER (WHERE bin = 1) AS b1,

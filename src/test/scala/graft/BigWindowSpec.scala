@@ -42,20 +42,56 @@ class BigWindowSpec extends SparkSpec {
   }
 
   test("qPackSequences: budget law and determinism") {
-    val packed = engine.Curation.qPackSequences(spark, sf).collect()
+    // row ORDER is not part of the contract (scaffolding sorts dropped —
+    // the driver sorts output itself), so compare value sets keyed by doc_id
+    def run() = engine.Curation.qPackSequences(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    val packed = run()
     assert(packed.nonEmpty)
     // seq_offset < budget always; a doc starts in seq floor(cum/budget)
     packed.foreach { r =>
       val off = r.getLong(r.fieldIndex("seq_offset"))
       assert(off >= 0 && off < 2048, r)
     }
-    // deterministic across runs
-    val again = engine.Curation.qPackSequences(spark, sf).collect()
+    // deterministic across runs (values, per doc)
+    val again = run()
     assert(packed.toSeq == again.toSeq)
     // every sequence id between 0 and max is populated (greedy never
     // skips a bucket) and totals line up with the token sum
     val seqs = packed.map(_.getLong(packed.head.fieldIndex("seq_id"))).distinct.sorted
     assert(seqs.head == 0L && seqs.last == seqs.length - 1L)
+  }
+
+  test("ranked accepts computed group expressions (upper(col))") {
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("A", 2L), ("b", 3L), ("B", 4L), ("b", 5L))
+      .toDF("g", "k")
+    val ours = BigWindow.ranked(df, Seq(upper(col("g"))), Seq(col("k")), 3)
+      .select(col("g"), col("k"), col("_grank"), col("_gn"))
+      .orderBy(col("k")).collect()
+    val w = Window.partitionBy(upper(col("g"))).orderBy(col("k"))
+    val direct = df
+      .withColumn("_grank", row_number().over(w).cast("long"))
+      .withColumn("_gn",
+        count(lit(1)).over(Window.partitionBy(upper(col("g")))))
+      .select(col("g"), col("k"), col("_grank"), col("_gn"))
+      .orderBy(col("k")).collect()
+    assert(ours.toSeq == direct.toSeq)
+  }
+
+  test("chunked frame is pinned: branches read ONE persisted materialization") {
+    import spark.implicits._
+    // RangePartitioner's sampling seed is rdd-id-dependent; without the
+    // persist, a broken exchange-reuse would hand the offset branch and
+    // the main branch different chunk boundaries. Both branches (plus the
+    // group-metadata branch) must read the in-memory relation.
+    val df = (1 to 1000).map(i => ("g" + (i % 3), i.toLong)).toDF("grp", "k")
+    val r = BigWindow.ranked(df, Seq(col("grp")), Seq(col("k")), 5)
+    r.collect()
+    val plan = r.queryExecution.executedPlan.toString
+    val cacheScans = "InMemoryTableScan|TableCacheQueryStage".r
+      .findAllIn(plan).length
+    assert(cacheScans >= 2, s"expected >=2 cache scans, got $cacheScans in:\n$plan")
   }
 
   test("ranked matches row_number/count over adversarial group sizes") {

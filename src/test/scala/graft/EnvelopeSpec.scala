@@ -56,6 +56,28 @@ class EnvelopeSpec extends SparkSpec {
       "histogram embedding must be L1-normalized")
   }
 
+  test("embed: empty payload emits one zero-histogram row, not zero rows") {
+    import graft.engine.Multimodal.{encodeBatches, MediaRecord}
+    val rows = Seq(MediaRecord(1L, "img", Array.emptyByteArray),
+      MediaRecord(2L, "img", "abc".getBytes("UTF-8")))
+    val out = encodeBatches(rows.iterator, 32).toSeq
+    assert(out.length == 2)
+    val e = out.find(_.doc_id == 1L).get
+    assert(e.n_bytes == 0L && e.embedding.forall(_ == 0f))
+  }
+
+  test("embed e2e: empty document survives the rendered query (oracle LEFT JOIN convention)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mm").toString
+    Seq((1L, ""), (2L, "hello world")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Multimodal.qMultimodalEmbed(spark, dir).orderBy(col("doc_id")).collect()
+    assert(out.length == 2, "empty doc must not be dropped")
+    val empty = out(0)
+    assert(empty.getLong(empty.fieldIndex("n_bytes")) == 0L)
+    assert(empty.getString(empty.fieldIndex("histogram")) == "0,0,0,0,0,0,0,0")
+  }
+
   test("resize stub: target dims fit the 224 box and preserve aspect ordering") {
     val out = Multimodal.qMultimodalResize(spark, sf)
     val bad = out.filter(
