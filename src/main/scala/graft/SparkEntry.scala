@@ -162,5 +162,7 @@ object SparkEntry {
     "q_conditional_funcs" -> Functions.qConditionalFuncsSql,
     "q_regex_funcs"       -> Functions.qRegexFuncsSql,
     "q_stream_sliding"    -> Streaming.qStreamSlidingSql,
+    "q_fingerprint"       -> LlmOps.qFingerprintSql,
+    "q_sample_stratified" -> Relational.qSampleStratifiedSql,
   )
 }

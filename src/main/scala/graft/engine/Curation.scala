@@ -153,12 +153,14 @@ object Curation {
       ipRe, "[IP]").as("redacted"))
 
   /** q_pii_scrub: per-event PII counts and the fully redacted line.
-    * Map-side regex only; zero shuffle (the sort is the oracle's). */
+    * Map-side regex only; zero shuffle, no sort — the result is fact-sized
+    * and the comparator sorts rows itself (ROADMAP r1 evidence), so a
+    * global orderBy here was a pure range-exchange tax on the most
+    * compute-expensive query in the bench. */
   def qPiiScrub(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .withColumn("line", piiLine)
       .select(Seq(col("event_id"), col("line")) ++ piiScrub(col("line")): _*)
-      .orderBy(col("event_id"))
 
   val qPiiScrubSql: String = {
     // single line: interpolating a multi-line fragment into the outer
@@ -207,7 +209,7 @@ object Curation {
       .select(col("event_id"), col("url"),
         regexp_extract(col("url"), "^https?://([A-Za-z0-9.-]+)", 1).as("domain"),
         col("url").startsWith("https://").as("is_secure"))
-      .orderBy(col("event_id"), col("url"))
+      // no final sort: fact-sized output, comparator sorts rows itself
 
   val qUrlExtractSql: String =
     s"""WITH l AS (

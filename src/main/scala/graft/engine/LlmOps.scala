@@ -165,16 +165,47 @@ object LlmOps {
       |SELECT doc_id, labeled_lang, lang AS pred_lang, CAST(hits AS BIGINT) AS hits
       |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
-  /** q_fingerprint: rolling hash over token xxhash64s — a 64-bit document
-    * fingerprint in one narrow pass. Rotate-left-5 ⊕ hash combine: order
-    * sensitive like a polynomial hash but wrap-safe under ANSI mode (long
-    * multiply would overflow-error). Engine-only (hash function is ours). */
+  /** q_fingerprint: rolling hash over per-token FNV-1a hashes — a 64-bit
+    * document fingerprint in one narrow codegen'd pass
+    * (TextExprs.RollingFingerprint). Rotate-left-5 ⊕ hash combine: order
+    * sensitive like a polynomial hash. Every step is plain wrapping 64-bit
+    * integer arithmetic, so DuckDB replays it exactly in HUGEINT. */
   def qFingerprint(spark: SparkSession, sfDir: String): DataFrame =
-    // native codegen'd fold (TextExprs.RollingFingerprint) — the HOF
-    // formulation ran interpreted per token; bit-identity pinned by spec
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         TextExprs.rollingFingerprint(tokens(col("text"))).as("fingerprint"))
+
+  /** The fingerprint replayed in DuckDB: inner fold = FNV-1a over each
+    * token's codepoints (ASCII corpus: codepoint == UTF-8 byte, same
+    * convention as the q_multimodal_frames oracle), outer fold =
+    * rotl5 ⊕ — both in HUGEINT mod-2⁶⁴ (FNV products < 2¹⁰⁴, no
+    * overflow), signed back to BIGINT at the end. */
+  val qFingerprintSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id,
+      |    [list_reduce(
+      |       list_prepend(14695981039346656037::HUGEINT,
+      |         [CAST(ord(substr(tok, CAST(i AS INT), 1)) AS HUGEINT)
+      |          for i in range(1, length(tok) + 1)]),
+      |       (a, b) -> (xor(a, b) * 1099511628211::HUGEINT)
+      |                   % 18446744073709551616::HUGEINT)
+      |     for tok in toks] AS th
+      |  FROM t),
+      |u AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(0::HUGEINT, th),
+      |      (acc, x) -> xor((acc * 32) % 18446744073709551616::HUGEINT
+      |                        + acc // 576460752303423488::HUGEINT, x)) AS uh
+      |  FROM h)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
+      |            THEN uh - 18446744073709551616::HUGEINT
+      |            ELSE uh END AS BIGINT) AS fingerprint
+      |FROM u ORDER BY doc_id""".stripMargin
 
   // --- dedup -------------------------------------------------------------
 

@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Exact._
@@ -695,16 +695,66 @@ object Relational {
       |  (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
       |FROM customer ORDER BY c_custkey""".stripMargin
 
-  /** q_sample_stratified: per-stratum Bernoulli sampling (sampleBy) — the
-    * training-data downsampling primitive (e.g. downweight boilerplate
-    * classes). Seeded; engine-only (sampling is engine-specific). */
-  def qSampleStratified(spark: SparkSession, sfDir: String): DataFrame =
+  /** q_sample_stratified: per-stratum downsampling — the training-data
+    * primitive (e.g. downweight boilerplate classes). Hash-threshold
+    * sampling instead of `sampleBy`: mix the row key through two xorshift64
+    * rounds (shift/xor only — bitwise, so wrap-safe under ANSI mode and
+    * bit-replayable by any engine, unlike a seeded RNG stream) and keep the
+    * row when the mix's low 20 bits fall under `rate·2²⁰`. A power-of-two
+    * bucket mask keeps signed (Spark `&`) and unsigned (DuckDB `%`)
+    * arithmetic in agreement; deterministic, partitioning-independent, and
+    * reproducible for train/eval splits — properties a seeded per-partition
+    * RNG (`sampleBy`) cannot give across engines. */
+  private val strata = Seq(
+    ("click", 0.1), ("view", 0.1), ("purchase", 1.0),
+    ("signup", 1.0), ("error", 0.5))
+
+  def qSampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
+    // xorshift64 seeded by the golden-ratio constant; two rounds decorrelate
+    // the sequential event_id keys before the low bits are used as a bucket
+    def round(x: Column): Column = {
+      val a = x.bitwiseXOR(shiftleft(x, 13))
+      val b = a.bitwiseXOR(shiftrightunsigned(a, 7))
+      b.bitwiseXOR(shiftleft(b, 17))
+    }
+    val mixed = round(round(col("event_id").bitwiseXOR(lit(-7046029254386353131L))))
+    val bucket = mixed.bitwiseAND(lit((1L << 20) - 1L))
+    val keep = strata.map { case (t, rate) =>
+      col("event_type") === t && bucket < (rate * (1L << 20)).toLong
+    }.reduce(_ || _)
     Tables.events(spark, sfDir)
-      .stat.sampleBy("event_type",
-        Map("click" -> 0.1, "view" -> 0.1, "purchase" -> 1.0,
-          "signup" -> 1.0, "error" -> 0.5), 42L)
+      .filter(keep)
       .groupBy(col("event_type")).agg(count(lit(1)).as("n_sampled"))
       .orderBy(col("event_type"))
+  }
+
+  /** The xorshift mix replayed in DuckDB HUGEINT mod-2⁶⁴: shl k = ·2ᵏ mod
+    * 2⁶⁴, unsigned shr k = ÷2ᵏ (operands stay in [0, 2⁶⁴) so xor matches the
+    * signed 64-bit bit pattern); seed 0x9E3779B97F4A7C15 = 11400714819323198485
+    * unsigned; bucket = x % 2²⁰ = the signed side's low-20-bit mask. */
+  val qSampleStratifiedSql: String =
+    """WITH
+      |s0 AS (SELECT event_type,
+      |  xor(CAST(event_id AS HUGEINT), 11400714819323198485::HUGEINT) AS x
+      |  FROM events),
+      |s1 AS (SELECT event_type,
+      |  xor(x, (x * 8192) % 18446744073709551616::HUGEINT) AS x FROM s0),
+      |s2 AS (SELECT event_type, xor(x, x // 128) AS x FROM s1),
+      |s3 AS (SELECT event_type,
+      |  xor(x, (x * 131072) % 18446744073709551616::HUGEINT) AS x FROM s2),
+      |s4 AS (SELECT event_type,
+      |  xor(x, (x * 8192) % 18446744073709551616::HUGEINT) AS x FROM s3),
+      |s5 AS (SELECT event_type, xor(x, x // 128) AS x FROM s4),
+      |s6 AS (SELECT event_type,
+      |  xor(x, (x * 131072) % 18446744073709551616::HUGEINT) AS x FROM s5),
+      |k AS (SELECT event_type, x % 1048576 AS bucket FROM s6)
+      |SELECT event_type, COUNT(*) AS n_sampled FROM k
+      |WHERE (event_type = 'click'    AND bucket < 104857)
+      |   OR (event_type = 'view'     AND bucket < 104857)
+      |   OR (event_type = 'purchase' AND bucket < 1048576)
+      |   OR (event_type = 'signup'   AND bucket < 1048576)
+      |   OR (event_type = 'error'    AND bucket < 524288)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // --- top-k / set ops ---------------------------------------------------
 

@@ -247,13 +247,18 @@ object TokenCounts {
   }
 }
 
-/** Native rolling document fingerprint over a token array — the codegen'd
-  * replacement for `aggregate(transform(tokens, xxhash64), 0L, rotl5⊕h)`,
-  * which runs interpreted per token (HOFs are CodegenFallback) and was the
-  * last interpreted narrow pass over the corpus at sf10. Bit-identical to
-  * the HOF formulation (pinned by LlmOpsSpec): per token
-  * h = xxhash64(t) (seed-42 XXH64, the same hashUTF8String Spark's hash
-  * expression calls), acc = rotateLeft(acc, 5) ^ h, starting from 0. */
+/** Native rolling document fingerprint over a token array — a codegen'd
+  * single pass (the HOF `aggregate` formulation runs interpreted per token
+  * and was the last interpreted narrow pass over the corpus at sf10).
+  * Per token h = FNV-1a over the token's UTF-8 bytes, then
+  * acc = rotateLeft(acc, 5) ^ h, starting from 0 — order-sensitive like a
+  * polynomial hash. FNV-1a (xor-then-multiply, wrapping 64-bit) was chosen
+  * over xxhash64 deliberately: every step is plain mod-2⁶⁴ integer
+  * arithmetic, so an external engine can replay the fingerprint exactly
+  * (the DuckDB oracle folds codepoints in HUGEINT — products stay under
+  * 2¹⁰⁴ ≪ 2¹²⁷, no overflow), where XXH64's stripe schedule is not
+  * practically expressible in SQL. Pinned bit-exact against a plain-Scala
+  * reference fold by LlmOpsSpec. */
 case class RollingFingerprint(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
@@ -278,17 +283,25 @@ case class RollingFingerprint(child: Expression) extends UnaryExpression {
 }
 
 object RollingFingerprint {
+  /** FNV-1a 64-bit offset basis (14695981039346656037 as signed). */
+  final val FnvBasis: Long = -3750763034362895579L
+  /** FNV-1a 64-bit prime (≈2⁴⁰: HUGEINT replay products stay < 2¹⁰⁴). */
+  final val FnvPrime: Long = 1099511628211L
+
   /** Static entry shared by interpreted eval and generated code. */
   def compute(arr: ArrayData): Long = {
     val n = arr.numElements()
     var acc = 0L
     var i = 0
     while (i < n) {
-      // xxhash64(null) is the seed itself — tokens() never yields nulls,
-      // but keep the builtin's null behavior for bit parity
-      val h =
-        if (arr.isNullAt(i)) 42L
-        else XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      // tokens() never yields nulls; a null folds as the empty token
+      var h = FnvBasis
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val m = s.numBytes()
+        var j = 0
+        while (j < m) { h = (h ^ (s.getByte(j) & 0xFFL)) * FnvPrime; j += 1 }
+      }
       acc = java.lang.Long.rotateLeft(acc, 5) ^ h
       i += 1
     }

@@ -168,16 +168,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(cmp.count() == 0, cmp.collect().take(5).mkString("; "))
   }
 
-  test("RollingFingerprint is bit-identical to the HOF fold") {
+  test("RollingFingerprint is bit-identical to a plain-Scala reference fold") {
     val docs = engine.Tables.documents(spark, sf)
     val toks = filter(split(lower(col("text")), " "), t => t =!= lit(""))
-    val cmp = docs.select(
-      engine.TextExprs.rollingFingerprint(toks).as("native"),
-      aggregate(transform(toks, t => xxhash64(t)), lit(0L),
-        (acc, h) => shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59))
-          .bitwiseXOR(h)).as("hof"))
-      .filter(col("native") =!= col("hof"))
-    assert(cmp.count() == 0)
+    def fnv(tok: String): Long = {
+      var h = engine.RollingFingerprint.FnvBasis
+      tok.getBytes("UTF-8").foreach(b => h = (h ^ (b & 0xFFL)) * engine.RollingFingerprint.FnvPrime)
+      h
+    }
+    val rows = docs.select(col("text"),
+      engine.TextExprs.rollingFingerprint(toks).as("native")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val expect = r.getString(0).toLowerCase.split(" ").filter(_.nonEmpty)
+        .foldLeft(0L)((acc, t) => java.lang.Long.rotateLeft(acc, 5) ^ fnv(t))
+      assert(r.getLong(1) == expect, s"fingerprint mismatch on: ${r.getString(0).take(60)}")
+    }
     // empty token array folds to the zero seed
     import spark.implicits._
     val empty = Seq("").toDF("text")
