@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.engine.{JsonStringCast, RollingFingerprint, ShingleHashes, SimHash64, SortableDoubleBits, TokenCounts}
+import graft.engine.{JsonStringCast, MinHashBands, RollingFingerprint, ShingleHashes, SimHash64, SortableDoubleBits, TokenCounts}
 import graft.engine.FloatDotProduct
 import graft.plans.NanosRangePushdown
 
@@ -50,6 +50,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("token_counts"),
       new ExpressionInfo(classOf[TokenCounts].getName, "token_counts"),
       (exprs: Seq[Expression]) => TokenCounts(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),
+      (exprs: Seq[Expression]) => MinHashBands(exprs.head)))
     ext.injectFunction((
       new FunctionIdentifier("rolling_fingerprint"),
       new ExpressionInfo(classOf[RollingFingerprint].getName, "rolling_fingerprint"),

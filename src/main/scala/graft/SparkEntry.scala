@@ -164,5 +164,7 @@ object SparkEntry {
     "q_stream_sliding"    -> Streaming.qStreamSlidingSql,
     "q_fingerprint"       -> LlmOps.qFingerprintSql,
     "q_sample_stratified" -> Relational.qSampleStratifiedSql,
+    "q_dedup_simhash"     -> LlmOps.qDedupSimhashSql,
+    "q_dedup_minhash"     -> LlmOps.qDedupMinhashSql,
   )
 }

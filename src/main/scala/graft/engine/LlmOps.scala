@@ -220,9 +220,6 @@ object LlmOps {
     """SELECT sha256(text) AS digest, COUNT(*) AS n_copies, min(doc_id) AS keeper_doc_id
       |FROM documents GROUP BY sha256(text) ORDER BY keeper_doc_id""".stripMargin
 
-  private val minhashSeeds = 16
-  private val minhashBands = 4 // 4 bands x 4 rows
-
   /** 3-token shingles from a MATERIALIZED tokens column (see `tokens` perf
     * note — passing `tokens(text)` here would re-split per shingle). */
   private[engine] def shinglesOf(t: Column): Column =
@@ -231,37 +228,16 @@ object LlmOps {
         i => concat_ws(" ", slice(t, i + 1, lit(3)))))
       .otherwise(array(concat_ws(" ", t)))
 
-  /** 3-token shingle HASHES: per-token xxhash64, then a zip_with of the
-    * hash array against its 1- and 2-shifted slices combines consecutive
-    * hashes. Dedup/Jaccard over distinct hashes ≡ over distinct shingles
-    * (64-bit collisions negligible).
-    *
-    * WHY zip_with and not `transform(indices, i => element_at(t, i+k))`:
-    * CollapseProject inlines any referenced column INTO the lambda, and a
-    * non-lambda subtree inside a lambda body is re-evaluated per element —
-    * the indexed form re-split the text once per shingle (measured 7.7 s
-    * for a 0.4 s job at sf0.1). Here every lambda references only its own
-    * lambda variables; array children are evaluated once per row. */
-  private[graft] def shingleHashesOf(t: Column): Column = {
-    val h1 = transform(t, x => xxhash64(x))
-    // zip_with pads the shorter side with null; xxhash64 skips null args,
-    // and the padded tail is sliced off anyway
-    val h12 = zip_with(h1, slice(h1, lit(2), size(t)), (a, b) => xxhash64(a, b))
-    val h123 = zip_with(h12, slice(h1, lit(3), size(t)), (a, b) => xxhash64(a, b))
-    when(size(t) >= 3, slice(h123, lit(1), size(t) - 2))
-      .otherwise(array(xxhash64(concat_ws(" ", t))))
-  }
-
   /** documents + `_tk` (tokens) + `sh` (distinct shingles) columns. */
   private def withShingles(docs: DataFrame): DataFrame =
     docs.withColumn("_tk", tokens(col("text")))
       .withColumn("sh", array_distinct(shinglesOf(col("_tk"))))
 
   /** documents + `shl` (distinct shingle-hash longs) column, computed by
-    * the native codegen'd ShingleHashes expression (TextExprs) — the HOF
-    * chain `shingleHashesOf` stays as the executable reference semantics,
-    * bit-equality pinned by spec (the LSH bucket contents and therefore
-    * the closure-oracle recall depend on these exact bits).
+    * the native codegen'd ShingleHashes expression (TextExprs) — FNV
+    * family, bit-exact against a plain-Scala fold by spec AND replayed by
+    * the DuckDB oracles (the LSH bucket contents and therefore the
+    * closure-oracle recall depend on these exact bits).
     *
     * The `shuffle()` wrapper is a deliberate optimizer barrier, not data
     * munging: CollapseProject + filter pushdown otherwise inline the whole
@@ -275,29 +251,25 @@ object LlmOps {
     docs.withColumn("shl",
       shuffle(array_distinct(TextExprs.shingleHashes(tokens(col("text"))))))
 
-  /** q_dedup_minhash: shingle → 16 minhashes → 4 LSH band keys per doc
-    * (exploded). Near-dup candidates are docs sharing any (band, band_key) —
-    * candidate generation is an equi-join on the band bucket, which is the
-    * whole point at 100 TB: no pairwise comparison outside buckets. */
-  def qDedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val sig = minhashSignatures(Tables.documents(spark, sfDir))
-    val bandStructs = (0 until minhashBands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(lit(b) +: (0 until 4).map(r => col(s"mh_${b * 4 + r}")): _*).as("band_key"))
-    }
-    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
-  }
+  /** doc_id + exploded (band, band_key) rows from the native MinHashBands
+    * expression — one narrow pass, everything before the explode is
+    * shuffle-free. */
+  private def bandKeys(docs: DataFrame): DataFrame =
+    withShingleHashes(docs)
+      .select(col("doc_id"),
+        posexplode(TextExprs.minhashBands(col("shl"))).as(Seq("band", "band_key")))
 
-  /** Per-doc MinHash signature columns mh_0..mh_15, derived from shingle
-    * hashes (re-hashed per seed — hashing a long beats hashing a string). */
-  private[engine] def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = withShingleHashes(docs).select(col("doc_id"), col("shl"))
-    val sigCols = (0 until minhashSeeds).map { j =>
-      array_min(transform(col("shl"), h => xxhash64(lit(j), h))).as(s"mh_$j")
-    }
-    sh.select(col("doc_id") +: sigCols: _*)
-  }
+  /** q_dedup_minhash: shingle → 16 minhash signatures → 4 LSH band keys
+    * per doc (exploded). Near-dup candidates are docs sharing any
+    * (band, band_key) — candidate generation is an equi-join on the band
+    * bucket, which is the whole point at 100 TB: no pairwise comparison
+    * outside buckets. The whole signature (16 multiply-add permutation
+    * mins folded into 4 band keys) computes in the codegen'd MinHashBands
+    * expression (TextExprs) — replacing 16 interpreted transform/array_min
+    * lambda passes — and its wrapping-arithmetic hash family is replayed
+    * exactly by the DuckDB oracle (qDedupMinhashSql). */
+  def qDedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
+    bandKeys(Tables.documents(spark, sfDir))
 
   /** Per-bucket pair cap: a bucket holding every near-identical copy of a
     * boilerplate page (the 100 TB pathology — think robots.txt mirrored a
@@ -332,16 +304,8 @@ object LlmOps {
   def minhashCandidatePairs(docs: DataFrame, cap: Int = maxBucketDocs): DataFrame = {
     val sh = withShingleHashes(docs).select(col("doc_id"), col("shl")).persist()
     try {
-      val sigCols = (0 until minhashSeeds).map { j =>
-        array_min(transform(col("shl"), h => xxhash64(lit(j), h))).as(s"mh_$j")
-      }
-      val sig = sh.select(col("doc_id") +: sigCols: _*)
-      val bandStructs = (0 until minhashBands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64(lit(b) +: (0 until 4).map(r => col(s"mh_${b * 4 + r}")): _*).as("band_key"))
-      }
-      val buckets = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+      val buckets = sh.select(col("doc_id"),
+        posexplode(TextExprs.minhashBands(col("shl"))).as(Seq("band", "band_key")))
       // Membership is bounded BEFORE the collect_list: a degenerate bucket
       // (the documented 100 TB pathology) must never materialize a full
       // aggregation buffer only to be sliced after. The window shuffles on
@@ -382,31 +346,12 @@ object LlmOps {
     } finally sh.unpersist(blocking = false)
   }
 
-  /** The original nested-HOF SimHash (aggregate ∘ zip_with over a 64-slot
-    * sign-count array) — kept as the executable reference semantics; the
-    * query runs the codegen'd TextExprs.simhash64, and the spec pins the
-    * two bit-identical. */
-  private[graft] def simhashHof(text: Column): Column = {
-    val powers = typedLit(Seq.tabulate(64)(i => 1L << i))
-    val zeros = typedLit(Seq.fill(64)(0))
-    val counts = aggregate(
-      transform(tokens(text), t => xxhash64(t)),
-      zeros,
-      // bit test via h & 2^i != 0 (shift-by-column doesn't exist); works
-      // for the sign bit too (h & MinValue is 0 or MinValue)
-      (acc, h) => zip_with(acc, powers,
-        (a, p) => a + when(h.bitwiseAND(p) =!= 0L, 1).otherwise(-1)))
-    aggregate(
-      zip_with(counts, powers, (c, p) => when(c > 0, p).otherwise(lit(0L))),
-      lit(0L), (a, b) => a.bitwiseOR(b))
-  }
-
   /** q_dedup_simhash: 64-bit SimHash per doc, computed entirely map-side
     * by the native codegen'd SimHash64 expression (one primitive loop per
-    * row — the HOF formulation ran interpreted and allocated two
-    * 64-element arrays per token). NO explode, NO shuffle — at 100 TB
-    * this is a pure narrow pass over the corpus. Bits are banded into
-    * four 16-bit keys for hamming-neighbor candidate joins. */
+    * row, FNV per-token hashes — replayed bit-exact by the DuckDB oracle
+    * qDedupSimhashSql). NO explode, NO shuffle — at 100 TB this is a pure
+    * narrow pass over the corpus. Bits are banded into four 16-bit keys
+    * for hamming-neighbor candidate joins. */
   def qDedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     val agg = Tables.documents(spark, sfDir)
       .select(col("doc_id"), TextExprs.simhash64(tokens(col("text"))).as("simhash"))
@@ -415,6 +360,100 @@ object LlmOps {
       .withColumn("band1", shiftright(col("simhash"), 16).bitwiseAND(lit(0xFFFFL)))
       .withColumn("band2", shiftright(col("simhash"), 32).bitwiseAND(lit(0xFFFFL)))
       .withColumn("band3", shiftright(col("simhash"), 48).bitwiseAND(lit(0xFFFFL)))
+  }
+
+  // --- DuckDB replay of the FNV hash family --------------------------------
+  // Shared by the simhash and minhash oracles, same convention as
+  // qFingerprintSql: all arithmetic in HUGEINT mod 2^64 (products stay
+  // < 2^105 because FnvPrime and the minhash multipliers are <= 41 bits),
+  // ord(char) == UTF-8 byte on the ASCII corpus, signed back to BIGINT at
+  // the very end. The SQL text is GENERATED from the same constants the
+  // engine expressions use (RollingFingerprint / MinHashBands) — one
+  // source of truth for both sides of the differential check.
+  private val M = "18446744073709551616::HUGEINT"   // 2^64
+  private val P = s"${RollingFingerprint.FnvPrime}::HUGEINT"
+  private val FB = // FNV basis as unsigned decimal
+    java.lang.Long.toUnsignedString(RollingFingerprint.FnvBasis) + "::HUGEINT"
+  private val HALF = "9223372036854775808::HUGEINT" // 2^63
+
+  /** Signed-BIGINT view of an unsigned mod-2^64 HUGEINT expression. */
+  private def signedSql(x: String): String =
+    s"CAST(CASE WHEN $x >= $HALF THEN $x - $M ELSE $x END AS BIGINT)"
+
+  /** rotl5 in HUGEINT: the low 5 bits of (a*32 mod 2^64) are zero, so
+    * adding the shifted-out top 5 bits reassembles the rotation exactly. */
+  private def rotl5Sql(a: String): String =
+    s"(($a * 32) % $M + $a // 576460752303423488::HUGEINT)"
+
+  /** The ShingleHashes combine: (rotl5(a) ^ b) * FnvPrime mod 2^64. */
+  private def mixSql(a: String, b: String): String =
+    s"((xor(${rotl5Sql(a)}, $b) * $P) % $M)"
+
+  /** FNV-1a over a string expression's characters, in HUGEINT. */
+  private def fnvSql(tok: String): String =
+    s"list_reduce(list_prepend($FB, [CAST(ord(substr($tok, CAST(i AS INT), 1)) AS HUGEINT) " +
+      s"for i in range(1, length($tok) + 1)]), (a, b) -> (xor(a, b) * $P) % $M)"
+
+  /** Shared tokenize + per-token-FNV prologue (t, h CTE bodies). */
+  private def tokenHashCtes: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, toks, [${fnvSql("tok")} for tok in toks] AS th
+       |  FROM t)""".stripMargin
+
+  /** The simhash replayed in DuckDB: per-bit majority vote over the
+    * per-token FNV hashes — bit p is set when more than half the tokens
+    * have it — then the four 16-bit band keys by unsigned div/mod. */
+  val qDedupSimhashSql: String = {
+    val powers = (0 until 64).map(i => (BigInt(1) << i).toString).mkString(", ")
+    s"""$tokenHashCtes,
+       |s AS (
+       |  SELECT doc_id,
+       |    list_sum([CASE WHEN 2 * len(list_filter(th, x -> (x // p) % 2 = 1)) > len(th)
+       |                   THEN p ELSE 0::HUGEINT END
+       |              for p in CAST([$powers] AS HUGEINT[])]) AS uh
+       |  FROM h)
+       |SELECT doc_id, ${signedSql("uh")} AS simhash,
+       |  CAST(uh % 65536 AS BIGINT) AS band0,
+       |  CAST((uh // 65536) % 65536 AS BIGINT) AS band1,
+       |  CAST((uh // 4294967296) % 65536 AS BIGINT) AS band2,
+       |  CAST((uh // 281474976710656) % 65536 AS BIGINT) AS band3
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** The minhash band keys replayed in DuckDB: 3-gram shingle hashes via
+    * the same mix chain as ShingleHashes, 16 multiply-add permutation mins
+    * (signed order via the xor-2^63 trick: signed(a) < signed(b) iff
+    * (a^2^63) < (b^2^63) unsigned), 4 FNV band-key folds. Distinctness of
+    * shl is irrelevant to a min, so the replay skips it. */
+  val qDedupMinhashSql: String = {
+    val shingle = mixSql(mixSql("th[i]", "th[i+1]"), "th[i+2]")
+    val mhs = (0 until MinHashBands.Seeds).map { j =>
+      val k = s"${MinHashBands.Ks(j)}::HUGEINT"
+      val b = s"${java.lang.Long.toUnsignedString(MinHashBands.Bs(j))}::HUGEINT"
+      s"xor(list_min([xor((s * $k % $M + $b) % $M, $HALF) for s in shl]), $HALF)"
+    }.mkString(",\n       ")
+    val fold = (1 to MinHashBands.Rows).foldLeft(
+      s"((xor($FB, CAST(b.band AS HUGEINT)) * $P) % $M)") { (acc, r) =>
+      s"((xor($acc, mh[4 * b.band + $r]) * $P) % $M)"
+    }
+    s"""$tokenHashCtes,
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(th) >= 3
+       |         THEN [$shingle for i in range(1, len(th) - 1)]
+       |         ELSE [${fnvSql("array_to_string(toks, ' ')")}]
+       |    END AS shl
+       |  FROM h),
+       |m AS (
+       |  SELECT doc_id, [$mhs] AS mh FROM sh)
+       |SELECT doc_id, CAST(b.band AS INT) AS band,
+       |  ${signedSql(fold)} AS band_key
+       |FROM m, (VALUES (0), (1), (2), (3)) AS b(band)
+       |ORDER BY doc_id, band""".stripMargin
   }
 
   /** q_ngram_jaccard: token-3-gram Jaccard via the SPARSE formulation —

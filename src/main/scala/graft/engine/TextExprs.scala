@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.GraftColumnBridge
@@ -16,13 +16,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * row. This expression hashes each token and folds all 64 bit-counts in
   * one tight primitive loop, inside whole-stage codegen.
   *
-  * Semantics are bit-identical to the HOF version (pinned by spec):
-  * per token t, h = xxhash64(t) (Spark's seed-42 XXH64 over the
-  * UTF8String bytes — the generated code calls the same
-  * XXH64.hashUTF8String Spark's own hash expression emits); each
-  * of the 64 bits votes +1/-1 into its counter; the result sets bit i
-  * where counter i is positive. Null tokens hash to the seed, matching
-  * XxHash64's null-skip behavior (tokens() never produces them).
+  * Per token t, h = FNV-1a over the token's UTF-8 bytes; each of the 64
+  * bits votes +1/-1 into its counter; the result sets bit i where counter
+  * i is positive. FNV (not XXH64) for the same reason as
+  * RollingFingerprint: every step is wrapping mod-2⁶⁴ integer arithmetic,
+  * so the DuckDB oracle replays the signature exactly in HUGEINT — the
+  * simhash moves from engine-only to hash-verified. Null tokens fold as
+  * the empty token (tokens() never produces them); pinned bit-exact
+  * against a plain-Scala reference by LlmOpsSpec.
   */
 case class SimHash64(child: Expression) extends UnaryExpression {
 
@@ -34,15 +35,29 @@ case class SimHash64(child: Expression) extends UnaryExpression {
       s"simhash64 needs array<string>, got $other")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.engine.SimHash64.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash64"
+}
+
+object SimHash64 {
+  /** Static entry shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData): Long = {
     val counts = new Array[Int](64)
     val n = arr.numElements()
     var k = 0
     while (k < n) {
       val h =
-        if (arr.isNullAt(k)) 42L
-        else XXH64.hashUTF8String(arr.getUTF8String(k), 42L)
+        if (arr.isNullAt(k)) RollingFingerprint.FnvBasis
+        else RollingFingerprint.fnv64(arr.getUTF8String(k))
       var i = 0
       while (i < 64) {
         counts(i) += (if (((h >>> i) & 1L) != 0L) 1 else -1)
@@ -58,52 +73,22 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     }
     out
   }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => {
-      val counts = ctx.freshName("counts")
-      val n = ctx.freshName("n")
-      val k = ctx.freshName("k")
-      val i = ctx.freshName("i")
-      val h = ctx.freshName("h")
-      val out = ctx.freshName("out")
-      val xxh = classOf[XXH64].getName
-      s"""
-         |int[] $counts = new int[64];
-         |int $n = $a.numElements();
-         |for (int $k = 0; $k < $n; $k++) {
-         |  long $h = $a.isNullAt($k) ? 42L :
-         |    $xxh.hashUTF8String($a.getUTF8String($k), 42L);
-         |  for (int $i = 0; $i < 64; $i++) {
-         |    $counts[$i] += ((($h >>> $i) & 1L) != 0L) ? 1 : -1;
-         |  }
-         |}
-         |long $out = 0L;
-         |for (int $i = 0; $i < 64; $i++) {
-         |  if ($counts[$i] > 0) $out |= (1L << $i);
-         |}
-         |${ev.value} = $out;
-       """.stripMargin
-    })
-
-  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
-    copy(child = newChild)
-
-  override def prettyName: String = "simhash64"
 }
 
 /** Native 3-gram shingle hashes over a token array — the codegen'd
   * replacement for the tokenize→shingle HOF chain (transform + two
   * zip_with passes), the last interpreted stretch on the dedup hot path.
   *
-  * Bit-identical to the HOF formulation (pinned by spec) — this is a hard
-  * requirement: the LSH bucket contents derive from these hashes, and the
-  * q_dedup_groups oracle asserts LSH recall against the exhaustive
-  * closure, so changed bits would change candidate sets. Per token,
-  * h1 = xxhash64(t) (null → seed 42, matching the null-skip); shingle i is
-  * the chained combine xxhash64(xxhash64(h1(i), h1(i+1)), h1(i+2)) with
-  * Spark's fold order (hashLong(second, hashLong(first, 42))); fewer than
-  * 3 tokens falls back to hashing the space-joined text. */
+  * Per token, h1 = FNV-1a over the token's UTF-8 bytes; shingle i is the
+  * chained combine mix(mix(h1(i), h1(i+1)), h1(i+2)) where
+  * mix(a, b) = (rotl5(a) ^ b) * FnvPrime — order-sensitive like the
+  * rolling fingerprint, with the FNV multiply for diffusion. Fewer than 3
+  * tokens falls back to FNV of the space-joined text. Every step is
+  * wrapping mod-2⁶⁴ arithmetic (products < 2¹⁰⁵), so the DuckDB oracle
+  * replays the hashes exactly in HUGEINT — these bits decide the LSH
+  * bucket contents, and the q_dedup_groups oracle asserts LSH recall
+  * against the exhaustive closure, so the replay has to be bit-exact.
+  * Pinned against a plain-Scala reference fold by LlmOpsSpec. */
 case class ShingleHashes(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -128,6 +113,10 @@ case class ShingleHashes(child: Expression) extends UnaryExpression {
 }
 
 object ShingleHashes {
+  /** The shingle combine: rotate-xor then FNV multiply, wrapping. */
+  @inline private[engine] def mix(a: Long, b: Long): Long =
+    (java.lang.Long.rotateLeft(a, 5) ^ b) * RollingFingerprint.FnvPrime
+
   /** Static entry shared by interpreted eval and generated code. */
   def compute(arr: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val n = arr.numElements()
@@ -136,18 +125,14 @@ object ShingleHashes {
       var k = 0
       while (k < n) {
         th(k) =
-          if (arr.isNullAt(k)) 42L
-          else XXH64.hashUTF8String(arr.getUTF8String(k), 42L)
+          if (arr.isNullAt(k)) RollingFingerprint.FnvBasis
+          else RollingFingerprint.fnv64(arr.getUTF8String(k))
         k += 1
       }
       val out = new Array[Long](n - 2)
       var i = 0
       while (i < n - 2) {
-        var p = XXH64.hashLong(th(i), 42L)      // xxhash64(h1(i), h1(i+1))
-        p = XXH64.hashLong(th(i + 1), p)
-        var q = XXH64.hashLong(p, 42L)          // xxhash64(h12(i), h1(i+2))
-        q = XXH64.hashLong(th(i + 2), q)
-        out(i) = q
+        out(i) = mix(mix(th(i), th(i + 1)), th(i + 2))
         i += 1
       }
       new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
@@ -157,8 +142,100 @@ object ShingleHashes {
         if (arr.isNullAt(k)) None else Some(arr.getUTF8String(k)))
       val joined = UTF8String.concatWs(UTF8String.fromString(" "), parts: _*)
       new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        Array(XXH64.hashUTF8String(joined, 42L)))
+        Array(RollingFingerprint.fnv64(joined)))
     }
+  }
+}
+
+/** Native MinHash LSH band keys over a shingle-hash array — 16
+  * multiply-add signature mins folded into 4 FNV band keys, all in one
+  * narrow codegen'd pass (the column formulation ran 16 `transform` +
+  * `array_min` lambdas plus 4 hash calls per row).
+  *
+  * Signature j is min over shingles s of p_j(s) = s·K_j + B_j mod 2⁶⁴
+  * (signed min — the bit pattern order array_min used). Odd K_j makes
+  * every p_j a bijection of Z/2⁶⁴ — a genuine permutation family, which
+  * xxhash re-hashing only approximated. K_j is capped at 41 bits so the
+  * DuckDB HUGEINT replay's products stay < 2¹⁰⁵ ≪ 2¹²⁷. Band key b folds
+  * (b, sig(4b)..sig(4b+3)) FNV-style: k = (k ^ v) · FnvPrime from the FNV
+  * basis. Docs sharing any (band, key) are near-dup candidates; all
+  * constants derive from splitmix64 and are embedded identically in the
+  * oracle SQL (LlmOps.qDedupMinhashSql — single source of truth).
+  * Pinned against a plain-Scala reference by LlmOpsSpec. */
+case class MinHashBands(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_bands needs array<bigint> (shingle hashes), got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashBands.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.engine.MinHashBands.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_bands"
+}
+
+object MinHashBands {
+  final val Seeds = 16
+  final val Bands = 4
+  final val Rows = 4 // Seeds / Bands
+
+  private def splitmix64(x: Long): Long = {
+    var z = x + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Odd 41-bit multipliers (bijective mod 2⁶⁴; HUGEINT-replayable). */
+  val Ks: Array[Long] = Array.tabulate(Seeds)(j => (splitmix64(j.toLong) & 0x1FFFFFFFFFFL) | 1L)
+  /** Full-width additive constants. */
+  val Bs: Array[Long] = Array.tabulate(Seeds)(j => splitmix64(j.toLong + 1000L))
+
+  /** The 16 signature mins (signed order), exposed for the spec model. */
+  def sigs(arr: ArrayData): Array[Long] = {
+    val n = arr.numElements()
+    val mh = Array.fill(Seeds)(Long.MaxValue)
+    var k = 0
+    while (k < n) {
+      val h = arr.getLong(k)
+      var j = 0
+      while (j < Seeds) {
+        val p = h * Ks(j) + Bs(j)
+        if (p < mh(j)) mh(j) = p
+        j += 1
+      }
+      k += 1
+    }
+    mh
+  }
+
+  /** Static entry shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val mh = sigs(arr)
+    val out = new Array[Long](Bands)
+    var b = 0
+    while (b < Bands) {
+      var k = (RollingFingerprint.FnvBasis ^ b.toLong) * RollingFingerprint.FnvPrime
+      var r = 0
+      while (r < Rows) {
+        k = (k ^ mh(b * Rows + r)) * RollingFingerprint.FnvPrime
+        r += 1
+      }
+      out(b) = k
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
 
@@ -288,6 +365,16 @@ object RollingFingerprint {
   /** FNV-1a 64-bit prime (≈2⁴⁰: HUGEINT replay products stay < 2¹⁰⁴). */
   final val FnvPrime: Long = 1099511628211L
 
+  /** FNV-1a over a string's UTF-8 bytes — the shared per-token hash of
+    * the fingerprint / simhash / shingle family. */
+  def fnv64(s: UTF8String): Long = {
+    var h = FnvBasis
+    val m = s.numBytes()
+    var j = 0
+    while (j < m) { h = (h ^ (s.getByte(j) & 0xFFL)) * FnvPrime; j += 1 }
+    h
+  }
+
   /** Static entry shared by interpreted eval and generated code. */
   def compute(arr: ArrayData): Long = {
     val n = arr.numElements()
@@ -295,13 +382,7 @@ object RollingFingerprint {
     var i = 0
     while (i < n) {
       // tokens() never yields nulls; a null folds as the empty token
-      var h = FnvBasis
-      if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val m = s.numBytes()
-        var j = 0
-        while (j < m) { h = (h ^ (s.getByte(j) & 0xFFL)) * FnvPrime; j += 1 }
-      }
+      val h = if (arr.isNullAt(i)) FnvBasis else fnv64(arr.getUTF8String(i))
       acc = java.lang.Long.rotateLeft(acc, 5) ^ h
       i += 1
     }
@@ -325,4 +406,8 @@ object TextExprs {
   /** Column-level shingle hashes backed by the codegen'd expression. */
   def shingleHashes(tokens: Column): Column =
     GraftColumnBridge.column(ShingleHashes(GraftColumnBridge.expression(tokens)))
+
+  /** Column-level MinHash LSH band keys backed by the codegen'd expression. */
+  def minhashBands(shingleHashes: Column): Column =
+    GraftColumnBridge.column(MinHashBands(GraftColumnBridge.expression(shingleHashes)))
 }

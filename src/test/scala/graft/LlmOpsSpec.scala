@@ -100,45 +100,63 @@ class LlmOpsSpec extends SparkSpec {
     val a = Seq.tabulate(60)(i => s"word$i").mkString(" ")
     val b = a.replace("word30", "other")
     val docs = Seq((1L, a), (2L, a), (3L, b)).toDF("doc_id", "text")
-    // reuse the declared query through a temp swap: compute directly
     val out = graft.engine.LlmOps.qDedupSimhash(spark, sf) // smoke the declared one
     assert(out.columns.contains("simhash"))
-    val hashes = docsSimhash(docs)
+    val toks = filter(split(lower(col("text")), " "), t => t =!= lit(""))
+    val hashes = docs.select(col("doc_id"),
+        graft.engine.TextExprs.simhash64(toks).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(hashes(1L) == hashes(2L))
     val ham = java.lang.Long.bitCount(hashes(1L) ^ hashes(3L))
     assert(ham <= 16, s"hamming distance $ham too large for a near-dup")
   }
 
-  test("native ShingleHashes expression is bit-identical to the HOF chain") {
-    val docs = graft.engine.Tables.documents(spark, sf)
-    val toks = filter(split(lower(col("text")), " "), t => t =!= lit(""))
-    val both = docs.select(
-      sort_array(array_distinct(graft.engine.TextExprs.shingleHashes(toks))).as("native"),
-      sort_array(array_distinct(graft.engine.LlmOps.shingleHashesOf(toks))).as("hof"),
-      col("doc_id"))
-    assert(both.filter(col("native") =!= col("hof")).count() == 0,
-      "codegen'd shingle hashes must reproduce the HOF chain bits exactly")
-    // short-text fallback paths: 0, 1, 2, 3 tokens
+  test("native ShingleHashes expression is bit-identical to a plain-Scala fold") {
     import spark.implicits._
-    val edge = Seq("", "one", "two words", "three word text").toDF("text")
-    val e = edge.select(
-      sort_array(graft.engine.TextExprs.shingleHashes(toks)).as("native"),
-      sort_array(graft.engine.LlmOps.shingleHashesOf(toks)).as("hof"))
-    assert(e.filter(col("native") =!= col("hof")).count() == 0)
+    val docs = graft.engine.Tables.documents(spark, sf)
+      .select(col("text"))
+      // short-text fallback paths: 0, 1, 2, 3 tokens
+      .unionByName(Seq("", "one", "two words", "three word text").toDF("text"))
+    val toks = filter(split(lower(col("text")), " "), t => t =!= lit(""))
+    val rows = docs.select(col("text"),
+      graft.engine.TextExprs.shingleHashes(toks).as("native")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val expect = shingleModel(r.getString(0)).toSeq
+      assert(r.getSeq[Long](1) == expect,
+        s"shingle hashes mismatch on: ${r.getString(0).take(60)}")
+    }
   }
 
-  test("native SimHash64 expression is bit-identical to the HOF formulation") {
+  test("native SimHash64 expression is bit-identical to a plain-Scala model") {
     val docs = graft.engine.Tables.documents(spark, sf)
-    val both = docs.select(
+    val both = docs.select(col("text"),
       graft.engine.TextExprs.simhash64(
-        filter(split(lower(col("text")), " "), t => t =!= lit(""))).as("native"),
-      graft.engine.LlmOps.simhashHof(col("text")).as("hof"))
-    assert(both.filter(col("native") =!= col("hof")).count() == 0,
-      "codegen'd simhash must reproduce the reference HOF bits exactly")
+        filter(split(lower(col("text")), " "), t => t =!= lit(""))).as("native"))
+    val rows = both.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == simhashModel(r.getString(0)),
+        s"simhash mismatch on: ${r.getString(0).take(60)}")
+    }
     // and it must actually run inside whole-stage codegen
-    both.collect()
     val plan = both.queryExecution.executedPlan.toString
     assert(plan.contains("*(1)"), s"expected a codegen stage:\n${plan.take(600)}")
+  }
+
+  test("native MinHashBands keys match the plain-Scala model through the declared query") {
+    val out = graft.engine.LlmOps.qDedupMinhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val docs = graft.engine.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+    assert(out.size == docs.length * graft.engine.MinHashBands.Bands)
+    docs.foreach { r =>
+      val keys = minhashBandsModel(shingleModel(r.getString(1)))
+      keys.zipWithIndex.foreach { case (k, b) =>
+        assert(out((r.getLong(0), b)) == k,
+          s"band $b key mismatch for doc ${r.getLong(0)}")
+      }
+    }
   }
 
   test("TokenCounts scan equals the regex/split formulation") {
@@ -193,18 +211,52 @@ class LlmOpsSpec extends SparkSpec {
     assert(empty == 0L)
   }
 
-  private def docsSimhash(docs: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
-    val th = docs
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b_$i")
+  // --- plain-Scala reference models of the FNV hash family ---------------
+  // (independent of both the Catalyst expressions and the DuckDB oracles;
+  // same tokenization convention as LlmOps.tokens)
+
+  private def fnvModel(tok: String): Long = {
+    var h = engine.RollingFingerprint.FnvBasis
+    tok.getBytes("UTF-8").foreach(b =>
+      h = (h ^ (b & 0xFFL)) * engine.RollingFingerprint.FnvPrime)
+    h
+  }
+
+  private def tokensModel(text: String): Array[String] =
+    text.toLowerCase.split(" ", -1).filter(_.nonEmpty)
+
+  private def shingleModel(text: String): Array[Long] = {
+    def mix(a: Long, b: Long): Long =
+      (java.lang.Long.rotateLeft(a, 5) ^ b) * engine.RollingFingerprint.FnvPrime
+    val th = tokensModel(text).map(fnvModel)
+    if (th.length >= 3)
+      Array.tabulate(th.length - 2)(i => mix(mix(th(i), th(i + 1)), th(i + 2)))
+    else Array(fnvModel(tokensModel(text).mkString(" ")))
+  }
+
+  private def simhashModel(text: String): Long = {
+    val counts = new Array[Int](64)
+    tokensModel(text).map(fnvModel).foreach { h =>
+      (0 until 64).foreach(i =>
+        counts(i) += (if (((h >>> i) & 1L) != 0L) 1 else -1))
     }
-    val agg = th.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 64).map { i =>
-      when(col(s"b_$i") > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    agg.select(col("doc_id"), sim.as("s")).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 64).foldLeft(0L)((acc, i) =>
+      if (counts(i) > 0) acc | (1L << i) else acc)
+  }
+
+  private def minhashBandsModel(shl: Array[Long]): Array[Long] = {
+    val mh = Array.fill(engine.MinHashBands.Seeds)(Long.MaxValue)
+    for (h <- shl; j <- 0 until engine.MinHashBands.Seeds) {
+      val p = h * engine.MinHashBands.Ks(j) + engine.MinHashBands.Bs(j)
+      if (p < mh(j)) mh(j) = p
+    }
+    Array.tabulate(engine.MinHashBands.Bands) { b =>
+      var k = (engine.RollingFingerprint.FnvBasis ^ b.toLong) *
+        engine.RollingFingerprint.FnvPrime
+      (0 until engine.MinHashBands.Rows).foreach(r =>
+        k = (k ^ mh(b * engine.MinHashBands.Rows + r)) *
+          engine.RollingFingerprint.FnvPrime)
+      k
+    }
   }
 }
