@@ -68,6 +68,7 @@ object SparkEntry {
     "q_text_quality"      -> (LlmOps.qTextQuality _),
     "q_lang_id"           -> (LlmOps.qLangId _),
     "q_fingerprint"       -> (LlmOps.qFingerprint _),
+    "q_bm25_topk"         -> (LlmOps.qBm25Topk _),
     "q_multimodal_meta"   -> (Multimodal.qMultimodalMeta _),
     // corpus curation (repetition gate, PII scrub, URL extract, decontamination)
     "q_repetition"        -> (Curation.qRepetition _),
@@ -166,5 +167,6 @@ object SparkEntry {
     "q_sample_stratified" -> Relational.qSampleStratifiedSql,
     "q_dedup_simhash"     -> LlmOps.qDedupSimhashSql,
     "q_dedup_minhash"     -> LlmOps.qDedupMinhashSql,
+    "q_bm25_topk"         -> LlmOps.qBm25TopkSql,
   )
 }

@@ -139,10 +139,13 @@ object Curation {
     lit(") 555-"), (col("event_id") % 9000 + 1000).cast("string"),
     lit(" type="), col("event_type"))
 
-  /** Count + redact PII categories in a text column. Redaction order is
-    * email → phone → IP (the placeholders contain no digits, so later
-    * patterns cannot match inside earlier replacements). */
-  def piiScrub(text: Column): Seq[Column] = Seq(
+  /** Count + redact PII categories in a text column — the REGEX
+    * formulation (three regexp_count + a triple regexp_replace; redaction
+    * order email → phone → IP). Kept as the executable reference
+    * semantics: the query runs the codegen'd single-pass TextExprs.piiScrub
+    * scanner, and CurationSpec pins the two byte-equal on the corpus plus
+    * adversarial edges. */
+  def piiScrubRegex(text: Column): Seq[Column] = Seq(
     regexp_count(text, lit(emailRe)).cast("long").as("n_emails"),
     regexp_count(text, lit(phoneRe)).cast("long").as("n_phones"),
     regexp_count(text, lit(ipRe)).cast("long").as("n_ips"),
@@ -152,15 +155,23 @@ object Curation {
         phoneRe, "[PHONE]"),
       ipRe, "[IP]").as("redacted"))
 
-  /** q_pii_scrub: per-event PII counts and the fully redacted line.
-    * Map-side regex only; zero shuffle, no sort — the result is fact-sized
-    * and the comparator sorts rows itself (ROADMAP r1 evidence), so a
-    * global orderBy here was a pure range-exchange tax on the most
-    * compute-expensive query in the bench. */
+  /** q_pii_scrub: per-event PII counts and the fully redacted line, via
+    * the single-pass codegen'd scanner (TextExprs.PiiScrub) — one byte
+    * pass instead of six java.util.regex traversals; this was the most
+    * expensive query in the bench, pure map-side CPU. Zero shuffle, no
+    * sort — the result is fact-sized and the comparator sorts rows itself
+    * (ROADMAP r1 evidence). The struct is projected in the same select;
+    * whole-stage codegen's subexpression elimination evaluates the scanner
+    * once per row (asserted by CurationSpec). */
   def qPiiScrub(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .withColumn("line", piiLine)
-      .select(Seq(col("event_id"), col("line")) ++ piiScrub(col("line")): _*)
+      .withColumn("_pii", TextExprs.piiScrub(col("line")))
+      .select(col("event_id"), col("line"),
+        col("_pii.n_emails").as("n_emails"),
+        col("_pii.n_phones").as("n_phones"),
+        col("_pii.n_ips").as("n_ips"),
+        col("_pii.redacted").as("redacted"))
 
   val qPiiScrubSql: String = {
     // single line: interpolating a multi-line fragment into the outer

@@ -207,6 +207,116 @@ object LlmOps {
       |            ELSE uh END AS BIGINT) AS fingerprint
       |FROM u ORDER BY doc_id""".stripMargin
 
+  // --- keyword search ------------------------------------------------------
+
+  /** The declared keyword queries (query_id → terms). Fixed literals so the
+    * oracle replays the exact workload. */
+  private val bm25Queries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("hash", "join"),
+    2L -> Seq("agg", "stream", "window"),
+    3L -> Seq("scan", "vector"),
+    4L -> Seq("fast", "query", "spark"))
+
+  /** q_bm25_topk: BM25-weighted keyword top-10 per query over the corpus.
+    *
+    * Sparse-index shape, built for 100 TB: the per-term postings are
+    * FILTERED to the query vocabulary before the (doc, term) tf aggregation,
+    * so the only corpus-sized work is the narrow tokenize/explode scan and
+    * one tiny global (N, Σdl) aggregate; document frequencies and the query
+    * table broadcast. Nothing doc×term-sized ever shuffles.
+    *
+    * Scoring is the BM25 shape (k1 = 1.2, b = 0.75) with the log dropped
+    * from the idf — idf' = (N - df + ½)/(df + ½) — cleared to the integer
+    * ratio 22·tf·S·(2N-2df+1) / (2df+1)·(10·tf·S + 3·S + 9·dl·N), evaluated
+    * in double with an explicit parenthesization the DuckDB oracle mirrors
+    * token-for-token: every operand is an exact integer (< 2⁵³) and every
+    * +,*,/ is IEEE-correctly-rounded in both engines, so scores are
+    * bit-identical cross-engine — the same determinism discipline as
+    * Exact.scala, without ln()'s libm dependence. Per-doc term scores fold
+    * in sorted term order (order-dependent double addition made
+    * deterministic), then top-10 per query by (score desc, doc_id). */
+  def qBm25Topk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("_tk"))
+      .select(col("doc_id"), size(col("_tk")).cast("long").as("dl"), col("_tk"))
+    val stats = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
+    val allTerms = bm25Queries.flatMap(_._2).distinct
+    val matched = base
+      .select(col("doc_id"), col("dl"), explode(col("_tk")).as("term"))
+      .filter(col("term").isin(allTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = matched.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qdf = bm25Queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val tfD = col("tf").cast("double"); val sD = col("s").cast("double")
+    val nD = col("n").cast("double"); val dfD = col("df").cast("double")
+    val dlD = col("dl").cast("double")
+    val num = ((lit(22.0) * tfD) * sD) *
+      (((lit(2.0) * nD) - (lit(2.0) * dfD)) + lit(1.0))
+    val den = ((lit(2.0) * dfD) + lit(1.0)) *
+      ((((lit(10.0) * tfD) * sD) + (lit(3.0) * sD)) + ((lit(9.0) * dlD) * nD))
+    val scored = matched
+      .join(broadcast(dft), "term")
+      .crossJoin(broadcast(stats)) // 1-row global stats spine
+      .join(broadcast(qdf), "term")
+      .select(col("query_id"), col("doc_id"), col("term"), (num / den).as("tscore"))
+    val folded = scored
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("term"), col("tscore")))).as("ts"))
+      .select(col("query_id"), col("doc_id"),
+        aggregate(col("ts"), lit(0.0), (a, x) => a + x.getField("tscore")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    folded.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The scoring replayed in DuckDB with the IDENTICAL parenthesization
+    * (bit-equal doubles) and the identical sorted-term fold. */
+  val qBm25TopkSql: String = {
+    val qvals = bm25Queries
+      .flatMap { case (qid, ts) => ts.map(t => s"(${qid}::BIGINT, '$t')") }
+      .mkString(", ")
+    val inList = bm25Queries.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
+    s"""WITH q(query_id, term) AS (VALUES $qvals),
+       |t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(lower(text), ' '), s -> s <> '') AS tk
+       |  FROM documents),
+       |base AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, tk FROM t),
+       |stats AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS s
+       |  FROM base),
+       |m AS (
+       |  SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(tk) AS term FROM base)
+       |  WHERE term IN ($inList) GROUP BY 1, 2, 3),
+       |dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM m GROUP BY 1),
+       |sc AS (
+       |  SELECT q.query_id, m.doc_id, m.term,
+       |    (((22.0 * CAST(tf AS DOUBLE)) * CAST(s AS DOUBLE)) *
+       |      (((2.0 * CAST(n AS DOUBLE)) - (2.0 * CAST(df AS DOUBLE))) + 1.0))
+       |    / (((2.0 * CAST(df AS DOUBLE)) + 1.0) *
+       |      ((((10.0 * CAST(tf AS DOUBLE)) * CAST(s AS DOUBLE)) + (3.0 * CAST(s AS DOUBLE)))
+       |        + ((9.0 * CAST(dl AS DOUBLE)) * CAST(n AS DOUBLE)))) AS tscore
+       |  FROM m JOIN dft USING (term) CROSS JOIN stats JOIN q ON q.term = m.term),
+       |f AS (
+       |  SELECT query_id, doc_id,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list(tscore ORDER BY term)),
+       |      (a, b) -> a + b) AS score
+       |  FROM sc GROUP BY 1, 2)
+       |SELECT query_id, doc_id, score, CAST(rn AS BIGINT) AS rank
+       |FROM (
+       |  SELECT query_id, doc_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id ASC) AS rn
+       |  FROM f)
+       |WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   // --- dedup -------------------------------------------------------------
 
   /** q_dedup_exact_text: exact dedup by sha256 digest — groupBy on the

@@ -390,6 +390,203 @@ object RollingFingerprint {
   }
 }
 
+/** Single-pass PII scan + redaction — the codegen'd replacement for the
+  * six regex passes of the scrub query (three `regexp_count` + a triple
+  * `regexp_replace`, each dragging java.util.regex over every byte of the
+  * line; q_pii_scrub was the most expensive query in the bench, pure
+  * map-side CPU).
+  *
+  * Returns struct(n_emails, n_phones, n_ips BIGINT, redacted STRING) with
+  * exactly the regex formulation's semantics (Curation.emailRe/phoneRe/
+  * ipRe, pinned byte-equal by CurationSpec on the corpus + adversarial
+  * edges):
+  *  - counts are independent leftmost non-overlapping match counts on the
+  *    ORIGINAL line (an IP inside an email's local part still counts);
+  *  - redaction is sequential email → phone → IP, each pass matching on
+  *    the previous pass's output, exactly like the nested regexp_replace.
+  *
+  * The three hand-compiled matchers replay java.util.regex leftmost-first
+  * greedy-with-backtracking semantics: email = maximal local run before
+  * '@', then the LAST dot in the greedy domain span with ≥2 letters after
+  * (domain backtracking); phone = a fixed 14-byte shape; IP = 4 dot-
+  * separated 1-3 digit octets, octet lengths backtracked longest-first.
+  * All pattern classes are pure ASCII, so byte-level scanning is exact on
+  * UTF-8 (multibyte sequence bytes all have the high bit set and never
+  * class-match). */
+case class PiiScrub(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = PiiScrub.schema
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pii_scrub needs a string child, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    PiiScrub.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.engine.PiiScrub.compute($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): PiiScrub =
+    copy(child = newChild)
+
+  override def prettyName: String = "pii_scrub"
+}
+
+object PiiScrub {
+  val schema: StructType = StructType(Seq(
+    StructField("n_emails", LongType, nullable = false),
+    StructField("n_phones", LongType, nullable = false),
+    StructField("n_ips", LongType, nullable = false),
+    StructField("redacted", StringType, nullable = false)))
+
+  private val Email = "[EMAIL]".getBytes
+  private val Phone = "[PHONE]".getBytes
+  private val Ip = "[IP]".getBytes
+
+  @inline private def isAlpha(b: Byte): Boolean =
+    (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')
+  @inline private def isDigit(b: Byte): Boolean = b >= '0' && b <= '9'
+  // [A-Za-z0-9._%+-]
+  @inline private def isLocal(b: Byte): Boolean =
+    isAlpha(b) || isDigit(b) || b == '.' || b == '_' || b == '%' || b == '+' || b == '-'
+  // [A-Za-z0-9.-]
+  @inline private def isDomain(b: Byte): Boolean =
+    isAlpha(b) || isDigit(b) || b == '.' || b == '-'
+
+  /** Leftmost non-overlapping email matches; (start, end) pairs flattened. */
+  private def findEmails(a: Array[Byte]): Array[Int] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Int]()
+    val n = a.length
+    var p = 0 // region start: end of previous match
+    var j = 0
+    while (j < n) {
+      if (a(j) == '@') {
+        // maximal local-part run ending at the '@', clamped to the region
+        var ls = j
+        while (ls > p && isLocal(a(ls - 1))) ls -= 1
+        // greedy domain span after the '@'
+        var de = j + 1
+        while (de < n && isDomain(a(de))) de += 1
+        var e = -1
+        if (ls < j && de > j + 1) {
+          // domain backtracking: the LAST dot with >=1 domain char before
+          // it and >=2 letters right after wins; the TLD run is greedy
+          var k = de - 3
+          while (k >= j + 2 && e < 0) {
+            if (a(k) == '.' && isAlpha(a(k + 1)) && isAlpha(a(k + 2))) {
+              e = k + 3
+              while (e < de && isAlpha(a(e))) e += 1
+            }
+            k -= 1
+          }
+        }
+        if (e >= 0) { out += ls; out += e; p = e; j = e }
+        else j += 1
+      } else j += 1
+    }
+    out.toArray
+  }
+
+  /** Fixed-shape phone matches: `(ddd) ddd-dddd`, 14 bytes. */
+  private def findPhones(a: Array[Byte]): Array[Int] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Int]()
+    val n = a.length
+    var i = 0
+    while (i + 14 <= n) {
+      if (a(i) == '(' && isDigit(a(i + 1)) && isDigit(a(i + 2)) && isDigit(a(i + 3)) &&
+        a(i + 4) == ')' && a(i + 5) == ' ' &&
+        isDigit(a(i + 6)) && isDigit(a(i + 7)) && isDigit(a(i + 8)) && a(i + 9) == '-' &&
+        isDigit(a(i + 10)) && isDigit(a(i + 11)) && isDigit(a(i + 12)) && isDigit(a(i + 13))) {
+        out += i; out += (i + 14)
+        i += 14
+      } else i += 1
+    }
+    out.toArray
+  }
+
+  /** One IP match attempt at `start`: four 1-3 digit octets, dots between,
+    * earlier octets backtracked longest-first (greedy), last octet greedy.
+    * Returns the match end or -1. */
+  private def tryIp(a: Array[Byte], start: Int, n: Int): Int = {
+    def seg(pos: Int, segIdx: Int): Int = {
+      var d = 0
+      while (d < 3 && pos + d < n && isDigit(a(pos + d))) d += 1
+      if (d == 0) return -1
+      if (segIdx == 3) return pos + d
+      var len = d
+      while (len >= 1) {
+        val q = pos + len
+        if (q < n && a(q) == '.') {
+          val e = seg(q + 1, segIdx + 1)
+          if (e >= 0) return e
+        }
+        len -= 1
+      }
+      -1
+    }
+    seg(start, 0)
+  }
+
+  /** Leftmost non-overlapping IP matches. */
+  private def findIps(a: Array[Byte]): Array[Int] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Int]()
+    val n = a.length
+    var i = 0
+    while (i < n) {
+      if (isDigit(a(i))) {
+        val e = tryIp(a, i, n)
+        if (e >= 0) { out += i; out += e; i = e } else i += 1
+      } else i += 1
+    }
+    out.toArray
+  }
+
+  /** Splice `rep` over every (start, end) span. */
+  private def replaceAll(a: Array[Byte], spans: Array[Int], rep: Array[Byte]): Array[Byte] = {
+    if (spans.isEmpty) return a
+    var kept = a.length
+    var m = 0
+    while (m < spans.length) { kept -= spans(m + 1) - spans(m); m += 2 }
+    val out = new Array[Byte](kept + rep.length * (spans.length / 2))
+    var src = 0
+    var dst = 0
+    m = 0
+    while (m < spans.length) {
+      val len = spans(m) - src
+      System.arraycopy(a, src, out, dst, len); dst += len
+      System.arraycopy(rep, 0, out, dst, rep.length); dst += rep.length
+      src = spans(m + 1)
+      m += 2
+    }
+    System.arraycopy(a, src, out, dst, a.length - src)
+    out
+  }
+
+  /** Static entry shared by interpreted eval and generated code.
+    *
+    * Counts run on the ORIGINAL line; redaction matches run on the
+    * previous pass's output. The two genuinely differ: an email whose
+    * local part swallows a phone/IP tail (`(123) 456-7890@x.com` — `-`
+    * and digits are local chars) leaves regexp_count(phone) = 1 on the
+    * original while the redacted line no longer contains a phone. */
+  def compute(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val a = s.getBytes
+    val emails = findEmails(a)
+    val red1 = replaceAll(a, emails, Email)
+    val red2 = replaceAll(red1, findPhones(red1), Phone)
+    val red3 = replaceAll(red2, findIps(red2), Ip)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      (emails.length / 2).toLong,
+      (findPhones(a).length / 2).toLong,
+      (findIps(a).length / 2).toLong,
+      UTF8String.fromBytes(red3)))
+  }
+}
+
 object TextExprs {
   /** Column-level SimHash backed by the codegen'd expression. */
   def simhash64(tokens: Column): Column =
@@ -410,4 +607,9 @@ object TextExprs {
   /** Column-level MinHash LSH band keys backed by the codegen'd expression. */
   def minhashBands(shingleHashes: Column): Column =
     GraftColumnBridge.column(MinHashBands(GraftColumnBridge.expression(shingleHashes)))
+
+  /** Column-level single-pass PII scrub (struct(n_emails, n_phones, n_ips,
+    * redacted)). */
+  def piiScrub(s: Column): Column =
+    GraftColumnBridge.column(PiiScrub(GraftColumnBridge.expression(s)))
 }

@@ -26,13 +26,20 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  /** The shipped scanner's 4 columns, same shape as piiScrubRegex. */
+  private def piiNative(text: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = {
+    val s = graft.engine.TextExprs.piiScrub(text)
+    Seq(s.getField("n_emails").as("n_emails"), s.getField("n_phones").as("n_phones"),
+      s.getField("n_ips").as("n_ips"), s.getField("redacted").as("redacted"))
+  }
+
   test("piiScrub counts and redacts each category, leaving no residue") {
     import spark.implicits._
     val df = Seq(
       "contact bob.smith+x@mail.example.co or (212) 555-0143 from 192.168.001.042",
       "no pii here at all",
       "two mails a@b.io c@d.org one ip 8.8.8.8").toDF("t")
-      .select(col("t") +: Curation.piiScrub(col("t")): _*)
+      .select(col("t") +: piiNative(col("t")): _*)
       .collect()
     assert(df(0).getAs[Long]("n_emails") == 1)
     assert(df(0).getAs[Long]("n_phones") == 1)
@@ -46,6 +53,42 @@ class CurationSpec extends SparkSpec {
       assert(!red.matches(s".*${Curation.emailRe}.*"), red)
       assert(!red.matches(s".*${Curation.ipRe}.*"), red)
     }
+  }
+
+  test("native PiiScrub scanner is byte-equal to the regex formulation") {
+    import spark.implicits._
+    // the real corpus lines + adversarial edges: pattern overlaps (an
+    // email local part swallowing a phone/IP tail), domain backtracking,
+    // 1-letter TLDs, 4+-digit octets, adjacent emails, multibyte breaks
+    val edges = Seq(
+      "(123) 456-7890@x.com",             // phone counted, never redacted
+      "u1.2.3.44@example.com",            // IP inside the local part
+      "ip 1234.5.6.7 and 1.2.3.4567 and 999.999.999.999.999",
+      "a@b.c.d.com. trailing a@b.c x@y.co1 a@b.comx123",
+      "a@b.cc@d.ee (21) 555-0143 ((212) 555-0143)",
+      "héllo@wörld.com naïve 1.2.3.4", "", " ", "@nope a@b", "-@-.ab")
+      .toDF("line")
+    val lines = graft.engine.Tables.events(spark, sf)
+      .select(concat(
+        lit("uid="), col("user_id").cast("string"),
+        lit(" email=user"), col("user_id").cast("string"), lit("@example.com"),
+        lit(" ip=10.0."), (col("event_id") % 256).cast("string"),
+        lit(".7 phone=("), (col("event_id") % 900 + 100).cast("string"),
+        lit(") 555-1234")).as("line"))
+      .unionByName(edges)
+    val n = piiNative(col("line"))
+    val r = Curation.piiScrubRegex(col("line"))
+    val cmp = lines.select(col("line"),
+      n(0).as("ne"), n(1).as("np"), n(2).as("ni"), n(3).as("nr"),
+      r(0).as("re"), r(1).as("rp"), r(2).as("ri"), r(3).as("rr"))
+    val bad = cmp.filter(col("ne") =!= col("re") || col("np") =!= col("rp") ||
+      col("ni") =!= col("ri") || col("nr") =!= col("rr"))
+    assert(bad.count() == 0, bad.collect().take(3).mkString("\n"))
+    // the shipped query runs the scanner inside whole-stage codegen
+    val q = Curation.qPiiScrub(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"expected a codegen stage:\n${plan.take(600)}")
   }
 
   test("url extraction yields the primary url per event plus mirrors for user_id%4==0") {

@@ -144,6 +144,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(plan.contains("*(1)"), s"expected a codegen stage:\n${plan.take(600)}")
   }
 
+  test("bm25 top-k ranks are contiguous, scores non-increasing, hits contain a query term") {
+    val out = graft.engine.LlmOps.qBm25Topk(spark, sf).collect()
+    assert(out.nonEmpty)
+    val terms = Map(
+      1L -> Set("hash", "join"), 2L -> Set("agg", "stream", "window"),
+      3L -> Set("scan", "vector"), 4L -> Set("fast", "query", "spark"))
+    val text = graft.engine.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      val byRank = rows.sortBy(_.getLong(3))
+      assert(byRank.map(_.getLong(3)).toSeq == (1L to byRank.length).toSeq,
+        s"query $qid ranks not contiguous")
+      val scores = byRank.map(_.getDouble(2)).toSeq
+      assert(scores == scores.sorted.reverse, s"query $qid scores not descending")
+      byRank.foreach { r =>
+        val toks = text(r.getLong(1)).toLowerCase.split(" ").toSet
+        assert(terms(qid).exists(toks.contains),
+          s"query $qid rank ${r.getLong(3)} doc has no query term")
+      }
+    }
+  }
+
   test("native MinHashBands keys match the plain-Scala model through the declared query") {
     val out = graft.engine.LlmOps.qDedupMinhash(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
