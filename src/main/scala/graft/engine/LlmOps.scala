@@ -566,25 +566,110 @@ object LlmOps {
        |ORDER BY doc_id, band""".stripMargin
   }
 
-  /** q_ngram_jaccard: token-3-gram Jaccard via the SPARSE formulation —
-    * explode (doc, shingle-hash) pairs, group by shingle into a posting
-    * list within a `source` block, explode co-occurring doc pairs, count
-    * common shingles per pair, then jaccard = common / (|a| + |b| - common).
+  /** q_ngram_jaccard: top-100 token-3-gram Jaccard pairs, DEDUP-FIRST —
+    * exact-duplicate clusters collapse to one representative before the
+    * sparse posting-list Jaccard (`sparseJaccardPairs`), and the top-100
+    * is reassembled algebraically: intra-cluster pairs are jaccard = 1.0
+    * by construction, and a representative pair's jaccard holds for every
+    * cross pair of its two clusters (jaccard is a function of the shingle
+    * SET, which is digest-identical within a cluster).
     *
-    * This is the 100 TB shape: the pairwise-array version shuffles every
-    * doc's full shingle array into |group|² pair rows (measured 25 s at
-    * sf0.1); here only 8-byte hashes shuffle and pairs materialize only
-    * for docs that actually share a shingle. Posting lists are bounded by
-    * `maxBucketDocs` (sorted prefix), so one ubiquitous boilerplate
-    * shingle can't go quadratic — the same guard as the LSH buckets. The
-    * group-then-explode form replaced a posting self-join: one shuffle on
-    * (source, shingle) instead of a hash-map build over the whole exploded
-    * corpus (measured 11.9 s → see ROADMAP for the sf1 dry-run numbers). */
-  def qNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    * WHY: posting lists are bounded by `maxBucketDocs`, but a duplicate-
+    * heavy corpus drives EVERY list to the cap and pair generation to
+    * cap² — measured on the 100×-replicated sf10 corpus: 474 s, 36 GB
+    * shuffle, 74 GB spill, all generating pairs the top-100 provably
+    * reduces to cluster arithmetic. Dedup-first is the 100 TB shape for
+    * any pairwise-similarity query: web-scale corpora are duplicate-heavy
+    * by nature, and the representative set collapses back to the distinct
+    * corpus (the same run's distinct set computed in seconds). Output is
+    * IDENTICAL to the naive pairwise formulation — the exhaustive DuckDB
+    * oracle (qNgramJaccardSql) pins set-equality including tie order. */
+  def qNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    ngramJaccardTop100(Tables.documents(spark, sfDir))
+
+  /** The dedup-first top-100 over any (source, doc_id, text) frame —
+    * LlmOpsSpec pins it pair-for-pair against the naive all-postings
+    * formulation on a duplicate-heavy synthetic corpus. */
+  private[graft] def ngramJaccardTop100(docs: DataFrame): DataFrame = {
+    // 1. Exact-duplicate clusters by (source, content digest), members
+    //    sorted and capped at 101: C(101,2) > 100, so the first 101
+    //    members generate every intra-cluster pair that can reach a
+    //    global top-100 in (jaccard desc, doc_a, doc_b) order — if a pair
+    //    is in the global top-100, fewer than 100 pairs precede it inside
+    //    its own cluster. Bounded BEFORE the collect, window and groupBy
+    //    share one (source, digest) exchange — the posting-cap pattern.
+    val wD = Window.partitionBy(col("source"), col("digest")).orderBy(col("doc_id"))
+    val cl = docs
+      .select(col("source"), sha2(col("text"), 256).as("digest"),
+        col("doc_id"), col("text"))
+      .withColumn("rn", row_number().over(wD))
+      .filter(col("rn") <= 101)
+      .groupBy(col("source"), col("digest"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("members"),
+        min(col("doc_id")).as("rep"),
+        first(col("text")).as("text")) // any member: identical by digest
+      .persist()
+    try {
+      // 2. Intra-cluster pairs are jaccard = 1.0 by construction
+      //    (identical text ⇒ identical shingle set); first ≤100 in lex
+      //    order per cluster (pairsOf emits lex order on sorted input).
+      val intra = cl.filter(size(col("members")) > 1)
+        .select(explode(slice(pairsOf(col("members")), 1, 100)).as("p"))
+        .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"),
+          lit(1.0).as("jaccard"))
+      // 3. The sparse posting-list Jaccard runs over REPRESENTATIVES only
+      //    — jaccard depends only on the shingle SET, which is identical
+      //    across a cluster, so one member stands for all. This is what
+      //    keeps the query linear on duplicate-heavy corpora: the naive
+      //    run on a 100×-replicated sf10 corpus saturated every posting
+      //    list and spilled 74 GB generating cap² pairs (474 s); the
+      //    representative set collapses back to the distinct corpus.
+      val reps = cl.select(col("source"), col("rep").as("doc_id"), col("text"))
+      val repPairs = sparseJaccardPairs(reps)
+      // 4. Prune rep pairs to the top 100 BEFORE expanding — provably
+      //    sufficient: reps are cluster minima, so a rep pair's own
+      //    (doc_a, doc_b) IS its lex-minimal expansion pair, and every
+      //    rep pair preceding R in (jaccard desc, doc_a, doc_b) order
+      //    contributes at least one expansion pair before all of R's.
+      //    Without this the 101×101 cross-array sort ran on EVERY
+      //    shingle-sharing rep pair (~12M on this corpus — the planner
+      //    can't know only 100 survive the limit). TakeOrderedAndProject
+      //    keeps the prune itself a top-k, never a global sort.
+      val topReps = repPairs
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+        .limit(100)
+      // 5. Expand the surviving pairs across their two clusters: all
+      //    cross pairs share the representatives' jaccard. Capped member
+      //    lists bound the expansion at 101×101 structs per rep pair,
+      //    sliced to the ≤100 lex-first pairs that can reach the top-100.
+      val inter = topReps
+        .join(cl.select(col("rep").as("doc_a"), col("members").as("ma")), "doc_a")
+        .join(cl.select(col("rep").as("doc_b"), col("members").as("mb")), "doc_b")
+        .select(col("jaccard"),
+          explode(slice(array_sort(crossPairs(col("ma"), col("mb"))), 1, 100)).as("p"))
+        .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"), col("jaccard"))
+      val out = intra.unionByName(inter)
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+        .limit(100)
+      out.persist().count() // materialize while the cluster cache is alive
+      out
+    } finally cl.unpersist(blocking = false)
+  }
+
+  /** All cross pairs (x ∈ a, y ∈ b) as struct(min, max). */
+  private def crossPairs(a: Column, b: Column): Column =
+    flatten(transform(a, x => transform(b, y =>
+      when(x < y, struct(x.as("a"), y.as("b")))
+        .otherwise(struct(y.as("a"), x.as("b"))))))
+
+  /** The sparse formulation: explode (doc, shingle-hash) postings, pair
+    * docs that actually share a shingle, count common shingles per pair.
+    * Returns ALL pairs (doc_a, doc_b, jaccard) — callers rank/limit. */
+  private[graft] def sparseJaccardPairs(docs: DataFrame): DataFrame = {
     // per-doc shingle size rides along into the posting list, so the pair
     // aggregation recovers |a| and |b| with first() — no extra scan of the
     // documents table (a sizes-join would re-run the shingle computation)
-    val flat = withShingleHashes(Tables.documents(spark, sfDir))
+    val flat = withShingleHashes(docs)
       .select(col("source"), col("doc_id"), size(col("shl")).as("n_sh"),
         explode(col("shl")).as("hs"))
     // Posting lists are bounded BEFORE the collect_list (same fix as
@@ -605,12 +690,9 @@ object LlmOps {
       .groupBy(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"),
         first(col("p.a.n_sh")).as("n_a"), first(col("p.b.n_sh")).as("n_b"))
-    common
-      .select(col("doc_a"), col("doc_b"),
-        (col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
-      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
-      .limit(100)
+    common.select(col("doc_a"), col("doc_b"),
+      (col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
   }
 
   /** DuckDB replay of the sparse Jaccard: same tokenization, 3-gram
@@ -697,24 +779,45 @@ object LlmOps {
     dedupGroups(Tables.documents(spark, sfDir), 0.7)
 
   def dedupGroups(docs: DataFrame, threshold: Double): DataFrame = {
-    // minhashCandidatePairs returns an already-persisted, materialized
-    // (tiny) pair set — the component step consumes it twice (one per
-    // direction of the undirected edge union) straight from cache. CC
-    // returns a MATERIALIZED leaf (Iterate.cut), so the pair cache can be
-    // released here instead of lingering until the session GCs it —
-    // long-running sessions (Verify/Bench run every query back to back)
-    // would otherwise accumulate one orphaned cache per call.
-    val rawPairs = minhashCandidatePairs(docs)
-    val comp =
-      try connectedComponents(
-        rawPairs.filter(col("jaccard") >= threshold).select(col("doc_a"), col("doc_b")),
-        docs.select(col("doc_id")))
-      finally rawPairs.unpersist(blocking = false)
-    comp
-      .withColumn("keeper",
-        min(col("doc_id")).over(Window.partitionBy(col("component"))))
-      .select(col("doc_id"), col("component"),
-        (col("doc_id") === col("keeper")).as("keep"))
+    // DEDUP-FIRST (same algebra as ngramJaccardTop100): exact-duplicate
+    // clusters are internally connected by construction (identical text ⇒
+    // jaccard 1.0 ≥ any threshold ≤ 1), and jaccard is a function of the
+    // shingle set, so edges are cluster-to-cluster properties — the whole
+    // LSH → verify → CC pipeline runs on one representative per cluster.
+    // On duplicate-heavy corpora this is the difference between linear and
+    // cap²: the full-corpus run on the 100×-replicated sf10 corpus drove
+    // every LSH bucket to the membership cap (51 s, 3.3 GB shuffle,
+    // 2.5 GB spill) generating intra-cluster pairs the algebra already
+    // knows. Representatives are cluster minima, so the rep-level
+    // min-label component IS the true min-doc component for every member.
+    val clustered = docs
+      .select(sha2(col("text"), 256).as("digest"), col("doc_id"), col("text"))
+      .withColumn("rep", min(col("doc_id")).over(Window.partitionBy(col("digest"))))
+      .persist()
+    try {
+      val reps = clustered.filter(col("doc_id") === col("rep"))
+        .select(col("doc_id"), col("text"))
+      // minhashCandidatePairs returns an already-persisted, materialized
+      // (tiny) pair set — the component step consumes it twice (one per
+      // direction of the undirected edge union) straight from cache. CC
+      // returns a MATERIALIZED leaf (Iterate.cut), so the pair cache can
+      // be released here instead of lingering until the session GCs it.
+      val rawPairs = minhashCandidatePairs(reps)
+      val repComp =
+        try connectedComponents(
+          rawPairs.filter(col("jaccard") >= threshold).select(col("doc_a"), col("doc_b")),
+          reps.select(col("doc_id")))
+        finally rawPairs.unpersist(blocking = false)
+      // expand: every member inherits its representative's component; the
+      // component label is the min doc_id of the component (min-label CC
+      // over cluster minima), so keep = (doc_id == component)
+      val out = clustered.select(col("doc_id"), col("rep"))
+        .join(repComp.select(col("doc_id").as("rep"), col("component")), "rep")
+        .select(col("doc_id"), col("component"),
+          (col("doc_id") === col("component")).as("keep"))
+      out.persist().count() // materialize while the cluster cache is alive
+      out
+    } finally clustered.unpersist(blocking = false)
   }
 
   /** DuckDB replay of the FULL dedup pipeline, with exhaustive candidate
@@ -841,31 +944,62 @@ object LlmOps {
     val bucketBits = planes.zipWithIndex.map { case (p, i) =>
       when(dot(col("embedding"), typedLit(p)) > 0.0, lit(1 << i)).otherwise(lit(0))
     }
-    // the bucket projection (8 × 64-dim dot products per row) feeds three
-    // consumers (both self-join sides + the final output); cache it once,
-    // materialize the result as a leaf, release the cache
-    val emb = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding"),
-        bucketBits.reduce(_ + _).as("bucket"))
+    // DEDUP-FIRST (the pairwise-operator algebra again): identical vectors
+    // land in the same bucket with identical sims to everything, so the
+    // quadratic bucket self-join runs on one representative per distinct
+    // embedding — the full-corpus join on the 100×-replicated sf10 corpus
+    // spilled 2 GB generating copy×copy pairs (19.8 s). Each member's best
+    // neighbor is then algebra: the internal candidate is the smallest
+    // OTHER co-member (sim = cosine(v, v), bit-identical to what the naive
+    // join computed between two copies); the external candidate is the
+    // rep-level best, whose tie-break id is the partner cluster's minimum
+    // — which IS the partner rep. Grouping on the raw float array is exact
+    // (Spark normalizes -0.0/NaN in grouping keys).
+    val wE = Window.partitionBy(col("embedding"))
+    val clustered = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("rep", min(col("vec_id")).over(wE))
+      .withColumn("cn", count(lit(1)).over(wE))
+      .withColumn("m1",
+        min(when(col("vec_id") =!= col("rep"), col("vec_id"))).over(wE))
       .persist()
     try {
+      // the bucket projection (8 × 64-dim dot products per rep) feeds both
+      // self-join sides + the expansion; cache it once, materialize the
+      // result as a leaf, release the cache
+      val emb = clustered.filter(col("vec_id") === col("rep"))
+        .select(col("vec_id"), col("embedding"),
+          bucketBits.reduce(_ + _).as("bucket"))
+        .persist()
       val other = emb.select(col("bucket").as("bucket_b"),
         col("vec_id").as("vid_b"), col("embedding").as("emb_b"))
       val pairs = emb.join(other,
           col("bucket") === col("bucket_b") && col("vec_id") =!= col("vid_b"))
-        .select(col("vec_id"), col("bucket"), col("vid_b"),
+        .select(col("vec_id"), col("vid_b"),
           cosine(col("embedding"), col("emb_b")).as("sim"))
       val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("vid_b").asc)
       // the float score stays internal (ranking only) — the OUTPUT is the
       // rank-stable neighbor id, which is what makes the query
       // cross-engine-deterministic and oracle-checkable
-      val best = pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("vid_b").as("best_neighbor"))
-      Iterate.cut(
-        emb.select(col("vec_id"), col("bucket"))
-          .join(best, Seq("vec_id"), "left")
-          .orderBy(col("vec_id")))
-    } finally emb.unpersist(blocking = false)
+      val bestExt = pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id").as("rep"), col("vid_b").as("ext_vid"), col("sim").as("ext_sim"))
+      val repSide = emb.select(col("vec_id").as("rep"), col("bucket"),
+        cosine(col("embedding"), col("embedding")).as("self_sim"))
+      val internalVid = when(col("vec_id") === col("rep"), col("m1")).otherwise(col("rep"))
+      val out = clustered.select(col("vec_id"), col("rep"), col("cn"), col("m1"))
+        .join(repSide, "rep")
+        .join(bestExt, Seq("rep"), "left")
+        .select(col("vec_id"), col("bucket"),
+          when(col("cn") < 2, col("ext_vid")) // singleton: external or null
+            .otherwise(when(col("ext_vid").isNull, internalVid)
+              .when(col("ext_sim") > col("self_sim"), col("ext_vid"))
+              .when(col("ext_sim") === col("self_sim") &&
+                col("ext_vid") < internalVid, col("ext_vid"))
+              .otherwise(internalVid)).as("best_neighbor"))
+      val cut = Iterate.cut(out.orderBy(col("vec_id")))
+      emb.unpersist(blocking = false)
+      cut
+    } finally clustered.unpersist(blocking = false)
   }
 
   /** DuckDB replay of the hyperplane-LSH dedup with the SAME literal

@@ -144,6 +144,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(plan.contains("*(1)"), s"expected a codegen stage:\n${plan.take(600)}")
   }
 
+  test("dedup-first ngram-jaccard equals the naive all-postings top-100 on a dup-heavy corpus") {
+    import spark.implicits._
+    // 3 exact-dup clusters (sizes 30/20/2), one near-dup pair across
+    // clusters, and unique noise docs — the workload where the naive
+    // formulation goes quadratic and the cluster algebra must not drift
+    val a = Seq.tabulate(40)(i => s"alpha$i").mkString(" ")
+    val b = a.replace("alpha7", "beta7") // near-dup of a
+    val c = Seq.tabulate(40)(i => s"gamma$i").mkString(" ")
+    val noise = (0 until 15).map(i =>
+      (1000L + i, s"s${i % 2}", Seq.tabulate(35)(j => s"n${i}_$j").mkString(" ")))
+    val rows = (0 until 30).map(i => (i.toLong, "s0", a)) ++
+      (100 until 120).map(i => (i.toLong, "s0", b)) ++
+      Seq((200L, "s0", c), (201L, "s0", c)) ++
+      (300 until 305).map(i => (i.toLong, "s1", c)) ++ noise
+    val docs = rows.toDF("doc_id", "source", "text")
+    val fast = graft.engine.LlmOps.ngramJaccardTop100(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val naive = graft.engine.LlmOps.sparseJaccardPairs(docs)
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(fast == naive, s"first diff: ${fast.zip(naive).find(p => p._1 != p._2)}")
+    assert(fast.length == 100)
+  }
+
   test("bm25 top-k ranks are contiguous, scores non-increasing, hits contain a query term") {
     val out = graft.engine.LlmOps.qBm25Topk(spark, sf).collect()
     assert(out.nonEmpty)
