@@ -69,6 +69,7 @@ object SparkEntry {
     "q_lang_id"           -> (LlmOps.qLangId _),
     "q_fingerprint"       -> (LlmOps.qFingerprint _),
     "q_bm25_topk"         -> (LlmOps.qBm25Topk _),
+    "q_stream_join"       -> (Streaming.qStreamJoin _),
     "q_multimodal_meta"   -> (Multimodal.qMultimodalMeta _),
     // corpus curation (repetition gate, PII scrub, URL extract, decontamination)
     "q_repetition"        -> (Curation.qRepetition _),
@@ -168,5 +169,6 @@ object SparkEntry {
     "q_dedup_simhash"     -> LlmOps.qDedupSimhashSql,
     "q_dedup_minhash"     -> LlmOps.qDedupMinhashSql,
     "q_bm25_topk"         -> LlmOps.qBm25TopkSql,
+    "q_stream_join"       -> Streaming.qStreamJoinSql,
   )
 }

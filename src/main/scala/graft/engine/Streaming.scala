@@ -178,6 +178,30 @@ object Streaming {
         col("v_ts"), col("p_ts"))
   }
 
+  /** q_stream_join: the interval join DECLARED, batch-mode (the same
+    * unified-model argument as q_stream_tumbling/session: identical code
+    * runs under readStream, StreamJoinSpec drives that path with
+    * watermark-bounded state; batch mode lets DuckDB oracle-check the
+    * join algebra on complete input). Views paired with same-user
+    * purchases within [ts, ts + 30 min]. */
+  def qStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    intervalJoin(
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "purchase"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        unix_micros(col("v_ts")).as("v_us"), unix_micros(col("p_ts")).as("p_us"))
+  }
+
+  val qStreamJoinSql: String =
+    """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+      |  epoch_us(v.ts) AS v_us, epoch_us(p.ts) AS p_us
+      |FROM events v JOIN events p
+      |  ON v.user_id = p.user_id
+      |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+      |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+      |ORDER BY view_id, purchase_id""".stripMargin
+
   // --- arbitrary stateful processing (the reference's per-entity state) --
 
   /** Per-key upsert state: the compaction semantics of the reference's
