@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.engine.{JsonStringCast, MinHashBands, PiiScrub, RollingFingerprint, ShingleHashes, SimHash64, SortableDoubleBits, TokenCounts}
+import graft.engine.{JsonStringCast, MinHashBands, PiiScrub, RepetitionStats, RollingFingerprint, ShingleHashes, SimHash64, SortableDoubleBits, TokenCounts}
 import graft.engine.FloatDotProduct
 import graft.plans.NanosRangePushdown
 
@@ -58,6 +58,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("rolling_fingerprint"),
       new ExpressionInfo(classOf[RollingFingerprint].getName, "rolling_fingerprint"),
       (exprs: Seq[Expression]) => RollingFingerprint(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("repetition_stats"),
+      new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
+      (exprs: Seq[Expression]) => RepetitionStats(exprs.head)))
     ext.injectFunction((
       new FunctionIdentifier("pii_scrub"),
       new ExpressionInfo(classOf[PiiScrub].getName, "pii_scrub"),

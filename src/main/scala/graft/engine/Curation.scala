@@ -31,45 +31,33 @@ object Curation {
     * is one IEEE-double division, identical cross-engine.
     *
     * Every stat here is doc-local, so the whole query is a NARROW pass:
-    * token counts come from one `aggregate` HOF over the sorted token
-    * array (distinct count + longest run in a single fold) instead of an
-    * explode → groupBy(doc_id, token) → groupBy(doc_id) two-level shuffle.
-    * Measured at sf10: 28.4 s / 796 MB shuffled (explode formulation) →
-    * map-side only; at 100 TB the explode version shuffles the corpus'
-    * entire token stream, this one shuffles nothing but the final sort.
-    * The `size(_tk) > 0` filter preserves the join formulation's
-    * semantics (docs with no tokens produced no exploded rows and were
-    * inner-join-dropped; the oracle SQL drops them the same way). */
+    * all five counts come from ONE codegen'd hash pass over the in-row
+    * token array (TextExprs.RepetitionStats) instead of an explode →
+    * groupBy(doc_id, token) → groupBy(doc_id) two-level shuffle
+    * (measured at sf10: 28.4 s / 796 MB shuffled) or the intermediate
+    * sort_array + interpreted `aggregate` fold (11.0 s at the 100× dir —
+    * the fold ran outside codegen and allocated a struct per token).
+    * At 100 TB the explode version shuffles the corpus' entire token
+    * stream; this one shuffles nothing. The `size(_tk) > 0` filter
+    * preserves the join formulation's semantics (docs with no tokens
+    * produced no exploded rows and were inner-join-dropped; the oracle
+    * SQL drops them the same way). */
   def qRepetition(spark: SparkSession, sfDir: String): DataFrame = {
-    // fold state: (prev token, current run, best run, distinct count).
-    // Tokens are non-empty (LlmOps.tokens filters ""), so prev="" can't
-    // collide with a real first element. Lambda bodies reference only the
-    // accumulator and element — nothing for CollapseProject to inline and
-    // re-evaluate per element (LlmOps.scala:206 pitfall).
-    val runStats = aggregate(
-      sort_array(col("_tk")),
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"),
-        lit(0L).as("nd")),
-      (s, x) => {
-        val same = x === s.getField("prev")
-        val run = when(same, s.getField("run") + 1L).otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          greatest(s.getField("best"), run).as("best"),
-          (s.getField("nd") + when(same, 0L).otherwise(1L)).as("nd"))
-      },
-      s => struct(s.getField("best").as("best"), s.getField("nd").as("nd")))
     Tables.documents(spark, sfDir)
       .withColumn("_tk", LlmOps.tokens(col("text")))
       .filter(size(col("_tk")) > 0)
-      .withColumn("_rs", runStats)
-      .withColumn("_sh", LlmOps.shinglesOf(col("_tk")))
+      // one codegen'd hash pass (TextExprs.RepetitionStats) replaces the
+      // sort_array + interpreted aggregate fold + shingle-string
+      // array_distinct chain — the counts are identical (spec-pinned
+      // against a plain-Scala model; the exhaustive oracle re-checks)
+      .withColumn("_rs", TextExprs.repetitionStats(col("_tk")))
       .select(
         col("doc_id"),
-        size(col("_tk")).cast("long").as("n_tokens"),
-        col("_rs").getField("nd").as("n_distinct"),
-        col("_rs").getField("best").as("top_token_n"),
-        size(col("_sh")).cast("long").as("n_3grams"),
-        size(array_distinct(col("_sh"))).cast("long").as("n_3grams_distinct"))
+        col("_rs").getField("n_tokens").as("n_tokens"),
+        col("_rs").getField("n_distinct").as("n_distinct"),
+        col("_rs").getField("top_token_n").as("top_token_n"),
+        col("_rs").getField("n_3grams").as("n_3grams"),
+        col("_rs").getField("n_3grams_distinct").as("n_3grams_distinct"))
       .select(
         col("doc_id"), col("n_tokens"), col("n_distinct"), col("top_token_n"),
         (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens").cast("double"))

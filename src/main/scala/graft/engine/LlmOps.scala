@@ -330,19 +330,6 @@ object LlmOps {
     """SELECT sha256(text) AS digest, COUNT(*) AS n_copies, min(doc_id) AS keeper_doc_id
       |FROM documents GROUP BY sha256(text) ORDER BY keeper_doc_id""".stripMargin
 
-  /** 3-token shingles from a MATERIALIZED tokens column (see `tokens` perf
-    * note — passing `tokens(text)` here would re-split per shingle). */
-  private[engine] def shinglesOf(t: Column): Column =
-    when(size(t) >= 3,
-      transform(sequence(lit(0), size(t) - 3),
-        i => concat_ws(" ", slice(t, i + 1, lit(3)))))
-      .otherwise(array(concat_ws(" ", t)))
-
-  /** documents + `_tk` (tokens) + `sh` (distinct shingles) columns. */
-  private def withShingles(docs: DataFrame): DataFrame =
-    docs.withColumn("_tk", tokens(col("text")))
-      .withColumn("sh", array_distinct(shinglesOf(col("_tk"))))
-
   /** documents + `shl` (distinct shingle-hash longs) column, computed by
     * the native codegen'd ShingleHashes expression (TextExprs) — FNV
     * family, bit-exact against a plain-Scala fold by spec AND replayed by

@@ -390,6 +390,98 @@ object RollingFingerprint {
   }
 }
 
+/** Single-pass repetition-gate statistics over a token array — the
+  * codegen'd replacement for the sort_array + interpreted `aggregate` fold
+  * (distinct/run counting) + shingle-string `array_distinct` chain of the
+  * Gopher-style repetition query. One hash pass: tokens intern into a
+  * (count, id) map — EXACT string equality, not hash buckets — giving
+  * n_distinct and the top token multiplicity without sorting; consecutive
+  * 3-gram distinctness uses the interned ids packed 3×21 bits into a long
+  * (exact for documents under 2²¹ tokens; longer docs take a joined-string
+  * fallback set, same answer, never hit in practice).
+  *
+  * Returns struct(n_tokens, n_distinct, top_token_n, n_3grams,
+  * n_3grams_distinct), all BIGINT, with exactly the HOF formulation's
+  * semantics incl. the <3-token fallback (single joined shingle → 1/1) —
+  * pinned by CurationSpec against a plain-Scala model and end-to-end by
+  * the unchanged exhaustive DuckDB oracle. */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = RepetitionStats.schema
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"repetition_stats needs array<string>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    RepetitionStats.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.engine.RepetitionStats.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+
+  override def prettyName: String = "repetition_stats"
+}
+
+object RepetitionStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top_token_n", LongType, nullable = false),
+    StructField("n_3grams", LongType, nullable = false),
+    StructField("n_3grams_distinct", LongType, nullable = false)))
+
+  /** Static entry shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = arr.numElements()
+    val counts = new java.util.HashMap[UTF8String, Array[Long]]()
+    val ids = new Array[Long](n)
+    var top = 0L
+    var k = 0
+    while (k < n) {
+      // tokens() never yields nulls; a null folds as the empty token
+      val t = if (arr.isNullAt(k)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(k)
+      var slot = counts.get(t)
+      if (slot == null) {
+        slot = Array(0L, counts.size.toLong)
+        // copy: getUTF8String may return a view into a reused buffer
+        counts.put(t.clone(), slot)
+      }
+      slot(0) += 1L
+      if (slot(0) > top) top = slot(0)
+      ids(k) = slot(1)
+      k += 1
+    }
+    val (n3, n3d) =
+      if (n >= 3) {
+        val triples = new java.util.HashSet[AnyRef]()
+        var i = 0
+        if (n < (1 << 21)) {
+          while (i < n - 2) {
+            triples.add(java.lang.Long.valueOf(
+              (ids(i) << 42) | (ids(i + 1) << 21) | ids(i + 2)))
+            i += 1
+          }
+        } else {
+          // >2M-token document: ids overflow the 3×21-bit packing — count
+          // distinct consecutive id-triples via their string form instead
+          while (i < n - 2) {
+            triples.add(s"${ids(i)},${ids(i + 1)},${ids(i + 2)}")
+            i += 1
+          }
+        }
+        ((n - 2).toLong, triples.size.toLong)
+      } else (1L, 1L) // concat_ws fallback: one joined shingle, distinct 1
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, counts.size.toLong, top, n3, n3d))
+  }
+}
+
 /** Single-pass PII scan + redaction — the codegen'd replacement for the
   * six regex passes of the scrub query (three `regexp_count` + a triple
   * `regexp_replace`, each dragging java.util.regex over every byte of the
@@ -612,4 +704,8 @@ object TextExprs {
     * redacted)). */
   def piiScrub(s: Column): Column =
     GraftColumnBridge.column(PiiScrub(GraftColumnBridge.expression(s)))
+
+  /** Column-level single-pass repetition-gate stats. */
+  def repetitionStats(tokens: Column): Column =
+    GraftColumnBridge.column(RepetitionStats(GraftColumnBridge.expression(tokens)))
 }

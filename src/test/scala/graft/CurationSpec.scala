@@ -55,6 +55,33 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("native RepetitionStats matches a plain-Scala model on corpus + edges") {
+    import spark.implicits._
+    val edges = Seq("", "one", "two words", "a a a", "a b a b a b",
+      "x y z x y z x y z", "solo " * 2000).toDF("text")
+    val docs = graft.engine.Tables.documents(spark, sf).select(col("text"))
+      .unionByName(edges)
+    val toks = filter(split(lower(col("text")), " "), t => t =!= lit(""))
+    val rows = docs
+      .select(col("text"), graft.engine.TextExprs.repetitionStats(toks).as("rs"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tk = r.getString(0).toLowerCase.split(" ", -1).filter(_.nonEmpty).toSeq
+      val s = r.getStruct(1)
+      val grouped = tk.groupBy(identity)
+      val (n3, n3d) =
+        if (tk.length >= 3) {
+          val sh = tk.sliding(3).map(_.mkString(" ")).toSeq
+          (sh.length.toLong, sh.distinct.length.toLong)
+        } else (1L, 1L)
+      val expect = (tk.length.toLong, grouped.size.toLong,
+        if (tk.isEmpty) 0L else grouped.values.map(_.length).max.toLong, n3, n3d)
+      val got = (s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3), s.getLong(4))
+      assert(got == expect, s"on: ${r.getString(0).take(50)} got=$got expect=$expect")
+    }
+  }
+
   test("native PiiScrub scanner is byte-equal to the regex formulation") {
     import spark.implicits._
     // the real corpus lines + adversarial edges: pattern overlaps (an
