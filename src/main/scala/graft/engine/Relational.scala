@@ -150,16 +150,87 @@ object Relational {
     * engines compute it with the identical double op, so it is bit-exact
     * cross-engine and DuckDB-checked (arbitrary-fraction interpolation is
     * NOT — engines disagree in the last ulp — which is why q_percentile's
-    * p25/p99 family stays engine-only alongside its sketches). */
-  def qPercentileExact(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.lineitem(spark, sfDir)
-      .groupBy(col("l_returnflag"))
+    * p25/p99 family stays engine-only alongside its sketches).
+    *
+    * NOT the builtin `percentile`: that is a collect-per-group aggregator
+    * (an OpenHashMap of every distinct value per group) — with a 3-value
+    * group key it funnels the whole fact table into 3 aggregation buffers,
+    * the plan that dies FIRST at 100 TB (measured 19 s at the 100× dir;
+    * memory grows with group size without bound). This is the distributed
+    * formulation over the same histogram-refine machinery as
+    * q_percentile_disc: the median is one or two ORDER STATISTICS — ranks
+    * ⌊(n-1)/2⌋+1 and +2 (even n) — each located by bucket histogram then
+    * a refine pass over the target bucket only, with all three metric
+    * columns unpivoted through one shared pipeline. Interpolation uses
+    * the identical double expression the builtin evaluates; bit-equality
+    * with the builtin is pinned by PercentileSpec incl. tie-heavy and
+    * tiny-n groups. */
+  def qPercentileExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("flag"),
+        expr("stack(3, 'disc', l_discount, 'price', l_extendedprice, 'qty', l_quantity)")
+          .as(Seq("metric", "v")))
+      .withColumn("bkt", shiftright(NumExprs.sortableBits(col("v")), 44))
+    val h = rows.groupBy(col("flag"), col("metric"), col("bkt")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("flag"), col("metric")).orderBy(col("bkt"))
+    val cum = h
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n",
+        sum(col("cnt")).over(Window.partitionBy(col("flag"), col("metric"))))
+      .withColumn("lo_r", expr("(n - 1) div 2 + 1"))
+    // 1-indexed target ranks: the lower order statistic always; the upper
+    // one only when n is even (the interpolation midpoint needs it)
+    val ranked = cum
+      .withColumn("rk", explode(when(col("n") % 2 === 0,
+          array(struct(lit("lo").as("w"), col("lo_r").as("r")),
+            struct(lit("hi").as("w"), (col("lo_r") + 1L).as("r"))))
+        .otherwise(array(struct(lit("lo").as("w"), col("lo_r").as("r"))))))
+      .select(col("flag"), col("metric"), col("bkt"), col("cnt"), col("cum"),
+        col("n"), col("rk.w").as("w"), col("rk.r").as("r"))
+    // per (group, rank): first bucket whose cumulative count reaches the
+    // rank, plus the exact count of rows below that bucket
+    val targets = ranked.filter(col("cum") >= col("r"))
+      .groupBy(col("flag"), col("metric"), col("w"))
+      .agg(min(col("bkt")).as("tbkt"),
+        min_by(col("cum") - col("cnt"), col("bkt")).as("base"),
+        max(col("r")).as("r"), max(col("n")).as("n"))
+    // refine: rows of the target buckets only, cumulated per distinct value
+    val wVal = Window.partitionBy(col("flag"), col("metric"), col("w")).orderBy(col("v"))
+    val stats = rows.as("x")
+      .join(broadcast(targets.as("t")),
+        col("x.flag") === col("t.flag") && col("x.metric") === col("t.metric") &&
+          col("x.bkt") === col("t.tbkt"))
+      .select(col("x.flag").as("flag"), col("x.metric").as("metric"),
+        col("t.w").as("w"), col("x.v").as("v"), col("t.base").as("base"),
+        col("t.r").as("r"), col("t.n").as("n"))
+      .groupBy(col("flag"), col("metric"), col("w"), col("base"), col("r"),
+        col("n"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum2", sum(col("c")).over(wVal))
+      .filter(col("base") + col("cum2") >= col("r"))
+      .groupBy(col("flag"), col("metric"), col("w"))
+      .agg(min(col("v")).as("pv"), max(col("n")).as("n"))
+    // interpolate with the builtin Percentile's own double expression: the
+    // weighted form (higher−position)·lo + (position−lower)·hi with both
+    // weights exactly 0.5 — NOT lo + (hi−lo)·0.5, which differs in the
+    // last ulp (caught by PercentileSpec on synthetic groups)
+    val med = stats.groupBy(col("flag"), col("metric"))
+      .agg(min(when(col("w") === "lo", col("pv"))).as("lo"),
+        min(when(col("w") === "hi", col("pv"))).as("hi"),
+        max(col("n")).as("n"))
+      .withColumn("med", when(col("n") % 2 === 0,
+          col("lo") * lit(0.5) + col("hi") * lit(0.5))
+        .otherwise(col("lo")))
+    med.groupBy(col("flag"))
       .agg(
-        expr("percentile(l_quantity, 0.5)").as("med_qty"),
-        expr("percentile(l_extendedprice, 0.5)").as("med_price"),
-        expr("percentile(l_discount, 0.5)").as("med_disc"),
-        count(lit(1)).as("n"))
+        min(when(col("metric") === "qty", col("med"))).as("med_qty"),
+        min(when(col("metric") === "price", col("med"))).as("med_price"),
+        min(when(col("metric") === "disc", col("med"))).as("med_disc"),
+        max(col("n")).as("n"))
+      .select(col("flag").as("l_returnflag"), col("med_qty"), col("med_price"),
+        col("med_disc"), col("n"))
       .orderBy(col("l_returnflag"))
+  }
 
   val qPercentileExactSql: String =
     """SELECT l_returnflag,
