@@ -135,15 +135,26 @@ object Relational {
 
   /** q_percentile: exact percentile + the sketch the 100 TB path uses
     * (approx_percentile: fixed-memory one-pass). Engine-only (sketch and
-    * interpolation arithmetic are implementation-defined). */
-  def qPercentile(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.lineitem(spark, sfDir)
+    * interpolation arithmetic are implementation-defined). The exact p50
+    * rides the distributed histogram-refine median (histogramMedians),
+    * not the builtin collect-per-group `percentile` — no per-group value
+    * buffer anywhere on the declared surface. */
+  def qPercentile(spark: SparkSession, sfDir: String): DataFrame = {
+    val sketch = Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
       .agg(
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"),
-        expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
         percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99_approx"))
+    val med = histogramMedians(
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_returnflag").as("flag"), lit("price").as("metric"),
+          col("l_extendedprice").as("v")))
+      .select(col("flag").as("l_returnflag"), col("med").as("p50_exact"))
+    sketch.join(broadcast(med), "l_returnflag")
+      .select(col("l_returnflag"), col("p50_approx"), col("p50_exact"),
+        col("p99_approx"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** q_percentile_exact: exact medians — at p=0.5 the interpolated value
     * is either an order statistic or the midpoint of two, and both
@@ -166,10 +177,29 @@ object Relational {
     * with the builtin is pinned by PercentileSpec incl. tie-heavy and
     * tiny-n groups. */
   def qPercentileExact(spark: SparkSession, sfDir: String): DataFrame = {
-    val rows = Tables.lineitem(spark, sfDir)
-      .select(col("l_returnflag").as("flag"),
-        expr("stack(3, 'disc', l_discount, 'price', l_extendedprice, 'qty', l_quantity)")
-          .as(Seq("metric", "v")))
+    val med = histogramMedians(
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_returnflag").as("flag"),
+          expr("stack(3, 'disc', l_discount, 'price', l_extendedprice, 'qty', l_quantity)")
+            .as(Seq("metric", "v"))))
+    med.groupBy(col("flag"))
+      .agg(
+        min(when(col("metric") === "qty", col("med"))).as("med_qty"),
+        min(when(col("metric") === "price", col("med"))).as("med_price"),
+        min(when(col("metric") === "disc", col("med"))).as("med_disc"),
+        max(col("n")).as("n"))
+      .select(col("flag").as("l_returnflag"), col("med_qty"), col("med_price"),
+        col("med_disc"), col("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Exact per-(flag, metric) median of `v` via histogram refine — the
+    * distributed replacement for the builtin `percentile` aggregator (see
+    * qPercentileExact's scaladoc for the plan shape and the ulp-exact
+    * interpolation contract). In: (flag, metric, v); out: (flag, metric,
+    * med, n). */
+  private def histogramMedians(input: DataFrame): DataFrame = {
+    val rows = input
       .withColumn("bkt", shiftright(NumExprs.sortableBits(col("v")), 44))
     val h = rows.groupBy(col("flag"), col("metric"), col("bkt")).agg(count(lit(1)).as("cnt"))
     val wCum = Window.partitionBy(col("flag"), col("metric")).orderBy(col("bkt"))
@@ -221,15 +251,7 @@ object Relational {
       .withColumn("med", when(col("n") % 2 === 0,
           col("lo") * lit(0.5) + col("hi") * lit(0.5))
         .otherwise(col("lo")))
-    med.groupBy(col("flag"))
-      .agg(
-        min(when(col("metric") === "qty", col("med"))).as("med_qty"),
-        min(when(col("metric") === "price", col("med"))).as("med_price"),
-        min(when(col("metric") === "disc", col("med"))).as("med_disc"),
-        max(col("n")).as("n"))
-      .select(col("flag").as("l_returnflag"), col("med_qty"), col("med_price"),
-        col("med_disc"), col("n"))
-      .orderBy(col("l_returnflag"))
+    med.select(col("flag"), col("metric"), col("med"), col("n"))
   }
 
   val qPercentileExactSql: String =
