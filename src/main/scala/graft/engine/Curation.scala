@@ -12,8 +12,8 @@ import org.apache.spark.sql.functions._
   *
   * Scale design (100 TB of documents):
   *  - repetition: every signal is doc-local, so the whole gate is one
-  *    narrow pass — token stats fold over the sorted in-row token array,
-  *    3-gram stats are doc-local array arithmetic; zero shuffle.
+  *    narrow pass — all five counts from one codegen'd hash pass over the
+  *    in-row token array (TextExprs.RepetitionStats); zero shuffle.
   *  - PII/URL: pure map-side regex passes; whole-stage codegen end to end.
   *  - decontamination: the benchmark shingle set is small by construction
   *    (eval suites are MBs, corpora are TBs) — AQE broadcasts the semi-join
@@ -241,7 +241,7 @@ object Curation {
     * corpus), so the corpus side never shuffles for the membership test;
     * per-doc hit counts partial-aggregate on doc_id. */
   def qDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
-    // shingles travel as their 8-byte xxhash64 (codegen'd ShingleHashes),
+    // shingles travel as their 8-byte hashes (codegen'd ShingleHashes),
     // not strings: the string formulation evaluated an interpreted
     // concat_ws per shingle — 300 M evals at sf10, 177 s — and shuffled
     // ~30-byte strings into the semi-join. Hash-match ≡ string-match up

@@ -683,7 +683,7 @@ object LlmOps {
   }
 
   /** DuckDB replay of the sparse Jaccard: same tokenization, 3-gram
-    * shingles as STRINGS (the engine's xxhash64 encoding is a bijection on
+    * shingles as STRINGS (the engine's 64-bit shingle-hash encoding is a bijection on
     * distinct shingles w.h.p., so the set arithmetic is identical), same
     * pair definition and tie-broken top-100. The single double division is
     * correctly rounded in both engines. */
