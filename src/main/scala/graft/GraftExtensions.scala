@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.engine.{JsonStringCast, MinHashBands, PiiScrub, RepetitionStats, RollingFingerprint, ShingleHashes, SimHash64, SortableDoubleBits, TokenCounts}
+import graft.engine.{JsonStringCast, MinHashBands, PiiScrub, RepetitionStats, RollingFingerprint, ShingleHashes, SimHash64, SortableDoubleBits, TokenCounts, XorShiftMix}
 import graft.engine.FloatDotProduct
 import graft.plans.NanosRangePushdown
 
@@ -66,6 +66,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("pii_scrub"),
       new ExpressionInfo(classOf[PiiScrub].getName, "pii_scrub"),
       (exprs: Seq[Expression]) => PiiScrub(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("xorshift_mix"),
+      new ExpressionInfo(classOf[XorShiftMix].getName, "xorshift_mix"),
+      (exprs: Seq[Expression]) => XorShiftMix(exprs.head)))
     ext.injectFunction((
       new FunctionIdentifier("sortable_double_bits"),
       new ExpressionInfo(classOf[SortableDoubleBits].getName, "sortable_double_bits"),

@@ -243,8 +243,12 @@ object LlmOps {
     val stats = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
     val allTerms = bm25Queries.flatMap(_._2).distinct
     val matched = base
-      .select(col("doc_id"), col("dl"), explode(col("_tk")).as("term"))
-      .filter(col("term").isin(allTerms: _*))
+      // vocabulary filter INSIDE the array before the explode: the
+      // generator emits only query-term hits (a handful per doc), never
+      // the corpus' full token stream
+      .select(col("doc_id"), col("dl"),
+        explode(filter(col("_tk"),
+          t => array_contains(typedLit(allTerms), t))).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dft = matched.groupBy(col("term")).agg(count(lit(1)).as("df"))

@@ -804,13 +804,11 @@ object Relational {
 
   def qSampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
     // xorshift64 seeded by the golden-ratio constant; two rounds decorrelate
-    // the sequential event_id keys before the low bits are used as a bucket
-    def round(x: Column): Column = {
-      val a = x.bitwiseXOR(shiftleft(x, 13))
-      val b = a.bitwiseXOR(shiftrightunsigned(a, 7))
-      b.bitwiseXOR(shiftleft(b, 17))
-    }
-    val mixed = round(round(col("event_id").bitwiseXOR(lit(-7046029254386353131L))))
+    // the sequential event_id keys before the low bits are used as a bucket.
+    // One codegen'd node (NumExprs.XorShiftMix) — the Column composition
+    // carried ~60 copies of event_id into the filter and ran interpreted
+    // (measured 8.3 s → 1.3 s at the 100× dir)
+    val mixed = NumExprs.xorshiftMix(col("event_id"))
     val bucket = mixed.bitwiseAND(lit((1L << 20) - 1L))
     val keep = strata.map { case (t, rate) =>
       col("event_type") === t && bucket < (rate * (1L << 20)).toLong
