@@ -335,6 +335,58 @@ object Curation {
         (col("cum_excl") % packBudget).as("seq_offset"))
   }
 
+  // --- document chunking ---------------------------------------------------
+
+  /** Chunk window / stride in tokens (stride < window ⇒ 16-token overlap —
+    * the standard retrieval-context shape). */
+  private[engine] val chunkSize = 64
+  private[engine] val chunkStride = 48
+
+  /** q_chunk_docs: split every document into fixed-token overlapping
+    * windows — the retrieval/embedding prep step between curation and
+    * indexing (each chunk is what gets embedded and served). Chunk i of a
+    * doc covers tokens [i·stride, i·stride + size); the last chunk is
+    * short rather than padded; empty docs produce no chunks.
+    *
+    * 100 TB shape: a pure narrow pass — tokenize once, explode the ~n/stride
+    * chunk starts per doc, slice in-row. No shuffle, no state; row
+    * amplification is bounded by size/stride (≈1.33×), and the output
+    * inherits the corpus partitioning for the downstream embed stage. */
+  def qChunkDocs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("_tk", LlmOps.tokens(col("text")))
+      .withColumn("_n", size(col("_tk")))
+      .filter(col("_n") > 0)
+      .select(col("doc_id"), col("_tk"),
+        posexplode(sequence(lit(0), col("_n") - 1, lit(chunkStride)))
+          .as(Seq("chunk_id", "start")))
+      .select(col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        col("start").cast("long").as("start_token"),
+        size(slice(col("_tk"), col("start") + 1, lit(chunkSize))).cast("long")
+          .as("n_tokens"),
+        array_join(slice(col("_tk"), col("start") + 1, lit(chunkSize)), " ")
+          .as("chunk_text"))
+
+  /** DuckDB replay: range(0, n, stride) generates the same start set as
+    * sequence(0, n−1, stride) (both stop at the last start < n), and
+    * list_slice's inclusive 1-based [a, b] window with length clamping is
+    * exactly Spark's slice(tk, a, size). */
+  val qChunkDocsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, tk, unnest(range(0, len(tk), $chunkStride)) AS start
+       |  FROM t WHERE len(tk) > 0)
+       |SELECT doc_id,
+       |  CAST(start // $chunkStride AS BIGINT) AS chunk_id,
+       |  CAST(start AS BIGINT) AS start_token,
+       |  CAST(len(list_slice(tk, start + 1, start + $chunkSize)) AS BIGINT) AS n_tokens,
+       |  array_to_string(list_slice(tk, start + 1, start + $chunkSize), ' ') AS chunk_text
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   val qPackSequencesSql: String =
     """WITH d AS (
       |  SELECT doc_id,

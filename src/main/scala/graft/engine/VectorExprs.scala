@@ -83,6 +83,89 @@ case class FloatDotProduct(left: Expression, right: Expression)
   override def prettyName: String = "float_dot_product"
 }
 
+/** Int8 scalar quantization of an embedding vector, one pass.
+  *
+  * Returns struct(lo, hi, q) where lo/hi are the vector's min/max (as
+  * double) and q(i) = floor((v(i) − lo)·255 / (hi − lo) + 0.5) ∈ [0, 255]
+  * (all-zero when hi == lo). Every arithmetic step is an IEEE-754
+  * correctly-rounded double op with a fixed parenthesization, so the
+  * quantized codes are bit-identical cross-engine and DuckDB-replayable
+  * (Quantize.qQuantizeEmbedSql mirrors the expression token-for-token).
+  *
+  * WHY an expression and not `transform(v, x -> ...(array_min(v))...)`:
+  * a column subtree referenced inside a higher-order-function lambda is
+  * re-evaluated PER ELEMENT once CollapseProject inlines it (ROADMAP
+  * "perf learnings"), so the min/max folds would run d times each —
+  * O(d²) per vector. Here min/max and the quantize loop run once, and
+  * codegen stays whole-stage (same static-helper pattern as XorShiftMix).
+  */
+case class QuantizeU8(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = QuantizeU8.OutType
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"quantize_u8 needs an array<float|double> child, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    QuantizeU8.compute(input.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.engine.QuantizeU8.compute($v, $isFloat);")
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeU8 =
+    copy(child = newChild)
+
+  override def prettyName: String = "quantize_u8"
+}
+
+object QuantizeU8 {
+  val OutType: StructType = StructType(Seq(
+    StructField("lo", DoubleType, nullable = false),
+    StructField("hi", DoubleType, nullable = false),
+    StructField("q", ArrayType(IntegerType, containsNull = false), nullable = false)))
+
+  /** Static entry shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData, isFloat: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = arr.numElements()
+    var lo = Double.PositiveInfinity
+    var hi = Double.NegativeInfinity
+    var i = 0
+    while (i < n) {
+      val v = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      if (v < lo) lo = v
+      if (v > hi) hi = v
+      i += 1
+    }
+    if (n == 0) { lo = 0.0; hi = 0.0 }
+    val q = new Array[Int](n)
+    if (hi != lo) {
+      val range = hi - lo
+      i = 0
+      while (i < n) {
+        val v = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        // fixed parenthesization, mirrored by the DuckDB oracle:
+        // floor(((v - lo) * 255.0) / (hi - lo) + 0.5)
+        q(i) = math.floor(((v - lo) * 255.0) / range + 0.5).toInt
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(lo, hi,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(q))
+  }
+}
+
 object VectorExprs {
   /** Column-level dot product backed by the codegen'd expression. */
   def vdot(a: Column, b: Column): Column =
@@ -94,4 +177,8 @@ object VectorExprs {
     import org.apache.spark.sql.functions.sqrt
     vdot(a, b) / (sqrt(vdot(a, a)) * sqrt(vdot(b, b)))
   }
+
+  /** struct(lo, hi, q): int8 scalar quantization, one codegen'd pass. */
+  def quantizeU8(v: Column): Column =
+    GraftColumnBridge.column(QuantizeU8(GraftColumnBridge.expression(v)))
 }

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.{NumExprs, Sketches, VectorExprs}
+
+/** KMV distinct sketch, int8 quantization, and document chunking. */
+class SketchQuantChunkSpec extends SparkSpec {
+
+  test("KMV aggregator == exact k-smallest-distinct-hash window formulation") {
+    import spark.implicits._
+    // keys with heavy duplication across 3 groups, including singleton and
+    // below-k groups
+    val rows = (0 until 5000).map(i => (s"g${i % 3}", (i % 700).toLong)) ++
+      Seq(("tiny", 1L), ("tiny", 1L), ("tiny", 2L))
+    val df = rows.toDF("grp", "key")
+      .select(col("grp"),
+        shiftrightunsigned(NumExprs.xorshiftMix(col("key")), 1).as("uh"))
+
+    val kmv = udaf(new Sketches.KmvAggregator(64))
+    val got = df.groupBy(col("grp")).agg(kmv(col("uh")).as("kmin"))
+      .select(col("grp"), explode(col("kmin")).as("uh"))
+
+    val w = Window.partitionBy(col("grp")).orderBy(col("uh"))
+    val expected = df.distinct()
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 64)
+      .select(col("grp"), col("uh"))
+
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "aggregator buffer must equal the exact 64 smallest distinct hashes")
+    // below-k group: buffer is the full distinct hash set
+    val tiny = got.filter(col("grp") === "tiny").count()
+    assert(tiny == 2, s"tiny group should keep its 2 distinct hashes, got $tiny")
+  }
+
+  test("KMV estimate is within the sketch's error envelope on the events table") {
+    val out = Sketches.qAggKmv(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val exact = r.getAs[Long]("n_exact").toDouble
+      val est = r.getAs[Double]("est_distinct")
+      // k=64 → σ ≈ 12.7%; 4σ envelope keeps the test deterministic-safe
+      assert(math.abs(est - exact) / exact < 0.51,
+        s"${r.getAs[String]("event_type")}: est $est vs exact $exact")
+    }
+  }
+
+  test("quantize_u8: exact codes on a known vector, constant-vector zero path") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0.0f, 1.0f, 2.0f, 4.0f)),   // lo=0 hi=4 → codes 0,64,128,255 (63.75→64 rounds up)
+      (2L, Seq(3.5f, 3.5f, 3.5f))          // constant → all zero
+    ).toDF("vec_id", "embedding")
+    val rows = df.select(col("vec_id"), VectorExprs.quantizeU8(col("embedding")).as("qz"))
+      .select(col("vec_id"), col("qz.lo"), col("qz.hi"), col("qz.q")).collect()
+    val r1 = rows.find(_.getLong(0) == 1L).get
+    assert(r1.getDouble(1) == 0.0 && r1.getDouble(2) == 4.0)
+    assert(r1.getSeq[Int](3) == Seq(0, 64, 128, 255),
+      s"got ${r1.getSeq[Int](3)}")
+    val r2 = rows.find(_.getLong(0) == 2L).get
+    assert(r2.getDouble(1) == 3.5 && r2.getDouble(2) == 3.5)
+    assert(r2.getSeq[Int](3) == Seq(0, 0, 0))
+  }
+
+  test("quantize_u8 on the corpus: codes in [0,255], dequant error bounded") {
+    val qz = graft.engine.Tables.embeddings(spark, sf)
+      .select(col("embedding").cast("array<double>").as("v"),
+        VectorExprs.quantizeU8(col("embedding")).as("qz"))
+    val bad = qz.select(explode(col("qz.q")).as("c"))
+      .filter(col("c") < 0 || col("c") > 255).count()
+    assert(bad == 0, s"$bad codes out of [0,255]")
+    // reconstruction error ≤ half a quantization step
+    val err = qz.select(max(expr(
+      """aggregate(zip_with(v, qz.q, (x, c) ->
+        |  abs(x - (qz.lo + CAST(c AS DOUBLE) * (qz.hi - qz.lo) / 255.0))),
+        |0.0D, (a, e) -> greatest(a, e))""".stripMargin)).as("e"))
+      .head().getDouble(0)
+    val maxStep = qz.select(max((col("qz.hi") - col("qz.lo")) / 255.0)).head().getDouble(0)
+    assert(err <= maxStep * 0.5000001, s"max dequant error $err > half-step ${maxStep / 2}")
+  }
+
+  test("chunking: boundaries, overlap, and edge cases") {
+    import spark.implicits._
+    def toks(n: Int) = (0 until n).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, ""),          // empty → no chunks
+      (2L, "solo"),      // 1 token → 1 chunk
+      (3L, toks(48)),    // exactly one stride → 1 chunk (starts 0 only)
+      (4L, toks(49)),    // one past stride → 2 chunks, second has 1 token
+      (5L, toks(150))    // starts 0,48,96,144 → 4 chunks: 64,64,54,6
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")))
+    docs.write.mode("overwrite").parquet("/tmp/graft_chunk_docs/documents.parquet")
+    // the other tables aren't read by qChunkDocs; point at the planted dir
+    val out = graft.engine.Curation.qChunkDocs(spark, "/tmp/graft_chunk_docs")
+      .select(col("doc_id"), col("chunk_id"), col("start_token"), col("n_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    val expected = Seq(
+      (2L, 0L, 0L, 1L),
+      (3L, 0L, 0L, 48L),
+      (4L, 0L, 0L, 49L), (4L, 1L, 48L, 1L),
+      (5L, 0L, 0L, 64L), (5L, 1L, 48L, 64L), (5L, 2L, 96L, 54L), (5L, 3L, 144L, 6L))
+    assert(out.toSeq == expected, s"got ${out.mkString(";")}")
+  }
+
+  test("chunk text content: overlap region repeats, concatenation covers the doc") {
+    import spark.implicits._
+    val text = (0 until 100).map(i => s"w$i").mkString(" ")
+    Seq((7L, text)).toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet("/tmp/graft_chunk_one/documents.parquet")
+    val chunks = graft.engine.Curation.qChunkDocs(spark, "/tmp/graft_chunk_one")
+      .orderBy(col("chunk_id")).select(col("chunk_text")).as[String].collect()
+    assert(chunks.length == 3) // starts 0, 48, 96
+    val c0 = chunks(0).split(" "); val c1 = chunks(1).split(" ")
+    assert(c0.length == 64 && c1.length == 52)
+    // 16-token overlap: chunk1 starts at token 48, chunk0 ends at 63
+    assert(c0.drop(48).toSeq == c1.take(16).toSeq)
+    assert(chunks(2).split(" ").head == "w96")
+  }
+}
