@@ -28,7 +28,6 @@ object Quantize {
         col("qz.lo").as("lo"),
         col("qz.hi").as("hi"),
         array_join(col("qz.q").cast("array<string>"), ",").as("q_str"))
-      .orderBy(col("vec_id"))
 
   /** The quantizer replayed in DuckDB: identical expression tree
     * (floor(((x − lo) · 255.0) / (hi − lo) + 0.5)) over the float-exact

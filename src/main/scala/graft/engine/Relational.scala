@@ -788,6 +788,78 @@ object Relational {
       |  (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  /** q_lateral_topk: correlated LATERAL subquery with per-row ORDER BY +
+    * LIMIT — top-2 orders per customer, the "top-N per entity via join"
+    * idiom SQL users reach for. Catalyst decorrelates the lateral into a
+    * join + per-group limit (no per-row re-execution), so the 100 TB plan
+    * is one shuffle on the join key — same class as the window/Aggregator
+    * formulations (q_window_rank / q_topk_group) that flank it on the
+    * declared surface. Ties broken by o_orderkey for cross-engine
+    * determinism; customers with no orders drop (inner lateral, both
+    * engines). */
+  def qLateralTopk(spark: SparkSession, sfDir: String): DataFrame =
+    sqlOverViews(spark, sfDir, Seq("customer", "orders")) { sfx =>
+      // no outer ORDER BY: a global range sort of the fact-sized result is
+      // scaffolding (the harness sorts for comparison); the per-customer
+      // ordering semantics live in the lateral's ORDER BY ... LIMIT
+      s"""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+         |FROM graft_customer_$sfx c,
+         |LATERAL (SELECT o_orderkey, o_totalprice FROM graft_orders_$sfx o
+         |         WHERE o.o_custkey = c.c_custkey
+         |         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t""".stripMargin
+    }
+
+  val qLateralTopkSql: String =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+      |         WHERE o.o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
+      |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey ASC""".stripMargin
+
+  /** q_sessionize: per-EVENT sessionization — assign every event its
+    * (user, session) id by the classic gap rule (a >30-minute silence
+    * starts a new session): lag over (user, time) marks session starts,
+    * a running sum numbers them. Complements q_stream_session (which
+    * AGGREGATES per session window); training pipelines need the
+    * event-level labels to build behavioral sequences.
+    *
+    * Scale: both window passes share one exchange partitioned by
+    * user_id — a HIGH-cardinality key with small per-user groups, the
+    * shape per-key windows are built for (unlike the 3-value-key global
+    * windows that needed BigWindow). Gap arithmetic is integer micros. */
+  def qSessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("_prev", lag(col("ts"), 1).over(w))
+      .withColumn("_new_sess",
+        when(col("_prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("_prev")) > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("_new_sess")).over(w))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("session_seq"))
+  }
+
+  /** The gap rule replayed in DuckDB; SUM() OVER widens to HUGEINT there,
+    * so the running count is cast back to BIGINT (the q_pack_sequences
+    * dtype lesson). Timestamps compare as epoch micros per the
+    * Exact.scala convention. */
+  val qSessionizeSql: String =
+    """SELECT event_id, user_id, ts_us,
+      |  CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      |FROM (
+      |  SELECT event_id, user_id, ts_us,
+      |    CASE WHEN prev_us IS NULL
+      |           OR ts_us - prev_us > 1800000000 THEN 1
+      |         ELSE 0 END AS new_sess
+      |  FROM (
+      |    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |      LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+      |    FROM events))
+      |ORDER BY user_id, ts_us, event_id""".stripMargin
+
   /** q_sample_stratified: per-stratum downsampling — the training-data
     * primitive (e.g. downweight boilerplate classes). Hash-threshold
     * sampling instead of `sampleBy`: mix the row key through two xorshift64
