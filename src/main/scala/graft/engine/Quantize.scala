@@ -1,6 +1,7 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding compression for the similarity stack: int8 scalar
@@ -47,4 +48,150 @@ object Quantize {
       |               for x in v]
       |    END, ',') AS q_str
       |FROM m ORDER BY vec_id""".stripMargin
+
+  // --- quantized IVF ANN ----------------------------------------------------
+
+  private val NCells = 16
+  private val Rounds = 2
+  private val NProbe = 2
+  private val TopK = 3
+
+  private def sqd(a: Column, b: Column): Column = VectorExprs.intSqDist(a, b)
+
+  /** q_sim_ivf_quant: IVF ANN over the int8 CODES — k-means in pure
+    * integer arithmetic, so the ENTIRE pipeline (training included) is
+    * cross-engine deterministic and DuckDB-oracle-checked, unlike the
+    * float-trained q_sim_ivf where summation order makes centroids
+    * implementation-defined. This is also how a 100 TB ANN tier actually
+    * runs (FAISS-style IVF over scalar-quantized codes): 4× less to scan,
+    * integer distance kernels.
+    *
+    * Deterministic by construction: init = codes of vec_id 0..15;
+    * assignment = argmin squared-L2 with cell-id tiebreak; update =
+    * per-dimension floor(sum/count) (exact integer division); 2 Lloyd
+    * rounds; queries probe their 2 nearest cells; top-3 by (distance,
+    * neighbor id). Every comparison is on longs — no floats anywhere.
+    *
+    * Scale shape mirrors q_sim_ivf: centroids broadcast (≤16 rows);
+    * assignment is a narrow pass + argmin partial-agg on vec_id; the
+    * centroid update's posexplode collapses map-side to ≤ cells×dims
+    * rows per task before the shuffle; probing scans only the 2 matched
+    * cells' postings. */
+  def qSimIvfQuant(spark: SparkSession, sfDir: String): DataFrame = {
+    val q8 = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), VectorExprs.quantizeU8(col("embedding")).getField("q").as("qv"))
+      .persist()
+    try {
+      // nearest-centroid assignment: argmin over the broadcast cell set,
+      // min_by on the (distance, cid) struct = deterministic tiebreak
+      def assign(cents: DataFrame): DataFrame =
+        q8.join(broadcast(cents))
+          .select(col("vec_id"), col("cid"), sqd(col("qv"), col("cv")).as("d"))
+          .groupBy(col("vec_id"))
+          .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("cid"))
+
+      // per-dimension integer mean: posexplode partial-aggregates to
+      // ≤ cells×dims rows map-side; floor division is exact
+      def update(assigned: DataFrame): DataFrame =
+        assigned.join(q8, "vec_id")
+          .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+          .withColumn("cv_i", expr("CAST(s div n AS INT)"))
+          .groupBy(col("cid"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv_i")))),
+            x => x.getField("cv_i")).as("cv"))
+
+      var cents = q8.filter(col("vec_id") < NCells)
+        .select(col("vec_id").as("cid"), col("qv").as("cv"))
+      for (_ <- 1 to Rounds) cents = update(assign(cents))
+      cents = cents.persist()
+
+      val posting = assign(cents).join(q8, "vec_id")
+      val queries = q8.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("qv").as("qq"))
+      val wProbe = Window.partitionBy(col("qid")).orderBy(col("pd"), col("cid"))
+      val probes = queries.join(broadcast(cents))
+        .select(col("qid"), col("qq"), col("cid"), sqd(col("qq"), col("cv")).as("pd"))
+        .withColumn("prn", row_number().over(wProbe)).filter(col("prn") <= NProbe)
+        .select(col("qid"), col("qq"), col("cid"))
+      val wRank = Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))
+      val out = probes.join(posting, "cid")
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), sqd(col("qq"), col("qv")).as("d"))
+        .withColumn("rank", row_number().over(wRank).cast("long"))
+        .filter(col("rank") <= TopK)
+        .select(col("qid"), col("vec_id").as("neighbor_id"), col("d").as("sqdist"),
+          col("rank"))
+        .orderBy(col("qid"), col("rank"))
+      val cut = Iterate.cut(out)
+      cents.unpersist(blocking = false)
+      cut
+    } finally q8.unpersist(blocking = false)
+  }
+
+  /** The full quantized-IVF pipeline replayed in DuckDB: quantize, init
+    * from vec_id 0..15, two unrolled Lloyd rounds (argmin with cell-id
+    * tiebreak; per-dim SUM // COUNT — DuckDB's // floors like Spark's
+    * `div` on these non-negative codes), 2-cell probe, top-3 by
+    * (distance, id). All integer arithmetic — the oracle checks the
+    * TRAINING, not just the final ranking. */
+  val qSimIvfQuantSql: String = {
+    val dist = (a: String, b: String) =>
+      s"list_sum([CAST(($a[i] - $b[i]) * ($a[i] - $b[i]) AS BIGINT) " +
+        s"for i in range(1, len($a) + 1)])"
+    def lloyd(prev: String, n: Int): String =
+      s"""d$n AS (
+         |  SELECT a.vec_id, a.qv, c.cid, ${dist("a.qv", "c.cv")} AS d
+         |  FROM q8 a CROSS JOIN $prev c),
+         |a$n AS (
+         |  SELECT vec_id, qv, cid FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |    FROM d$n) WHERE rn = 1),
+         |c$n AS (
+         |  SELECT cid, list(cv_i ORDER BY pos) AS cv FROM (
+         |    SELECT cid, pos, CAST(SUM(val) // COUNT(*) AS INT) AS cv_i FROM (
+         |      SELECT cid, unnest(qv) AS val,
+         |             unnest(range(1, len(qv) + 1)) AS pos FROM a$n)
+         |    GROUP BY cid, pos)
+         |  GROUP BY cid)""".stripMargin
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       |m AS (
+       |  SELECT vec_id, ve, list_min(ve) AS lo, list_max(ve) AS hi FROM v),
+       |q8 AS (
+       |  SELECT vec_id,
+       |    CASE WHEN hi = lo THEN [0 for x in ve]
+       |         ELSE [CAST(floor(((x - lo) * 255.0) / (hi - lo) + 0.5) AS INT)
+       |               for x in ve]
+       |    END AS qv
+       |  FROM m),
+       |c0 AS (SELECT vec_id AS cid, qv AS cv FROM q8 WHERE vec_id < $NCells),
+       |${lloyd("c0", 1)},
+       |${lloyd("c1", 2)},
+       |df AS (
+       |  SELECT a.vec_id, a.qv, c.cid, ${dist("a.qv", "c.cv")} AS d
+       |  FROM q8 a CROSS JOIN c2 c),
+       |af AS (
+       |  SELECT vec_id, qv, cid FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM df) WHERE rn = 1),
+       |qs AS (SELECT vec_id AS qid, qv AS qq FROM q8 WHERE vec_id < 10),
+       |pr AS (
+       |  SELECT qid, qq, cid FROM (
+       |    SELECT q.qid, q.qq, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid
+       |        ORDER BY ${dist("q.qq", "c.cv")}, c.cid) AS prn
+       |    FROM qs q CROSS JOIN c2 c) WHERE prn <= $NProbe),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id, ${dist("p.qq", "a.qv")} AS d
+       |  FROM pr p JOIN af a ON p.cid = a.cid
+       |  WHERE a.vec_id <> p.qid)
+       |SELECT qid, vec_id AS neighbor_id, CAST(d AS BIGINT) AS sqdist,
+       |  CAST(rn AS BIGINT) AS rank
+       |FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn
+       |  FROM cand) WHERE rn <= $TopK
+       |ORDER BY qid, rank""".stripMargin
+  }
 }

@@ -166,6 +166,65 @@ object QuantizeU8 {
   }
 }
 
+/** Squared L2 distance between two int-code vectors (quantized
+  * embeddings), accumulated in long — exact integer arithmetic, the
+  * distance kernel of the quantized IVF path (Quantize.qSimIvfQuant).
+  * Same codegen rationale as FloatDotProduct: this runs per candidate
+  * pair on the ANN hot path, where an interpreted zip_with/aggregate
+  * fold would dominate. */
+case class IntSqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"int_sq_dist needs array<int> children, got ${left.dataType}, ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = Math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = (x.getInt(i) - y.getInt(i)).toLong
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |long $sum = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = (long)($a.getInt($i) - $b.getInt($i));
+         |  $sum += $d * $d;
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntSqDist =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "int_sq_dist"
+}
+
 object VectorExprs {
   /** Column-level dot product backed by the codegen'd expression. */
   def vdot(a: Column, b: Column): Column =
@@ -181,4 +240,9 @@ object VectorExprs {
   /** struct(lo, hi, q): int8 scalar quantization, one codegen'd pass. */
   def quantizeU8(v: Column): Column =
     GraftColumnBridge.column(QuantizeU8(GraftColumnBridge.expression(v)))
+
+  /** Exact squared L2 over int-code vectors, as long. */
+  def intSqDist(a: Column, b: Column): Column =
+    GraftColumnBridge.column(IntSqDist(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }

@@ -79,6 +79,23 @@ class SketchQuantChunkSpec extends SparkSpec {
     assert(err <= maxStep * 0.5000001, s"max dequant error $err > half-step ${maxStep / 2}")
   }
 
+  test("quantized IVF: ranked output is sane and fully integer-deterministic") {
+    val out = graft.engine.Quantize.qSimIvfQuant(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // per query: ranks are 1..k, distances non-decreasing, no self-matches
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length).toSeq)
+      val ds = sorted.map(_.getAs[Long]("sqdist")).toSeq
+      assert(ds == ds.sorted, s"qid $qid distances not monotone: $ds")
+      assert(!rs.exists(_.getAs[Long]("neighbor_id") == qid))
+    }
+    // determinism: a second run yields the identical result set
+    val again = graft.engine.Quantize.qSimIvfQuant(spark, sf).collect()
+    assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+
   test("chunking: boundaries, overlap, and edge cases") {
     import spark.implicits._
     def toks(n: Int) = (0 until n).map(i => s"t$i").mkString(" ")
