@@ -363,7 +363,9 @@ object Curation {
       .select(col("doc_id"),
         col("chunk_id").cast("long").as("chunk_id"),
         col("start").cast("long").as("start_token"),
-        size(slice(col("_tk"), col("start") + 1, lit(chunkSize))).cast("long")
+        // arithmetic, not a second slice: the slice clamps at the array
+        // end and start < _n always, so its length is min(size, n - start)
+        least(lit(chunkSize), size(col("_tk")) - col("start")).cast("long")
           .as("n_tokens"),
         array_join(slice(col("_tk"), col("start") + 1, lit(chunkSize)), " ")
           .as("chunk_text"))

@@ -37,8 +37,17 @@ object Sketches {
 
     override def zero: KmvBuf = KmvBuf(Array.empty)
 
-    override def reduce(b: KmvBuf, in: Long): KmvBuf =
-      merge(b, KmvBuf(Array(in)))
+    /** Steady-state fast path: once the buffer is full, almost every row's
+      * hash exceeds the kth-min and is a no-op — return the buffer
+      * untouched (no allocation, one comparison). A binary-search member
+      * check skips duplicates the same way; only genuinely new
+      * below-kth-min hashes pay the O(k) merge. */
+    override def reduce(b: KmvBuf, in: Long): KmvBuf = {
+      val h = b.hashes
+      if (h.length == k && in >= h(k - 1)) b
+      else if (java.util.Arrays.binarySearch(h, in) >= 0) b
+      else merge(b, KmvBuf(Array(in)))
+    }
 
     /** Merge two sorted distinct arrays, dropping duplicates, cap k. */
     override def merge(a: KmvBuf, b: KmvBuf): KmvBuf = {

@@ -104,6 +104,12 @@ case class QuantizeU8(child: Expression)
 
   override def dataType: DataType = QuantizeU8.OutType
 
+  /** Degenerate vectors (empty, or containing null/NaN elements) return
+    * NULL rather than garbage codes — parquet array schemas default to
+    * containsNull=true even when the writer never emits one, so the type
+    * check can't reject them statically. */
+  override def nullable: Boolean = true
+
   private def isFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
@@ -122,7 +128,10 @@ case class QuantizeU8(child: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v =>
-      s"${ev.value} = graft.engine.QuantizeU8.compute($v, $isFloat);")
+      s"""
+         |${ev.value} = graft.engine.QuantizeU8.compute($v, $isFloat);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): QuantizeU8 =
     copy(child = newChild)
@@ -136,19 +145,24 @@ object QuantizeU8 {
     StructField("hi", DoubleType, nullable = false),
     StructField("q", ArrayType(IntegerType, containsNull = false), nullable = false)))
 
-  /** Static entry shared by interpreted eval and generated code. */
+  /** Static entry shared by interpreted eval and generated code. Returns
+    * null for degenerate input (empty array, null or NaN element) —
+    * deterministic and visible, instead of codes computed from phantom
+    * values. */
   def compute(arr: ArrayData, isFloat: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
     val n = arr.numElements()
+    if (n == 0) return null
     var lo = Double.PositiveInfinity
     var hi = Double.NegativeInfinity
     var i = 0
     while (i < n) {
+      if (arr.isNullAt(i)) return null
       val v = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      if (v.isNaN) return null
       if (v < lo) lo = v
       if (v > hi) hi = v
       i += 1
     }
-    if (n == 0) { lo = 0.0; hi = 0.0 }
     val q = new Array[Int](n)
     if (hi != lo) {
       val range = hi - lo

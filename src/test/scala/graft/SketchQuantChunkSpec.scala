@@ -62,6 +62,19 @@ class SketchQuantChunkSpec extends SparkSpec {
     assert(r2.getSeq[Int](3) == Seq(0, 0, 0))
   }
 
+  test("quantize_u8: degenerate vectors (empty, null/NaN element) yield NULL, not garbage") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Seq[Option[Float]](Some(1.0f), Some(2.0f)))),
+      (2L, Some(Seq[Option[Float]]())),                     // empty
+      (3L, Some(Seq[Option[Float]](Some(1.0f), None))),     // null element
+      (4L, Some(Seq[Option[Float]](Some(1.0f), Some(Float.NaN)))) // NaN
+    ).toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id"), VectorExprs.quantizeU8(col("embedding")).as("qz"))
+      .collect().map(r => (r.getLong(0), r.isNullAt(1))).toMap
+    assert(got == Map(1L -> false, 2L -> true, 3L -> true, 4L -> true), s"got $got")
+  }
+
   test("quantize_u8 on the corpus: codes in [0,255], dequant error bounded") {
     val qz = graft.engine.Tables.embeddings(spark, sf)
       .select(col("embedding").cast("array<double>").as("v"),
