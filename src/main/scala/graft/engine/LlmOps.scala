@@ -761,11 +761,23 @@ object LlmOps {
     } finally sym.unpersist(blocking = false)
   }
 
-  /** q_dedup_groups: the full near-dup pipeline — MinHash-LSH candidate
-    * pairs → Jaccard-verify → connected components → keeper = min doc_id
-    * per component. Output: one row per doc with its component and a
-    * keep/drop decision (on this synthetic corpus every doc is its own
-    * singleton; the spec plants transitive clusters to prove the closure). */
+  /** q_dedup_groups: the full near-dup pipeline — exhaustive sparse-posting
+    * candidate pairs → Jaccard-verify → connected components → keeper =
+    * min doc_id per component. Output: one row per doc with its component
+    * and a keep/drop decision.
+    *
+    * WHY exhaustive candidates and not MinHash-LSH: this query's declared
+    * semantics is the EXACT transitive closure of jaccard ≥ 0.7 — and LSH
+    * recall is probabilistic by construction (a j = 0.92 pair slips past
+    * 4×4 bands with p ≈ 0.6%; at sf0.1 one such miss split a component
+    * and failed the exhaustive oracle). Any pair with j > 0 shares a
+    * shingle, so the posting join IS exhaustive, and the dedup-first
+    * algebra keeps it linear on duplicate-heavy corpora — the same
+    * machinery q_ngram_jaccard runs in ~3 s at the 100× dir. The
+    * recall-tolerant LSH pipeline remains first-class as
+    * [[minhashCandidatePairs]] (spec-driven) + q_dedup_minhash's
+    * oracle-checked signatures — that is the trade a 100 TB user picks
+    * explicitly, not one an "exact dedup" query makes silently. */
   def qDedupGroups(spark: SparkSession, sfDir: String): DataFrame =
     dedupGroups(Tables.documents(spark, sfDir), 0.7)
 
@@ -788,16 +800,20 @@ object LlmOps {
     try {
       val reps = clustered.filter(col("doc_id") === col("rep"))
         .select(col("doc_id"), col("text"))
-      // minhashCandidatePairs returns an already-persisted, materialized
-      // (tiny) pair set — the component step consumes it twice (one per
-      // direction of the undirected edge union) straight from cache. CC
+      // exhaustive pairs over reps (constant source: the closure joins
+      // across sources, unlike q_ngram_jaccard's per-source pairs);
+      // persisted + materialized because the component step consumes the
+      // edge set twice (one per direction of the undirected union). CC
       // returns a MATERIALIZED leaf (Iterate.cut), so the pair cache can
       // be released here instead of lingering until the session GCs it.
-      val rawPairs = minhashCandidatePairs(reps)
+      val rawPairs = sparseJaccardPairs(
+          reps.select(lit("all").as("source"), col("doc_id"), col("text")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"))
+        .persist()
+      rawPairs.count()
       val repComp =
-        try connectedComponents(
-          rawPairs.filter(col("jaccard") >= threshold).select(col("doc_a"), col("doc_b")),
-          reps.select(col("doc_id")))
+        try connectedComponents(rawPairs, reps.select(col("doc_id")))
         finally rawPairs.unpersist(blocking = false)
       // expand: every member inherits its representative's component; the
       // component label is the min doc_id of the component (min-label CC
@@ -811,14 +827,15 @@ object LlmOps {
     } finally clustered.unpersist(blocking = false)
   }
 
-  /** DuckDB replay of the FULL dedup pipeline, with exhaustive candidate
-    * generation in place of LSH: true Jaccard over string shingle sets for
-    * every pair sharing a shingle (j > 0 implies a shared shingle, so this
-    * loses nothing), threshold 0.7, transitive closure via recursive-CTE
-    * reachability, min-label component + keeper. A stronger check than the
-    * engine's own path: it verifies LSH recall found every qualifying pair
-    * on this corpus AND that min-label propagation converged to the true
-    * closure. */
+  /** DuckDB replay of the FULL dedup pipeline: true Jaccard over string
+    * shingle sets for every pair sharing a shingle (j > 0 implies a shared
+    * shingle — the same exhaustiveness argument as the engine's posting
+    * join), threshold 0.7, transitive closure via recursive-CTE
+    * reachability, min-label component + keeper. Engine and oracle now
+    * share the exact-candidate algebra, so equality is deterministic at
+    * EVERY scale — under the earlier LSH candidates it held only with
+    * recall luck (a j = 0.92 miss at sf0.1 split one component), which is
+    * why the LSH path is spec'd separately rather than declared here. */
   val qDedupGroupsSql: String =
     """WITH t AS (
       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk

@@ -284,6 +284,51 @@ object Streaming {
       .as[EventIn]
   }
 
+  // --- streaming sessionization (event-level labels with state) ----------
+
+  case class SessEventIn(event_id: Long, user_id: Long, tsMicros: Long)
+  case class SessState(lastTsMicros: Long, seq: Long)
+  case class SessOut(event_id: Long, user_id: Long, tsMicros: Long, session_seq: Long)
+
+  /** Streaming twin of Relational.qSessionize: label every event with its
+    * per-user session number as it arrives, carrying (last ts, session
+    * counter) — O(1) per key — across micro-batches. Within a batch the
+    * group's rows fold in (ts, event_id) order; across batches
+    * correctness needs per-user batch-time-ordered arrival (true for
+    * ordered replay — the reference's catch-up shape; an out-of-order
+    * producer needs the watermark-buffered variant, at the cost of
+    * holding a horizon of events per key instead of 8 bytes).
+    * StreamSessionizeSpec pins stream == batch labels across a
+    * multi-micro-batch replay. */
+  def sessionizeStream(events: org.apache.spark.sql.Dataset[SessEventIn]):
+      org.apache.spark.sql.Dataset[SessOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[SessEventIn], state: GroupState[SessState]) =>
+          val prev = state.getOption.getOrElse(SessState(Long.MinValue, 0L))
+          val sorted = rows.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+          var last = prev.lastTsMicros
+          var seq = prev.seq
+          val out = sorted.map { e =>
+            if (last == Long.MinValue || e.tsMicros - last > 1800000000L) seq += 1
+            last = e.tsMicros
+            SessOut(e.event_id, key, e.tsMicros, seq)
+          }
+          state.update(SessState(last, seq))
+          out.iterator
+      }
+  }
+
+  /** Events in the sessionizer's typed shape. */
+  def sessEvents(df: DataFrame): org.apache.spark.sql.Dataset[SessEventIn] = {
+    import df.sparkSession.implicits._
+    df.select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tsMicros"))
+      .as[SessEventIn]
+  }
+
   // --- transformWithState (Spark 4 arbitrary-state API) ------------------
 
   /** `transformWithState` port of `upsertLatest`/`upsertLatestTtl` — the
