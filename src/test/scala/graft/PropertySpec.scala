@@ -100,6 +100,26 @@ class PropertySpec extends SparkSpec {
     }, "topk merge")
   }
 
+  test("KMV merge laws: k smallest distinct under any partial-merge split, commutative") {
+    // Aggregator correctness at scale rests on merge being insensitive to
+    // how Spark partitions rows into partial buffers — model that directly
+    val agg = new graft.engine.Sketches.KmvAggregator(8)
+    val gen = for {
+      xs <- Gen.listOf(Gen.choose(0L, 40L)) // heavy duplication
+      cut <- Gen.choose(0, 100)
+    } yield (xs, cut)
+    check(Prop.forAll(gen) { case (xs, cutPct) =>
+      val cut = xs.length * cutPct / 100
+      val (l, r) = xs.splitAt(cut)
+      def buf(part: List[Long]) =
+        part.foldLeft(agg.zero)((b, x) => agg.reduce(b, x))
+      val m1 = agg.merge(buf(l), buf(r))
+      val m2 = agg.merge(buf(r), buf(l))
+      val expect = xs.distinct.sorted.take(8)
+      m1.hashes.toSeq == expect && m2.hashes.toSeq == expect
+    }, "kmv merge")
+  }
+
   test("Spark page() agrees with the pure model on a generated table") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
