@@ -671,9 +671,28 @@ object LlmOps {
     // exchange, and window sort spills where an agg buffer can't.
     val wPost = Window.partitionBy(col("source"), col("hs"))
       .orderBy(col("doc_id"), col("n_sh"))
+    // NO SILENT CAPS: a truncated posting list under-counts shared
+    // shingles, so exactness (q_dedup_groups' closure, the top-100's
+    // order) holds only while the cap never binds — make a binding cap
+    // loud. Exactly one row per capped posting carries rn == cap+1, so
+    // the observed sum counts capped postings; the daemon thread resolves
+    // at the frame's first materialization (both callers materialize
+    // promptly) and parks harmlessly if a caller never runs the plan.
+    val obs = org.apache.spark.sql.Observation()
     val bounded = flat
       .withColumn("rn", row_number().over(wPost))
+      .observe(obs, sum(when(col("rn") === maxBucketDocs + 1, 1L).otherwise(0L))
+        .as("capped_postings"))
       .filter(col("rn") <= maxBucketDocs)
+    val warner = new Thread(() => obs.get.get("capped_postings") match {
+      case Some(n: Long) if n > 0 =>
+        System.err.println(s"[graft] sparse jaccard: $n posting list(s) over " +
+          s"cap=$maxBucketDocs — shared-shingle counts truncated, pair " +
+          "jaccard may under-count; raise the cap for exact-closure use")
+      case _ => ()
+    })
+    warner.setDaemon(true)
+    warner.start()
     val common = bounded.groupBy(col("source"), col("hs"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("m"))
       .filter(size(col("m")) > 1)
