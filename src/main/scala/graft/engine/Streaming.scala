@@ -377,4 +377,88 @@ object Streaming {
         if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
         OutputMode.Update())
   }
+
+  // --- streaming near-duplicate detection ---------------------------------
+
+  case class BandIn(doc_id: Long, simhash: Long, bucket: Long)
+  case class SeenDoc(doc_id: Long, simhash: Long)
+  case class NearDupHit(doc_id: Long, dup_of: Long, hamming: Int)
+
+  /** Streaming near-dup detection: the batch SimHash-banding pipeline
+    * (q_dedup_simhash) as continuous ingestion. Each arriving doc's 64-bit
+    * simhash is banded into four 16-bit keys; per (band, key) bucket a
+    * ListState holds the docs seen there, and a new arrival hamming-checks
+    * only its co-bucketed docs (≤ distance 3 ⇒ emit a hit against the
+    * earlier doc). Exactly the LSH candidate algebra of the batch path —
+    * a true near-dup shares at least one intact band w.h.p.
+    *
+    * State is the banded signature store: 16 bytes per doc per band — NOT
+    * the corpus — and an optional TTL bounds it to the dedup horizon (the
+    * realistic contract at 100 TB/day: dedupe against the last N days,
+    * state = horizon arrival volume, enforced store-side by RocksDB).
+    * A pair sharing several bands emits once per shared band; consumers
+    * distinct on (doc_id, dup_of) — kept raw here so the hit carries its
+    * band multiplicity. */
+  class NearDupProcessor(ttl: Option[java.time.Duration])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, BandIn, NearDupHit] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TimerValues, TTLConfig}
+    @transient private var seen: ListState[SeenDoc] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getListState[SeenDoc]("seen",
+        org.apache.spark.sql.Encoders.product[SeenDoc],
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+
+    override def handleInputRows(key: Long, rows: Iterator[BandIn],
+        tv: TimerValues): Iterator[NearDupHit] = {
+      val arrivals = rows.toSeq.sortBy(_.doc_id)
+      val prior = {
+        val it = seen.get()
+        val b = scala.collection.mutable.ArrayBuffer.empty[SeenDoc]
+        while (it.hasNext) b += it.next()
+        b
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
+      arrivals.foreach { d =>
+        prior.foreach { p =>
+          if (p.doc_id != d.doc_id) {
+            val h = java.lang.Long.bitCount(p.simhash ^ d.simhash)
+            if (h <= 3) out += NearDupHit(d.doc_id, p.doc_id, h)
+          }
+        }
+        prior += SeenDoc(d.doc_id, d.simhash)
+        seen.appendValue(SeenDoc(d.doc_id, d.simhash))
+      }
+      out.iterator
+    }
+  }
+
+  /** Docs stream → banded signature rows: simhash via the codegen'd
+    * SimHash64 (works unchanged on a streaming frame), bucket key =
+    * band index ⊕ 16-bit band value packed into one long. */
+  def bandedDocs(docs: DataFrame): org.apache.spark.sql.Dataset[BandIn] = {
+    import docs.sparkSession.implicits._
+    val withSig = docs.select(col("doc_id"),
+      TextExprs.simhash64(LlmOps.tokens(col("text"))).as("simhash"))
+    val bands = (0 until 4).map { b =>
+      struct(lit(b.toLong * 65536L).as("base"),
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("k"))
+    }
+    withSig
+      .select(col("doc_id"), col("simhash"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        (col("bk.base") + col("bk.k")).as("bucket"))
+      .as[BandIn]
+  }
+
+  def nearDupStream(docs: DataFrame,
+      ttl: Option[java.time.Duration] = None):
+      org.apache.spark.sql.Dataset[NearDupHit] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    bandedDocs(docs).groupByKey(_.bucket)
+      .transformWithState(new NearDupProcessor(ttl),
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Update())
+  }
 }

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Streaming
+
+/** Streaming near-dup detection: banded SimHash buckets as keyed
+  * ListState — planted near-duplicates arriving in LATER micro-batches
+  * must be flagged against the earlier doc; unrelated docs must not. */
+class NearDupStreamSpec extends SparkSpec {
+
+  private val providerKey = "spark.sql.streaming.stateStore.providerClass"
+
+  test("near-dup arriving in a later micro-batch is flagged against the stored doc") {
+    import spark.implicits._
+    val saved = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // batch 1: base corpus; batch 2: one near-dup (single-token edit,
+      // hamming-close simhash) + one unrelated doc
+      val base = Seq.tabulate(60)(i => s"word$i").mkString(" ")
+      val others = (0 until 10).map(i =>
+        (10L + i, Seq.tabulate(40)(j => s"tok${i}_$j").mkString(" ")))
+      val b1 = (Seq((1L, base)) ++ others).toDF("doc_id", "text")
+      val b2 = Seq(
+        (100L, base.replace("word30", "changed")), // near-dup of doc 1
+        (101L, Seq.tabulate(50)(j => s"fresh_$j").mkString(" "))
+      ).toDF("doc_id", "text")
+      val dir = java.nio.file.Files.createTempDirectory("graft_nd").toString
+      b1.coalesce(1).write.parquet(s"$dir/f1")
+      b2.coalesce(1).write.parquet(s"$dir/f2")
+      val flat = java.nio.file.Files.createTempDirectory("graft_nd_flat").toString
+      var idx = 0
+      for (sub <- Seq("f1", "f2"); f <- new java.io.File(s"$dir/$sub").listFiles()
+           if f.getName.endsWith(".parquet")) {
+        val dst = java.nio.file.Paths.get(f"$flat/part_$idx%02d.parquet")
+        java.nio.file.Files.copy(f.toPath, dst)
+        // FileStreamSource orders micro-batches by mtime — same-ms copies
+        // tie and can replay out of order; pin explicit distinct mtimes
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000L + idx * 60000L))
+        idx += 1
+      }
+      val stream = spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(flat)
+      val out = Streaming.nearDupStream(stream).toDF()
+      val q = Streaming.runToMemoryUpdate(out, "neardup_test")
+      q.awaitTermination(120000)
+      val hits = spark.table("neardup_test")
+        .select(col("doc_id"), col("dup_of")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits.contains((100L, 1L)),
+        s"near-dup 100 must be flagged against stored doc 1; got $hits")
+      assert(!hits.exists(h => h._1 == 101L || h._2 == 101L),
+        s"unrelated doc 101 must not be flagged; got $hits")
+    } finally saved match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None    => spark.conf.unset(providerKey)
+    }
+  }
+}

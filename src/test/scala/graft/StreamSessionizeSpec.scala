@@ -20,9 +20,12 @@ class StreamSessionizeSpec extends SparkSpec {
     var idx = 0
     for (sub <- Seq("f1", "f2"); f <- new java.io.File(s"$dir/$sub").listFiles()
          if f.getName.endsWith(".parquet")) {
-      // name order must preserve time order: f1's file sorts before f2's
-      java.nio.file.Files.copy(f.toPath,
-        java.nio.file.Paths.get(f"$flat/part_$idx%02d.parquet"))
+      val dst = java.nio.file.Paths.get(f"$flat/part_$idx%02d.parquet")
+      java.nio.file.Files.copy(f.toPath, dst)
+      // FileStreamSource orders micro-batches by mtime — same-ms copies
+      // tie and can replay out of order; pin explicit distinct mtimes
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + idx * 60000L))
       idx += 1
     }
     assert(idx == 2, s"expected 2 files, got $idx")
