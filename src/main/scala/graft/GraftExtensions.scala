@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.engine.{JsonStringCast, MinHashBands, PiiScrub, RepetitionStats, RollingFingerprint, ShingleHashes, SimHash64, SortableDoubleBits, TokenCounts, XorShiftMix}
-import graft.engine.FloatDotProduct
+import graft.engine.{FloatDotProduct, IntSqDist, QuantizeU8}
 import graft.plans.NanosRangePushdown
 
 /** Session-extension entry point for cluster deployments:
@@ -74,5 +74,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("sortable_double_bits"),
       new ExpressionInfo(classOf[SortableDoubleBits].getName, "sortable_double_bits"),
       (exprs: Seq[Expression]) => SortableDoubleBits(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("quantize_u8"),
+      new ExpressionInfo(classOf[QuantizeU8].getName, "quantize_u8"),
+      (exprs: Seq[Expression]) => QuantizeU8(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("int_sq_dist"),
+      new ExpressionInfo(classOf[IntSqDist].getName, "int_sq_dist"),
+      (exprs: Seq[Expression]) => IntSqDist(exprs.head, exprs(1))))
   }
 }
