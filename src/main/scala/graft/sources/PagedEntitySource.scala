@@ -73,15 +73,19 @@ class PagedEntitySource extends TableProvider {
       properties: util.Map[String, String]): Table = {
     val pageSize = properties.getOrDefault("pageSize", "500").toInt
     val defaultRows = properties.getOrDefault("rows", "10000").toLong
+    // streaming: ids advance one per minute, so an id window IS a time
+    // window — windowRows=1440 is the daily `0 0 0 * * ?` cron window.
+    // 0 (default) = one window covering everything (pure initial load).
+    val windowRows = properties.getOrDefault("windowRows", "0").toLong
     if (properties.containsKey("entities")) {
       val confs = properties.get("entities").split(",").map(_.trim).filter(_.nonEmpty)
         .map(e => PagedEntitySource.entityConf(e, properties, defaultRows))
-      new PagedEntityTable(confs.toSeq, pageSize, multi = true)
+      new PagedEntityTable(confs.toSeq, pageSize, multi = true, windowRows)
     } else {
       val e = properties.getOrDefault("entity", "events")
       new PagedEntityTable(
         Seq(PagedEntitySource.EntityConf(e, defaultRows, None, 5)),
-        pageSize, multi = false)
+        pageSize, multi = false, windowRows)
     }
   }
 }
@@ -138,18 +142,18 @@ object PagedEntitySource {
 }
 
 class PagedEntityTable(confs: Seq[PagedEntitySource.EntityConf], pageSize: Int,
-    multi: Boolean) extends Table with SupportsRead {
+    multi: Boolean, windowRows: Long = 0L) extends Table with SupportsRead {
   override def name(): String = s"paged_${confs.map(_.name).mkString("+")}"
   override def schema(): StructType =
     if (multi) PagedEntitySource.multiSchema else PagedEntitySource.fullSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PagedScanBuilder(confs, pageSize, multi)
+    new PagedScanBuilder(confs, pageSize, multi, windowRows)
 }
 
 class PagedScanBuilder(confs: Seq[PagedEntitySource.EntityConf], pageSize: Int,
-    multi: Boolean)
+    multi: Boolean, windowRows: Long = 0L)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownOffset with SupportsPushDownTopN {
 
@@ -241,17 +245,25 @@ class PagedScanBuilder(confs: Seq[PagedEntitySource.EntityConf], pageSize: Int,
     required = requiredSchema
 
   override def build(): Scan =
-    new PagedScan(math.min(lo, hi), hi, pageSize, required, kept)
+    new PagedScan(math.min(lo, hi), hi, pageSize, required, kept, windowRows)
 }
 
 /** R4: the planner turns the (narrowed) id range into pages — out-of-window
   * pages simply never exist. Multi-entity: pages are planned per entity
   * (entity-level parallelism, the partitioned-source reading of R15). */
 class PagedScan(lo: Long, hi: Long, pageSize: Int, required: StructType,
-    confs: Seq[PagedEntitySource.EntityConf])
+    confs: Seq[PagedEntitySource.EntityConf], windowRows: Long = 0L)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(confs.size == 1,
+      "streaming reads one entity per stream — the reference's per-entity " +
+      "task state (one EntityState per entity, ChargeOverSourceTask.java:84-90)")
+    new PagedMicroBatchStream(confs.head, pageSize,
+      if (windowRows > 0) windowRows else confs.head.rows, required)
+  }
   override def description(): String = {
     val ent = if (confs.size == 1) "" else s", entities=${confs.map(_.name).mkString("+")}"
     s"PagedScan(lo=$lo, hi=$hi, pageSize=$pageSize, fields=${required.fieldNames.mkString(",")}$ent)"
@@ -308,4 +320,147 @@ class PagedPartitionReader(page: PagedPartition, required: StructType)
   }
 
   override def close(): Unit = ()
+}
+
+/** The stream position, mirroring the reference's 7-field per-entity
+  * offset map FIELD FOR FIELD (ChargeOverSourceTask.java:409-416 — the
+  * map piggybacked on every emitted SourceRecord and restored via
+  * offsetStorageReader on restart, :98-133), transposed from the
+  * datetime-string domain to the generator's id domain (id == minutes
+  * since origin, so id bounds ARE time bounds):
+  *
+  *  - `load_mode`              "INITIAL_LOAD" | "INCREMENTAL_LOAD" (:28-31)
+  *  - `last_processed_id`      analog of last_processed_datetime — the
+  *                             committed low watermark (exclusive start
+  *                             of the open window)
+  *  - `batch_end_id`           analog of batch_end_datetime — the "now"
+  *                             captured when the window opened (:245-262)
+  *  - `current_offset`         rows already served WITHIN the window —
+  *                             the pagination cursor (:221-226)
+  *  - `is_processing_batch`    window open and partially consumed
+  *  - `retry_count`            always 0 here: the deterministic generator
+  *                             cannot fail; a real REST backend would
+  *                             count page retries (:296-343)
+  *  - `next_scheduled_run`     always 0 here: windows open immediately —
+  *                             the engine's cron arithmetic lives in
+  *                             graft.engine.Cron, not the data plane
+  *
+  * Absolute stream position = last_processed_id + current_offset,
+  * strictly monotone across offsets — what Spark's offset log orders by. */
+case class PagedStreamOffset(loadMode: String, lastProcessedId: Long,
+    batchEndId: Long, currentOffset: Long, isProcessingBatch: Boolean)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  def pos: Long = lastProcessedId + currentOffset
+  override def json(): String =
+    s"""{"load_mode":"$loadMode","last_processed_id":$lastProcessedId,""" +
+    s""""batch_end_id":$batchEndId,"current_offset":$currentOffset,""" +
+    s""""is_processing_batch":$isProcessingBatch,"retry_count":0,""" +
+    s""""next_scheduled_run":0}"""
+}
+
+object PagedStreamOffset {
+  val Initial: PagedStreamOffset =
+    PagedStreamOffset("INITIAL_LOAD", 0L, 0L, 0L, isProcessingBatch = false)
+
+  def fromJson(json: String): PagedStreamOffset = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(json)
+    PagedStreamOffset(
+      m.get("load_mode").asText(),
+      m.get("last_processed_id").asLong(),
+      m.get("batch_end_id").asLong(),
+      m.get("current_offset").asLong(),
+      m.get("is_processing_batch").asBoolean())
+  }
+}
+
+/** The reference's CONTINUOUS identity — a polling CDC source
+  * (ChargeOverSourceTask.java:136-173 poll loop) — as a genuine DSv2
+  * `MicroBatchStream`:
+  *
+  *  - one `poll()` == one micro-batch, returning at most one PAGE
+  *    (`getDefaultReadLimit = maxRows(pageSize)` — batch.size, the
+  *    reference's per-poll fetch bound);
+  *  - the incremental window state machine (INITIAL_LOAD catch-up, then
+  *    windowed INCREMENTAL_LOAD, :245-291) drives `latestOffset`: a
+  *    window [last, batchEnd) opens, pages through, completes, and the
+  *    mode switches exactly once after the first window completes;
+  *  - offsets are committed by Spark's checkpoint offset log — the exact
+  *    role the per-record sourceOffset map plays for Connect (:434-443);
+  *    restart resumes from the committed (window, page) position with no
+  *    re-emission;
+  *  - `SupportsTriggerAvailableNow` caps a run at the data available
+  *    when the trigger fired (the captured "now" of :245-262) and drains
+  *    page-by-page to it.
+  *
+  * At scale the page-per-trigger admission bound is the backpressure
+  * control (maxOffsetsPerTrigger's role); each micro-batch plans its
+  * pages as parallel InputPartitions exactly like the batch path. */
+class PagedMicroBatchStream(conf: PagedEntitySource.EntityConf, pageSize: Int,
+    windowRows: Long, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset, ReadLimit, ReadMaxRows}
+
+  /** Rows visible to the stream — the static generator's full extent.
+    * A live backend would re-sample this per trigger ("now"). */
+  private def available: Long = conf.rows
+  @volatile private var availableNowTarget: Long = -1L
+  private def target: Long =
+    if (availableNowTarget >= 0) availableNowTarget else available
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = available
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(pageSize)
+
+  override def initialOffset(): SOffset = PagedStreamOffset.Initial
+
+  override def latestOffset(): SOffset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is used (SupportsAdmissionControl)")
+
+  override def latestOffset(start: SOffset, limit: ReadLimit): SOffset = {
+    val s = start.asInstanceOf[PagedStreamOffset]
+    val pos = s.pos
+    if (pos >= target) return s // caught up: poll() returns null (:146-147)
+    val maxRows = limit match {
+      case r: ReadMaxRows => r.maxRows()
+      case _ => Long.MaxValue
+    }
+    // window end: the open window's captured bound, or open a new window
+    // [pos, pos + windowRows) capped at the captured "now" (:245-262)
+    val wEnd =
+      if (s.isProcessingBatch) s.batchEndId
+      else math.min(pos + windowRows, target)
+    val newPos = math.min(pos + math.max(maxRows, 1L), wEnd)
+    if (newPos >= wEnd)
+      // window complete: last := end, cursor resets, mode switches once
+      // after the FIRST window completes (:267-291)
+      PagedStreamOffset("INCREMENTAL_LOAD", wEnd, wEnd, 0L,
+        isProcessingBatch = false)
+    else
+      PagedStreamOffset(s.loadMode, s.lastProcessedId, wEnd,
+        newPos - s.lastProcessedId, isProcessingBatch = true)
+  }
+
+  override def planInputPartitions(start: SOffset, end: SOffset): Array[InputPartition] = {
+    val spos = start.asInstanceOf[PagedStreamOffset].pos
+    val epos = end.asInstanceOf[PagedStreamOffset].pos
+    val n = math.max(0L, epos - spos)
+    val pages = ((n + pageSize - 1) / pageSize).toInt
+    (0 until pages).map { p =>
+      PagedPartition(spos + p.toLong * pageSize,
+        math.min(epos, spos + (p.toLong + 1) * pageSize), conf): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagedReaderFactory(required)
+
+  override def deserializeOffset(json: String): SOffset =
+    PagedStreamOffset.fromJson(json)
+
+  override def commit(end: SOffset): Unit = () // offset log is the durability
+  override def stop(): Unit = ()
 }

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The paged source's MicroBatchStream: a multi-window, multi-page replay
+  * must equal the batch read row-for-row, offsets must carry the
+  * reference's 7-field state shape (load_mode / last_processed /
+  * batch_end / current_offset / is_processing_batch / retry_count /
+  * next_scheduled_run — ChargeOverSourceTask.java:409-416), the mode
+  * must switch INITIAL→INCREMENTAL exactly once, and a restart from the
+  * committed checkpoint must re-emit nothing. */
+class PagedStreamSpec extends SparkSpec {
+
+  private val Rows = 2500L
+  private val PageSize = 300
+  private val WindowRows = 1000L
+
+  private def startStream(name: String, ckpt: String) = {
+    val stream = spark.readStream.format("graft.sources.PagedEntitySource")
+      .option("rows", Rows).option("pageSize", PageSize)
+      .option("windowRows", WindowRows)
+      .load()
+    stream.writeStream.format("memory").queryName(name)
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+  }
+
+  test("stream == batch over a multi-window replay; offsets carry the reference state shape") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ps_ck").toString
+    val q = startStream("paged_stream", ckpt)
+    q.awaitTermination(120000)
+
+    val got = spark.table("paged_stream")
+      .orderBy(col("id")).collect().map(_.toSeq).toSeq
+    val batch = spark.read.format("graft.sources.PagedEntitySource")
+      .option("rows", Rows).option("pageSize", PageSize).load()
+      .orderBy(col("id")).collect().map(_.toSeq).toSeq
+    assert(got.length == Rows)
+    assert(got == batch, "streamed rows must equal the batch read")
+
+    // one page per poll: ceil(1000/300)=4 batches per full window, 2 for
+    // the 500-row tail window → 10 micro-batches, 10 offset-log entries
+    val offsetFiles = new java.io.File(s"$ckpt/offsets").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(offsetFiles.length == 10, s"expected 10 micro-batches, got ${offsetFiles.length}")
+    def offsetJson(f: java.io.File): String = {
+      val lines = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        .split("\n").filter(_.trim.nonEmpty)
+      lines.last // v1 header, metadata, then one offset json per source
+    }
+    val parsed = offsetFiles.map(f =>
+      graft.sources.PagedStreamOffset.fromJson(offsetJson(f)))
+    // reference state shape: all 7 fields present in the serialized form
+    val raw = offsetJson(offsetFiles.head)
+    for (field <- Seq("load_mode", "last_processed_id", "batch_end_id",
+        "current_offset", "is_processing_batch", "retry_count", "next_scheduled_run"))
+      assert(raw.contains(s""""$field""""), s"offset json missing $field: $raw")
+    // absolute position is strictly monotone, ends at Rows
+    val positions = parsed.map(_.pos)
+    assert(positions.toSeq == positions.sorted.toSeq && positions.distinct.length == positions.length)
+    assert(positions.last == Rows)
+    // mode switches exactly once, INITIAL→INCREMENTAL, at the first
+    // window's completion (batch index 3: pages 300/600/900/window-end)
+    val modes = parsed.map(_.loadMode).toSeq
+    assert(modes.takeWhile(_ == "INITIAL_LOAD").length == 3, s"modes: $modes")
+    assert(modes.dropWhile(_ == "INITIAL_LOAD").forall(_ == "INCREMENTAL_LOAD"))
+    // mid-window offsets are marked in-flight, window completions are not
+    assert(parsed.exists(_.isProcessingBatch))
+    val last = parsed.last
+    assert(!last.isProcessingBatch && last.currentOffset == 0L &&
+      last.lastProcessedId == Rows)
+
+    // restart from the committed checkpoint: everything is already
+    // committed, so the recovered run emits NOTHING (no duplicate pages —
+    // the at-least-once quirk the reference accepts, §2a, is repaired by
+    // Spark's offset log). foreachBatch sink: memory sink refuses
+    // checkpoint recovery by design.
+    val replayed = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q2 = spark.readStream.format("graft.sources.PagedEntitySource")
+      .option("rows", Rows).option("pageSize", PageSize)
+      .option("windowRows", WindowRows)
+      .load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        replayed.addAndGet(b.count()); ()
+      }
+      .start()
+    q2.awaitTermination(120000)
+    assert(replayed.get() == 0L, "restart must not re-emit committed pages")
+  }
+
+  test("offset json round-trips through deserializeOffset") {
+    val o = graft.sources.PagedStreamOffset("INCREMENTAL_LOAD", 1440L, 2880L,
+      500L, isProcessingBatch = true)
+    assert(graft.sources.PagedStreamOffset.fromJson(o.json()) == o)
+    assert(o.pos == 1940L)
+  }
+}
