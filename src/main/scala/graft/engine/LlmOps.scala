@@ -581,7 +581,8 @@ object LlmOps {
   /** The dedup-first top-100 over any (source, doc_id, text) frame —
     * LlmOpsSpec pins it pair-for-pair against the naive all-postings
     * formulation on a duplicate-heavy synthetic corpus. */
-  private[graft] def ngramJaccardTop100(docs: DataFrame): DataFrame = {
+  private[graft] def ngramJaccardTop100(docs: DataFrame,
+      cap: Int = maxBucketDocs): DataFrame = {
     // 1. Exact-duplicate clusters by (source, content digest), members
     //    sorted and capped at 101: C(101,2) > 100, so the first 101
     //    members generate every intra-cluster pair that can reach a
@@ -616,7 +617,7 @@ object LlmOps {
       //    list and spilled 74 GB generating cap² pairs (474 s); the
       //    representative set collapses back to the distinct corpus.
       val reps = cl.select(col("source"), col("rep").as("doc_id"), col("text"))
-      val repPairs = sparseJaccardPairs(reps)
+      val (repPairs, capped) = sparseJaccardPairsObserved(reps, cap)
       // 4. Prune rep pairs to the top 100 BEFORE expanding — provably
       //    sufficient: reps are cluster minima, so a rep pair's own
       //    (doc_a, doc_b) IS its lex-minimal expansion pair, and every
@@ -643,6 +644,9 @@ object LlmOps {
         .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
         .limit(100)
       out.persist().count() // materialize while the cluster cache is alive
+      // the count above ran the observe node — the top-100 is exact only
+      // if no posting list was truncated
+      requireUncapped(capped, cap, "q_ngram_jaccard")
       out
     } finally cl.unpersist(blocking = false)
   }
@@ -656,7 +660,27 @@ object LlmOps {
   /** The sparse formulation: explode (doc, shingle-hash) postings, pair
     * docs that actually share a shingle, count common shingles per pair.
     * Returns ALL pairs (doc_a, doc_b, jaccard) — callers rank/limit. */
-  private[graft] def sparseJaccardPairs(docs: DataFrame): DataFrame = {
+  private[graft] def sparseJaccardPairs(docs: DataFrame,
+      cap: Int = maxBucketDocs): DataFrame =
+    sparseJaccardPairsObserved(docs, cap)._1
+
+  /** [[sparseJaccardPairs]] plus its capped-postings metric: the second
+    * element reads the observed count of posting lists that overflowed
+    * `cap` — call it AFTER the frame (or a derived frame) has
+    * materialized once; it throws if read before resolution.
+    *
+    * NO SILENT CAPS on exact semantics: a truncated posting list
+    * under-counts shared shingles, so exactness (q_dedup_groups' closure,
+    * q_ngram_jaccard's top-100 order) holds only while the cap never
+    * binds. The exact-closure callers check the metric right after their
+    * eager materialization and FAIL FAST when it is non-zero (with the
+    * cap overridable per call) — a stderr warning is invisible to a
+    * programmatic caller consuming wrong rows. This also replaces the
+    * previous detached warner thread (one parked daemon per invocation
+    * when a caller never ran the plan): the metric resolves inline on the
+    * caller's own materialization, no thread involved. */
+  private[graft] def sparseJaccardPairsObserved(docs: DataFrame,
+      cap: Int = maxBucketDocs): (DataFrame, () => Long) = {
     // per-doc shingle size rides along into the posting list, so the pair
     // aggregation recovers |a| and |b| with first() — no extra scan of the
     // documents table (a sizes-join would re-run the shingle computation)
@@ -671,28 +695,33 @@ object LlmOps {
     // exchange, and window sort spills where an agg buffer can't.
     val wPost = Window.partitionBy(col("source"), col("hs"))
       .orderBy(col("doc_id"), col("n_sh"))
-    // NO SILENT CAPS: a truncated posting list under-counts shared
-    // shingles, so exactness (q_dedup_groups' closure, the top-100's
-    // order) holds only while the cap never binds — make a binding cap
-    // loud. Exactly one row per capped posting carries rn == cap+1, so
-    // the observed sum counts capped postings; the daemon thread resolves
-    // at the frame's first materialization (both callers materialize
-    // promptly) and parks harmlessly if a caller never runs the plan.
+    // Exactly one row per capped posting carries rn == cap+1, so the
+    // observed sum counts capped postings; it resolves at the caller's
+    // first materialization of (a frame derived from) the result.
     val obs = org.apache.spark.sql.Observation()
     val bounded = flat
       .withColumn("rn", row_number().over(wPost))
-      .observe(obs, sum(when(col("rn") === maxBucketDocs + 1, 1L).otherwise(0L))
+      .observe(obs, sum(when(col("rn") === cap + 1, 1L).otherwise(0L))
         .as("capped_postings"))
-      .filter(col("rn") <= maxBucketDocs)
-    val warner = new Thread(() => obs.get.get("capped_postings") match {
-      case Some(n: Long) if n > 0 =>
-        System.err.println(s"[graft] sparse jaccard: $n posting list(s) over " +
-          s"cap=$maxBucketDocs — shared-shingle counts truncated, pair " +
-          "jaccard may under-count; raise the cap for exact-closure use")
-      case _ => ()
-    })
-    warner.setDaemon(true)
-    warner.start()
+      .filter(col("rn") <= cap)
+    // bounded read of the resolved metric: the observation completes via
+    // the (asynchronous) listener bus shortly after the caller's action
+    // finishes, so a brief wait is expected even in correct use; a caller
+    // that never ran an action gets a timeout error after 30 s instead of
+    // parking forever (the previous detached-thread formulation leaked one
+    // parked daemon per call whose plan never ran)
+    val cappedPostings = () =>
+      try {
+        val row = scala.concurrent.Await.result(
+          obs.future, scala.concurrent.duration.Duration(30, "s"))
+        val v = row.getAs[Any]("capped_postings")
+        if (v == null) 0L else v.asInstanceOf[Long]
+      } catch {
+        case _: java.util.concurrent.TimeoutException =>
+          throw new IllegalStateException(
+            "sparse jaccard: capped-postings metric unresolved after 30 s — " +
+            "run an action on the pair frame before reading the metric")
+      }
     val common = bounded.groupBy(col("source"), col("hs"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("m"))
       .filter(size(col("m")) > 1)
@@ -700,9 +729,21 @@ object LlmOps {
       .groupBy(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"),
         first(col("p.a.n_sh")).as("n_a"), first(col("p.b.n_sh")).as("n_b"))
-    common.select(col("doc_a"), col("doc_b"),
+    val out = common.select(col("doc_a"), col("doc_b"),
       (col("n_common").cast("double") /
         (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
+    (out, cappedPostings)
+  }
+
+  /** Fail-fast guard shared by the declared-EXACT pairwise queries: a
+    * binding posting cap makes their output silently wrong, so it is an
+    * error, not a warning. */
+  private def requireUncapped(capped: () => Long, cap: Int, query: String): Unit = {
+    val n = capped()
+    if (n > 0) throw new IllegalStateException(
+      s"$query declares exact semantics but $n posting list(s) overflowed " +
+      s"cap=$cap — shared-shingle counts would under-count and the output " +
+      "would be wrong; re-run with a larger cap")
   }
 
   /** DuckDB replay of the sparse Jaccard: same tokenization, 3-gram
@@ -800,7 +841,8 @@ object LlmOps {
   def qDedupGroups(spark: SparkSession, sfDir: String): DataFrame =
     dedupGroups(Tables.documents(spark, sfDir), 0.7)
 
-  def dedupGroups(docs: DataFrame, threshold: Double): DataFrame = {
+  def dedupGroups(docs: DataFrame, threshold: Double,
+      cap: Int = maxBucketDocs): DataFrame = {
     // DEDUP-FIRST (same algebra as ngramJaccardTop100): exact-duplicate
     // clusters are internally connected by construction (identical text ⇒
     // jaccard 1.0 ≥ any threshold ≤ 1), and jaccard is a function of the
@@ -825,15 +867,21 @@ object LlmOps {
       // edge set twice (one per direction of the undirected union). CC
       // returns a MATERIALIZED leaf (Iterate.cut), so the pair cache can
       // be released here instead of lingering until the session GCs it.
-      val rawPairs = sparseJaccardPairs(
-          reps.select(lit("all").as("source"), col("doc_id"), col("text")))
+      val (allPairs, capped) = sparseJaccardPairsObserved(
+        reps.select(lit("all").as("source"), col("doc_id"), col("text")), cap)
+      val rawPairs = allPairs
         .filter(col("jaccard") >= threshold)
         .select(col("doc_a"), col("doc_b"))
         .persist()
-      rawPairs.count()
       val repComp =
-        try connectedComponents(rawPairs, reps.select(col("doc_id")))
-        finally rawPairs.unpersist(blocking = false)
+        try {
+          rawPairs.count()
+          // the closure is EXACT only if the candidate set was exhaustive
+          // — fail fast on a binding posting cap instead of returning
+          // silently split components
+          requireUncapped(capped, cap, "q_dedup_groups")
+          connectedComponents(rawPairs, reps.select(col("doc_id")))
+        } finally rawPairs.unpersist(blocking = false)
       // expand: every member inherits its representative's component; the
       // component label is the min doc_id of the component (min-label CC
       // over cluster minima), so keep = (doc_id == component)
@@ -980,11 +1028,24 @@ object LlmOps {
     // OTHER co-member (sim = cosine(v, v), bit-identical to what the naive
     // join computed between two copies); the external candidate is the
     // rep-level best, whose tie-break id is the partner cluster's minimum
-    // — which IS the partner rep. Grouping on the raw float array is exact
-    // (Spark normalizes -0.0/NaN in grouping keys).
-    val wE = Window.partitionBy(col("embedding"))
+    // — which IS the partner rep. The cluster key is a 64-char sha2 digest
+    // of the canonically-rendered vector, NOT the raw 64-float array: the
+    // three window passes shuffle on the key, and 256+ bytes of floats per
+    // row is real shuffle-key weight at 100 TB where 64 bytes of digest
+    // carries the same equality. Digest-equal ⟹ render-equal ⟹ bit-equal
+    // floats, which is what the cluster algebra needs (identical sims to
+    // everything). The one semantic shift vs raw-array grouping: -0.0 and
+    // 0.0 render differently, so vectors differing only in zero sign land
+    // in separate clusters — both then flow through the general rep-pair
+    // path, and since their cosines are identical anyway the output is
+    // unchanged.
+    val wE = Window.partitionBy(col("_dg"))
     val clustered = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
+      .withColumn("_dg",
+        // explicit null sentinel: array_join SKIPS null elements without
+        // one, which would digest [1,null,2] and [1,2,null] identically
+        sha2(array_join(col("embedding").cast("array<string>"), ",", " "), 256))
       .withColumn("rep", min(col("vec_id")).over(wE))
       .withColumn("cn", count(lit(1)).over(wE))
       .withColumn("m1",

@@ -168,6 +168,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(fast.length == 100)
   }
 
+  test("binding posting cap on declared-exact queries fails fast instead of silently truncating") {
+    import spark.implicits._
+    // six DISTINCT docs all sharing the shingle "x y z": with cap=3 the
+    // posting list for that shingle overflows, shared-shingle counts
+    // would under-count, and both exact queries must raise — not return
+    // wrong rows with only a log line standing in the way
+    val docs = (0 until 6).map(i => (i.toLong, "s0", s"x y z w$i"))
+      .toDF("doc_id", "source", "text")
+    val e1 = intercept[IllegalStateException] {
+      graft.engine.LlmOps.dedupGroups(docs, 0.1, cap = 3)
+    }
+    assert(e1.getMessage.contains("q_dedup_groups") && e1.getMessage.contains("cap=3"))
+    val e2 = intercept[IllegalStateException] {
+      graft.engine.LlmOps.ngramJaccardTop100(docs, cap = 3)
+    }
+    assert(e2.getMessage.contains("q_ngram_jaccard"))
+    // the same corpus under an adequate cap runs to completion
+    assert(graft.engine.LlmOps.dedupGroups(docs, 0.1).count() == 6)
+    assert(graft.engine.LlmOps.ngramJaccardTop100(docs).count() > 0)
+  }
+
+  test("sparse jaccard spawns no per-call warner threads, even when the plan never runs") {
+    import spark.implicits._
+    val docs = Seq((1L, "s", "a b c d"), (2L, "s", "a b c e"))
+      .toDF("doc_id", "source", "text")
+    val before = Thread.activeCount()
+    (0 until 8).foreach(_ => graft.engine.LlmOps.sparseJaccardPairs(docs))
+    val after = Thread.activeCount()
+    assert(after - before < 8,
+      s"thread growth $before -> $after suggests a leaked per-call thread")
+  }
+
   test("bm25 top-k ranks are contiguous, scores non-increasing, hits contain a query term") {
     val out = graft.engine.LlmOps.qBm25Topk(spark, sf).collect()
     assert(out.nonEmpty)
