@@ -46,22 +46,19 @@ object BigWindow {
     * subtree runs as its own job first, fully populating the cache
     * before the main branch reads it.
     *
-    * Footprint is bounded to one projected frame: calls are sequential
-    * per session (Verify/Bench run queries one at a time), so the
-    * PREVIOUS call's cache — fully consumed by then — is dropped when
-    * the next call pins its frame. */
-  private val lastPinned =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
-  private def pinned(df: DataFrame): DataFrame = {
-    val cached =
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val prev = lastPinned.getAndSet(cached)
-    if (prev != null) prev.unpersist(blocking = false)
-    cached
-  }
+    * The pin is SCOPED TO THE CALL (materialize-then-release, the same
+    * pattern as the LlmOps pipelines): the result is cut to a
+    * materialized leaf while the pin is alive, then the pin is dropped —
+    * so concurrent BigWindow queries in one session each hold their own
+    * pin and cannot unpersist each other's chunked frame mid-job, and
+    * nothing lingers in the cache manager after the call returns. */
+  private def pinned(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Appends `_grank` (1-based rank of the row within its group under
-    * `order`) and `_gn` (group size) — both BIGINT — to `df`.
+    * `order`) and `_gn` (group size) — both BIGINT — to `df`. The result
+    * is eagerly materialized (a leaf): the chunk pin lives exactly as
+    * long as the call.
     *
     * `group` may contain computed expressions (`upper(col)`): each group
     * expression is aliased to a generated `_g{i}` column up front, so the
@@ -69,6 +66,16 @@ object BigWindow {
     * `Column.toString` (which only resolves bare references). */
   def ranked(df: DataFrame, group: Seq[Column], order: Seq[Column],
       numChunks: Int = 0): DataFrame = {
+    val (pin, result) = rankedPinned(df, group, order, numChunks)
+    try Iterate.cut(result)
+    finally pin.unpersist(blocking = false)
+  }
+
+  /** The lazy build: returns (pinned chunk frame, result). Exposed for
+    * the spec that asserts both plan branches read ONE cached
+    * materialization; [[ranked]] wraps it with materialize-then-release. */
+  private[graft] def rankedPinned(df: DataFrame, group: Seq[Column],
+      order: Seq[Column], numChunks: Int = 0): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     val chunks =
       if (numChunks > 0) numChunks
@@ -100,10 +107,11 @@ object BigWindow {
     // group metadata: |groups| rows after partial aggregation
     val groups = global.groupBy(gCols: _*)
       .agg(count(lit(1)).as("_gn"), min(col("_grn")).as("_gstart"))
-    global
+    val result = global
       .join(broadcast(groups), gNames)
       .withColumn("_grank", col("_grn") - col("_gstart") + 1L)
       .drop("_grn" +: "_gstart" +: gNames: _*)
+    (local, result)
   }
 
   /** Appends `_psum` (inclusive prefix sum of `value` over the GLOBAL
@@ -115,6 +123,13 @@ object BigWindow {
     * deterministic result. `value` must be integral (summed as BIGINT). */
   def prefixSummed(df: DataFrame, order: Seq[Column], value: Column,
       numChunks: Int = 0): DataFrame = {
+    val (pin, result) = prefixSummedPinned(df, order, value, numChunks)
+    try Iterate.cut(result)
+    finally pin.unpersist(blocking = false)
+  }
+
+  private[graft] def prefixSummedPinned(df: DataFrame, order: Seq[Column],
+      value: Column, numChunks: Int = 0): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     val chunks =
       if (numChunks > 0) numChunks
@@ -132,10 +147,11 @@ object BigWindow {
           Window.orderBy(col("_chunk"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("_chunk"), col("_offset"))
-    local
+    val result = local
       .join(broadcast(offsets), "_chunk")
       .withColumn("_psum", col("_offset") + col("_lsum"))
       .drop("_chunk", "_v", "_lsum", "_offset")
+    (local, result)
   }
 
   /** Spark-exact `percent_rank` from (rank, n): (rank−1)/(n−1), 0.0 for

@@ -84,14 +84,45 @@ class BigWindowSpec extends SparkSpec {
     // RangePartitioner's sampling seed is rdd-id-dependent; without the
     // persist, a broken exchange-reuse would hand the offset branch and
     // the main branch different chunk boundaries. Both branches (plus the
-    // group-metadata branch) must read the in-memory relation.
+    // group-metadata branch) must read the in-memory relation. The public
+    // `ranked` cuts the result to a leaf, so the assertion runs on the
+    // inner lazy build.
     val df = (1 to 1000).map(i => ("g" + (i % 3), i.toLong)).toDF("grp", "k")
-    val r = BigWindow.ranked(df, Seq(col("grp")), Seq(col("k")), 5)
-    r.collect()
-    val plan = r.queryExecution.executedPlan.toString
-    val cacheScans = "InMemoryTableScan|TableCacheQueryStage".r
-      .findAllIn(plan).length
-    assert(cacheScans >= 2, s"expected >=2 cache scans, got $cacheScans in:\n$plan")
+    val (pin, r) = BigWindow.rankedPinned(df, Seq(col("grp")), Seq(col("k")), 5)
+    try {
+      r.collect()
+      val plan = r.queryExecution.executedPlan.toString
+      val cacheScans = "InMemoryTableScan|TableCacheQueryStage".r
+        .findAllIn(plan).length
+      assert(cacheScans >= 2, s"expected >=2 cache scans, got $cacheScans in:\n$plan")
+    } finally pin.unpersist(blocking = false)
+  }
+
+  test("two concurrent BigWindow queries hold independent pins, both correct") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // The old process-global single-slot pin meant a second in-flight call
+    // would unpersist the first call's chunked frame mid-job, letting the
+    // two plan branches recompute DIFFERENT range-partitioner boundaries.
+    // Per-call pins make interleaved queries safe.
+    val dfA = (1 to 4000).map(i => ("a" + (i % 5), i.toLong)).toDF("grp", "k")
+    val dfB = (1 to 4000).map(i => ("b" + (i % 7), -i.toLong)).toDF("grp", "k")
+    def rankOf(df: org.apache.spark.sql.DataFrame) =
+      BigWindow.ranked(df, Seq(col("grp")), Seq(col("k")), 9)
+        .select(col("grp"), col("k"), col("_grank"), col("_gn"))
+        .orderBy(col("grp"), col("k")).collect().toSeq
+    val (ours1, ours2) = Await.result(
+      Future(rankOf(dfA)).zip(Future(rankOf(dfB))), 5.minutes)
+    def direct(df: org.apache.spark.sql.DataFrame) = {
+      val w = Window.partitionBy(col("grp")).orderBy(col("k"))
+      df.withColumn("_grank", row_number().over(w).cast("long"))
+        .withColumn("_gn", count(lit(1)).over(Window.partitionBy(col("grp"))))
+        .orderBy(col("grp"), col("k")).collect().toSeq
+    }
+    assert(ours1 == direct(dfA))
+    assert(ours2 == direct(dfB))
   }
 
   test("ranked matches row_number/count over adversarial group sizes") {
