@@ -35,18 +35,29 @@ object Quantize {
     * doubles — every op IEEE-correctly-rounded in both engines, so the
     * codes match bit-for-bit. floor-then-cast (not a bare CAST: DuckDB
     * rounds double→int, Spark truncates — floor makes the value integral
-    * first so both casts are exact). */
+    * first so both casts are exact). The engine's degenerate rule is
+    * mirrored too: a null/empty vector or one containing a null/NaN
+    * element yields NULL lo/hi/q_str (QuantizeU8.compute returns null),
+    * so the differential holds even if the corpus ever carries such a
+    * vector. */
   val qQuantizeEmbedSql: String =
     """WITH v AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |m AS (
-      |  SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi FROM v)
-      |SELECT vec_id, lo, hi,
-      |  array_to_string(
-      |    CASE WHEN hi = lo THEN [0 for x in v]
-      |         ELSE [CAST(floor(((x - lo) * 255.0) / (hi - lo) + 0.5) AS INT)
-      |               for x in v]
-      |    END, ',') AS q_str
+      |  SELECT vec_id, v,
+      |    (v IS NULL OR len(v) = 0
+      |     OR len(list_filter(v, x -> x IS NULL OR isnan(x))) > 0) AS degen,
+      |    list_min(v) AS lo, list_max(v) AS hi
+      |  FROM v)
+      |SELECT vec_id,
+      |  CASE WHEN degen THEN NULL ELSE lo END AS lo,
+      |  CASE WHEN degen THEN NULL ELSE hi END AS hi,
+      |  CASE WHEN degen THEN NULL
+      |       WHEN hi = lo THEN array_to_string([0 for x in v], ',')
+      |       ELSE array_to_string(
+      |         [CAST(floor(((x - lo) * 255.0) / (hi - lo) + 0.5) AS INT)
+      |          for x in v], ',')
+      |  END AS q_str
       |FROM m ORDER BY vec_id""".stripMargin
 
   // --- quantized IVF ANN ----------------------------------------------------
@@ -135,7 +146,13 @@ object Quantize {
     * tiebreak; per-dim SUM // COUNT — DuckDB's // floors like Spark's
     * `div` on these non-negative codes), 2-cell probe, top-3 by
     * (distance, id). All integer arithmetic — the oracle checks the
-    * TRAINING, not just the final ranking. */
+    * TRAINING, not just the final ranking.
+    *
+    * PRECONDITION (unlike qQuantizeEmbedSql, which mirrors the degenerate
+    * rule in SQL): no degenerate vectors in the corpus — a NULL code
+    * vector would thread NULL distances through two Lloyd rounds, where
+    * engine and oracle NULL-ordering conventions differ. The invariant is
+    * asserted by SketchQuantChunkSpec over the test corpus. */
   val qSimIvfQuantSql: String = {
     val dist = (a: String, b: String) =>
       s"list_sum([CAST(($a[i] - $b[i]) * ($a[i] - $b[i]) AS BIGINT) " +

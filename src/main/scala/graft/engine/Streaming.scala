@@ -418,16 +418,23 @@ object Streaming {
         while (it.hasNext) b += it.next()
         b
       }
+      val ids = prior.map(_.doc_id).to(scala.collection.mutable.HashSet)
       val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
       arrivals.foreach { d =>
-        prior.foreach { p =>
-          if (p.doc_id != d.doc_id) {
+        // at-least-once replay guard: a redelivered doc_id is already in
+        // the bucket's state — appending again would grow state AND
+        // re-emit its hits on every redelivery. First arrival wins;
+        // replays are a no-op (idempotent, the same contract dedupStream
+        // gives the windowed aggregations).
+        if (!ids.contains(d.doc_id)) {
+          prior.foreach { p =>
             val h = java.lang.Long.bitCount(p.simhash ^ d.simhash)
             if (h <= 3) out += NearDupHit(d.doc_id, p.doc_id, h)
           }
+          prior += SeenDoc(d.doc_id, d.simhash)
+          ids += d.doc_id
+          seen.appendValue(SeenDoc(d.doc_id, d.simhash))
         }
-        prior += SeenDoc(d.doc_id, d.simhash)
-        seen.appendValue(SeenDoc(d.doc_id, d.simhash))
       }
       out.iterator
     }

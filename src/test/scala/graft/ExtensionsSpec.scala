@@ -17,4 +17,17 @@ class ExtensionsSpec extends AnyFunSuite {
       .asInstanceOf[SparkSessionExtensions => Unit]
     instance(new SparkSessionExtensions) // must not throw
   }
+
+  test("wrong arity raises WRONG_NUM_ARGS AnalysisException, not IndexOutOfBounds") {
+    import org.apache.spark.sql.AnalysisException
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val one = GraftExtensions.unary("quantize_u8")(graft.engine.QuantizeU8.apply)
+    val e0 = intercept[AnalysisException] { one(Seq.empty) }
+    assert(e0.getMessage.contains("quantize_u8"))
+    assert(one(Seq(Literal("x"))).isInstanceOf[graft.engine.QuantizeU8])
+    val two = GraftExtensions.binary("int_sq_dist")(graft.engine.IntSqDist.apply)
+    val e1 = intercept[AnalysisException] { two(Seq(Literal(1))) }
+    assert(e1.getMessage.contains("int_sq_dist") && e1.getMessage.contains("2"))
+    assert(two(Seq(Literal(1), Literal(2))).isInstanceOf[graft.engine.IntSqDist])
+  }
 }

@@ -58,4 +58,47 @@ class NearDupStreamSpec extends SparkSpec {
       case None    => spark.conf.unset(providerKey)
     }
   }
+
+  test("redelivered doc_id is a state no-op: output identical with and without the replay") {
+    import spark.implicits._
+    val saved = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // at-least-once sources redeliver: replaying the near-dup batch must
+      // neither re-emit its hits nor grow the bucket state (the processor
+      // membership-checks doc_id before appending)
+      val base = Seq.tabulate(60)(i => s"word$i").mkString(" ")
+      val b1 = Seq((1L, base)).toDF("doc_id", "text")
+      val dup = Seq((100L, base.replace("word30", "changed"))).toDF("doc_id", "text")
+      def run(name: String, batches: Seq[org.apache.spark.sql.DataFrame]): Seq[(Long, Long, Int)] = {
+        val flat = java.nio.file.Files.createTempDirectory(name).toString
+        batches.zipWithIndex.foreach { case (b, i) =>
+          val tmp = java.nio.file.Files.createTempDirectory(s"${name}_w").toString
+          b.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val src = new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = java.nio.file.Paths.get(f"$flat/part_$i%02d.parquet")
+          java.nio.file.Files.copy(src.toPath, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+        }
+        val stream = spark.readStream.schema(b1.schema)
+          .option("maxFilesPerTrigger", "1").parquet(flat)
+        val q = Streaming.runToMemoryUpdate(Streaming.nearDupStream(stream).toDF(), name)
+        q.awaitTermination(120000)
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+      }
+      val without = run("nd_noreplay", Seq(b1, dup))
+      val withReplay = run("nd_replay", Seq(b1, dup, dup))
+      assert(without.exists(h => h._1 == 100L && h._2 == 1L),
+        s"near-dup must be flagged once: $without")
+      assert(withReplay == without,
+        s"replay changed the output: $withReplay vs $without")
+    } finally saved match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None    => spark.conf.unset(providerKey)
+    }
+  }
 }

@@ -109,6 +109,18 @@ class SketchQuantChunkSpec extends SparkSpec {
     assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
 
+  test("embeddings corpus holds the qSimIvfQuant oracle precondition: no degenerate vectors") {
+    import org.apache.spark.sql.functions._
+    // qSimIvfQuantSql does NOT mirror QuantizeU8's degenerate→NULL rule
+    // (NULL codes through two Lloyd rounds diverge on NULL-ordering
+    // conventions) — it relies on this corpus invariant instead
+    val bad = graft.engine.Tables.embeddings(spark, sf)
+      .filter(col("embedding").isNull || size(col("embedding")) === 0 ||
+        exists(col("embedding"), x => x.isNull || isnan(x)))
+      .count()
+    assert(bad == 0, s"$bad degenerate embedding vectors break the IVF oracle")
+  }
+
   test("chunking: boundaries, overlap, and edge cases") {
     import spark.implicits._
     def toks(n: Int) = (0 until n).map(i => s"t$i").mkString(" ")
