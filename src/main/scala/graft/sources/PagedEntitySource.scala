@@ -257,13 +257,12 @@ class PagedScan(lo: Long, hi: Long, pageSize: Int, required: StructType,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String):
-      org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    require(confs.size == 1,
-      "streaming reads one entity per stream — the reference's per-entity " +
-      "task state (one EntityState per entity, ChargeOverSourceTask.java:84-90)")
-    new PagedMicroBatchStream(confs.head, pageSize,
-      if (windowRows > 0) windowRows else confs.head.rows, required)
-  }
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    if (confs.size == 1)
+      new PagedMicroBatchStream(confs.head, pageSize,
+        if (windowRows > 0) windowRows else confs.head.rows, required)
+    else
+      new PagedMultiMicroBatchStream(confs, pageSize, windowRows, required)
   override def description(): String = {
     val ent = if (confs.size == 1) "" else s", entities=${confs.map(_.name).mkString("+")}"
     s"PagedScan(lo=$lo, hi=$hi, pageSize=$pageSize, fields=${required.fieldNames.mkString(",")}$ent)"
@@ -421,39 +420,18 @@ class PagedMicroBatchStream(conf: PagedEntitySource.EntityConf, pageSize: Int,
       "latestOffset(start, limit) is used (SupportsAdmissionControl)")
 
   override def latestOffset(start: SOffset, limit: ReadLimit): SOffset = {
-    val s = start.asInstanceOf[PagedStreamOffset]
-    val pos = s.pos
-    if (pos >= target) return s // caught up: poll() returns null (:146-147)
     val maxRows = limit match {
       case r: ReadMaxRows => r.maxRows()
       case _ => Long.MaxValue
     }
-    // window end: the open window's captured bound, or open a new window
-    // [pos, pos + windowRows) capped at the captured "now" (:245-262)
-    val wEnd =
-      if (s.isProcessingBatch) s.batchEndId
-      else math.min(pos + windowRows, target)
-    val newPos = math.min(pos + math.max(maxRows, 1L), wEnd)
-    if (newPos >= wEnd)
-      // window complete: last := end, cursor resets, mode switches once
-      // after the FIRST window completes (:267-291)
-      PagedStreamOffset("INCREMENTAL_LOAD", wEnd, wEnd, 0L,
-        isProcessingBatch = false)
-    else
-      PagedStreamOffset(s.loadMode, s.lastProcessedId, wEnd,
-        newPos - s.lastProcessedId, isProcessingBatch = true)
+    PagedMicroBatchStream.step(
+      start.asInstanceOf[PagedStreamOffset], target, windowRows, maxRows)
   }
 
-  override def planInputPartitions(start: SOffset, end: SOffset): Array[InputPartition] = {
-    val spos = start.asInstanceOf[PagedStreamOffset].pos
-    val epos = end.asInstanceOf[PagedStreamOffset].pos
-    val n = math.max(0L, epos - spos)
-    val pages = ((n + pageSize - 1) / pageSize).toInt
-    (0 until pages).map { p =>
-      PagedPartition(spos + p.toLong * pageSize,
-        math.min(epos, spos + (p.toLong + 1) * pageSize), conf): InputPartition
-    }.toArray
-  }
+  override def planInputPartitions(start: SOffset, end: SOffset): Array[InputPartition] =
+    PagedMicroBatchStream.pagesBetween(
+      start.asInstanceOf[PagedStreamOffset].pos,
+      end.asInstanceOf[PagedStreamOffset].pos, pageSize, conf).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PagedReaderFactory(required)
@@ -462,5 +440,138 @@ class PagedMicroBatchStream(conf: PagedEntitySource.EntityConf, pageSize: Int,
     PagedStreamOffset.fromJson(json)
 
   override def commit(end: SOffset): Unit = () // offset log is the durability
+  override def stop(): Unit = ()
+}
+
+object PagedMicroBatchStream {
+  /** One `poll()` step of the reference's per-entity state machine
+    * (ChargeOverSourceTask.java:195-291) in the id domain: serve up to
+    * `maxRows` of the open window — opening a new window
+    * [pos, pos + windowRows) capped at `target` if none is open — and on
+    * window completion reset the cursor and switch the mode (a switch
+    * that only has an effect once: INITIAL_LOAD→INCREMENTAL_LOAD).
+    * Returns `s` UNCHANGED (reference equality) when caught up — the
+    * poll-returns-null case (:146-147) that ends an AvailableNow drain. */
+  def step(s: PagedStreamOffset, target: Long, windowRows: Long,
+      maxRows: Long): PagedStreamOffset = {
+    val pos = s.pos
+    if (pos >= target) return s
+    val wEnd =
+      if (s.isProcessingBatch) s.batchEndId
+      else math.min(pos + windowRows, target)
+    val newPos = math.min(pos + math.max(maxRows, 1L), wEnd)
+    if (newPos >= wEnd)
+      PagedStreamOffset("INCREMENTAL_LOAD", wEnd, wEnd, 0L,
+        isProcessingBatch = false)
+    else
+      PagedStreamOffset(s.loadMode, s.lastProcessedId, wEnd,
+        newPos - s.lastProcessedId, isProcessingBatch = true)
+  }
+
+  /** Pages [spos, epos) as InputPartitions for one entity. */
+  private[sources] def pagesBetween(spos: Long, epos: Long, pageSize: Int,
+      conf: PagedEntitySource.EntityConf): Seq[InputPartition] = {
+    val n = math.max(0L, epos - spos)
+    val pages = ((n + pageSize - 1) / pageSize).toInt
+    (0 until pages).map { p =>
+      PagedPartition(spos + p.toLong * pageSize,
+        math.min(epos, spos + (p.toLong + 1) * pageSize), conf): InputPartition
+    }
+  }
+}
+
+/** Multi-entity stream position: one [[PagedStreamOffset]] per entity —
+  * the reference's `Map<String, EntityState>` (one independent state
+  * machine per configured entity, ChargeOverSourceTask.java:84-90),
+  * serialized with entity keys sorted so the JSON is deterministic. */
+case class MultiPagedStreamOffset(entities: Map[String, PagedStreamOffset])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    entities.toSeq.sortBy(_._1).map { case (e, o) =>
+      s""""$e":${o.json()}"""
+    }.mkString("""{"entities":{""", ",", "}}")
+}
+
+object MultiPagedStreamOffset {
+  def fromJson(json: String): MultiPagedStreamOffset = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val ents = root.get("entities")
+    val b = Map.newBuilder[String, PagedStreamOffset]
+    val it = ents.fields()
+    while (it.hasNext) {
+      val f = it.next()
+      b += f.getKey -> PagedStreamOffset.fromJson(f.getValue.toString)
+    }
+    MultiPagedStreamOffset(b.result())
+  }
+}
+
+/** Multi-entity micro-batch stream: every `poll()` advances EACH entity
+  * by up to one page of its own open window — the reference's poll loop
+  * iterating the configured entity list, each with an independent state
+  * machine and its own per-entity query params
+  * (ChargeOverSourceTask.java:151-172; config per entity
+  * Config.java:279-289). Pages of different entities plan as parallel
+  * InputPartitions in the same micro-batch (entity-level parallelism —
+  * the partitioned-source reading of R15 that the reference could not
+  * do with tasks.max=1). The admission bound is per entity, matching
+  * the reference's per-entity fetch of batch.size records per poll. */
+class PagedMultiMicroBatchStream(confs: Seq[PagedEntitySource.EntityConf],
+    pageSize: Int, windowRows: Long, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset, ReadLimit, ReadMaxRows}
+
+  private def availableOf(c: PagedEntitySource.EntityConf): Long = c.rows
+  @volatile private var availableNowTargets: Map[String, Long] = null
+  private def targetOf(c: PagedEntitySource.EntityConf): Long =
+    if (availableNowTargets != null) availableNowTargets(c.name)
+    else availableOf(c)
+  private def winOf(c: PagedEntitySource.EntityConf): Long =
+    if (windowRows > 0) windowRows else c.rows
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTargets = confs.map(c => c.name -> availableOf(c)).toMap
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(pageSize)
+
+  override def initialOffset(): SOffset =
+    MultiPagedStreamOffset(
+      confs.map(c => c.name -> PagedStreamOffset.Initial).toMap)
+
+  override def latestOffset(): SOffset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is used (SupportsAdmissionControl)")
+
+  override def latestOffset(start: SOffset, limit: ReadLimit): SOffset = {
+    val s = start.asInstanceOf[MultiPagedStreamOffset]
+    val maxRows = limit match {
+      case r: ReadMaxRows => r.maxRows()
+      case _ => Long.MaxValue
+    }
+    val stepped = confs.map { c =>
+      c.name -> PagedMicroBatchStream.step(
+        s.entities(c.name), targetOf(c), winOf(c), maxRows)
+    }.toMap
+    if (confs.forall(c => stepped(c.name) eq s.entities(c.name))) s
+    else MultiPagedStreamOffset(stepped)
+  }
+
+  override def planInputPartitions(start: SOffset, end: SOffset): Array[InputPartition] = {
+    val sm = start.asInstanceOf[MultiPagedStreamOffset].entities
+    val em = end.asInstanceOf[MultiPagedStreamOffset].entities
+    confs.flatMap { c =>
+      PagedMicroBatchStream.pagesBetween(
+        sm(c.name).pos, em(c.name).pos, pageSize, c)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagedReaderFactory(required)
+
+  override def deserializeOffset(json: String): SOffset =
+    MultiPagedStreamOffset.fromJson(json)
+
+  override def commit(end: SOffset): Unit = ()
   override def stop(): Unit = ()
 }

@@ -91,6 +91,46 @@ class PagedStreamSpec extends SparkSpec {
     assert(replayed.get() == 0L, "restart must not re-emit committed pages")
   }
 
+  test("multi-entity stream: independent per-entity state machines equal the batch read") {
+    def src(reader: Boolean) = {
+      val opts = Map("entities" -> "customer,invoice", "customer.rows" -> "700",
+        "invoice.rows" -> "1200", "pageSize" -> "300", "windowRows" -> "500")
+      if (reader) {
+        var r = spark.read.format("graft.sources.PagedEntitySource")
+        opts.foreach { case (k, v) => r = r.option(k, v) }
+        r.load()
+      } else {
+        var r = spark.readStream.format("graft.sources.PagedEntitySource")
+        opts.foreach { case (k, v) => r = r.option(k, v) }
+        r.load()
+      }
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pm_ck").toString
+    val q = src(reader = false).writeStream.format("memory")
+      .queryName("paged_multi").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("paged_multi")
+      .orderBy(col("_entity_type"), col("id")).collect().map(_.toSeq).toSeq
+    val batch = src(reader = true)
+      .orderBy(col("_entity_type"), col("id")).collect().map(_.toSeq).toSeq
+    assert(got.length == 1900 && got == batch)
+    // every poll advances EACH entity by ≤1 page of its open window:
+    // customer (700 rows, windows 500/200) drains in 3 polls, invoice
+    // (1200 rows, windows 500/500/200) in 5 → 5 micro-batches total
+    val offsetFiles = new java.io.File(s"$ckpt/offsets").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(offsetFiles.length == 5, s"expected 5 micro-batches, got ${offsetFiles.length}")
+    val lastJson = new String(java.nio.file.Files.readAllBytes(
+      offsetFiles.last.toPath), "UTF-8").split("\n").filter(_.trim.nonEmpty).last
+    val last = graft.sources.MultiPagedStreamOffset.fromJson(lastJson)
+    assert(last.entities("customer").lastProcessedId == 700L)
+    assert(last.entities("invoice").lastProcessedId == 1200L)
+    assert(last.entities.values.forall(o =>
+      !o.isProcessingBatch && o.loadMode == "INCREMENTAL_LOAD"))
+  }
+
   test("offset json round-trips through deserializeOffset") {
     val o = graft.sources.PagedStreamOffset("INCREMENTAL_LOAD", 1440L, 2880L,
       500L, isProcessingBatch = true)
