@@ -12,8 +12,9 @@ import org.apache.spark.sql.types.DecimalType
   * would drift in the last ulps and flip the hash. The fix: cast each row to
   * an exact decimal FIRST (the testdata's numerics are 2-decimal, see
   * FIXTURES.md), sum the decimals (exact, associative, order-independent in
-  * both engines), and cast the final value back to double (a single exact
-  * conversion both engines perform identically).
+  * both engines), and cast the final value back to double — correctly
+  * rounded on BOTH sides (see the VARCHAR routing note on the SQL
+  * spellings below).
   *
   * Timestamps: testdata `events.ts` is parquet timestamp[ns]; Spark reads µs,
   * DuckDB reads ns — formatting/precision differences would break hashes, so
@@ -35,11 +36,21 @@ object Exact {
   def davg2(c: Column): Column =
     (sum(c.cast(DecimalType(18, 2))).cast("double") / count(c)).as("avg")
 
-  /** DuckDB-side spellings, kept adjacent so the pair stays in sync. */
+  /** DuckDB-side spellings, kept adjacent so the pair stays in sync.
+    *
+    * The decimal→double conversion is routed through VARCHAR on the
+    * DuckDB side: DuckDB's direct decimal→double cast divides the backing
+    * integer by 10^scale IN DOUBLE (two roundings), while Spark's
+    * Decimal.toDouble correctly rounds the exact value once
+    * (BigDecimal.doubleValue). The difference only surfaces once the sum
+    * carries ≥17 significant digits — the sf1 differential caught
+    * q_agg_hash's sum_charge (~2.8e10 at scale 6) off by one ulp.
+    * VARCHAR renders the exact decimal digits and DuckDB's string→double
+    * parse is correctly rounded, matching Spark bit-for-bit at any scale. */
   def sqlSum2(expr: String): String =
-    s"CAST(SUM(CAST($expr AS DECIMAL(18,2))) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST($expr AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)"
   def sqlSum6(expr: String): String =
-    s"CAST(SUM(CAST($expr AS DECIMAL(27,6))) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST($expr AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE)"
   def sqlAvg2(expr: String): String =
-    s"CAST(SUM(CAST($expr AS DECIMAL(18,2))) AS DOUBLE) / COUNT($expr)"
+    s"${sqlSum2(expr)} / COUNT($expr)"
 }

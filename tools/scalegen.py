@@ -59,10 +59,13 @@ def main():
         else:
             parts = []
             for i in range(N):
-                sel = ", ".join(
-                    [f"{c} + {i * stride(owner)} AS {c}" for c, owner in off.items()] +
-                    [f"* EXCLUDE ({', '.join(off.keys())})"])
-                parts.append(f"SELECT {sel} FROM {src}")
+                # * REPLACE keeps the source COLUMN ORDER intact — queries
+                # that serialize whole rows (to_json(struct(*)) in
+                # q_kafka_frame) are order-sensitive, and the earlier
+                # offset-cols-first SELECT reordered events at sf1
+                repl = ", ".join(
+                    f"{c} + {i * stride(owner)} AS {c}" for c, owner in off.items())
+                parts.append(f"SELECT * REPLACE ({repl}) FROM {src}")
             con.sql(f"COPY ({' UNION ALL '.join(parts)}) TO '{dst}' (FORMAT PARQUET)")
         n = con.sql(f"SELECT count(*) FROM '{dst}'").fetchone()[0]
         print(f"{t:12s} {n:>10,} rows -> {dst}")
