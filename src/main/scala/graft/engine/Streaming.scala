@@ -40,6 +40,43 @@ object Streaming {
        |  COUNT(*) AS n, ${sqlSum2("value")} AS sum_value
        |FROM events GROUP BY 1, 2 ORDER BY ws_us, event_type""".stripMargin
 
+  private val pagedStreamRuns = new java.util.concurrent.atomic.AtomicInteger
+
+  /** q_paged_stream: the paged CDC source drained through its genuine
+    * `MicroBatchStream` path — a full AvailableNow replay (windowed
+    * INITIAL→INCREMENTAL state machine, one 500-row page per poll, 24
+    * micro-batches) into a memory sink, then the same half-open-window
+    * aggregation as q_paged_source over the landed rows. The oracle
+    * replays the deterministic generator in SQL, so the differential
+    * proves the STREAMING path (offset algebra, page planning, restartable
+    * drain) loses and duplicates nothing — not just the batch scan. */
+  def qPagedStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.PagedEntitySource
+    val sink = s"paged_stream_q_${pagedStreamRuns.incrementAndGet()}"
+    val q = spark.readStream.format("graft.sources.PagedEntitySource")
+      .option("rows", "12000").option("pageSize", "500")
+      .option("windowRows", "4000")
+      .load()
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    if (q.isActive) { q.stop(); throw new IllegalStateException(
+      "q_paged_stream: AvailableNow drain did not terminate in 300 s") }
+    spark.table(sink)
+      .filter(col("ts_us") >= PagedEntitySource.tsOf(1000) &&
+              col("ts_us") < PagedEntitySource.tsOf(9000))
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy(col("category"))
+  }
+
+  val qPagedStreamSql: String =
+    """SELECT 'cat' || CAST(id % 5 AS VARCHAR) AS category, COUNT(*) AS n,
+      |  CAST(SUM(CAST(((id * 7919) % 100000) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM range(1000, 9000) t(id)
+      |GROUP BY 1 ORDER BY category""".stripMargin
+
   /** q_stream_sliding: 1-hour windows sliding every 30 minutes — each
     * event lands in exactly two windows (the generator form of `window`
     * with a slide). Epoch-aligned grid in both engines. */
