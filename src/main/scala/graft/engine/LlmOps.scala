@@ -667,7 +667,9 @@ object LlmOps {
   /** [[sparseJaccardPairs]] plus its capped-postings metric: the second
     * element reads the observed count of posting lists that overflowed
     * `cap` — call it AFTER the frame (or a derived frame) has
-    * materialized once; it throws if read before resolution.
+    * materialized once; it waits briefly for the listener bus to deliver
+    * the metric and errors (rather than parking forever) if the plan
+    * never ran.
     *
     * NO SILENT CAPS on exact semantics: a truncated posting list
     * under-counts shared shingles, so exactness (q_dedup_groups' closure,

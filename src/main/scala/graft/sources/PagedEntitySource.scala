@@ -47,6 +47,20 @@ import org.apache.spark.unsafe.types.UTF8String
   *   .load()
   * }}}
   *
+  * Streaming — the reference's CONTINUOUS identity (poll loop,
+  * ChargeOverSourceTask.java:136-173) — reads the same table through a
+  * genuine `MicroBatchStream` ([[PagedMicroBatchStream]]): one page per
+  * poll, windowed INITIAL→INCREMENTAL progression, offsets carrying the
+  * reference's 7-field state map; multi-entity mode streams every entity
+  * with its own independent state machine
+  * ([[PagedMultiMicroBatchStream]]):
+  * {{{
+  * spark.readStream.format("graft.sources.PagedEntitySource")
+  *   .option("rows", 100000).option("pageSize", 500)
+  *   .option("windowRows", 1440)   // id==minute ⇒ the daily cron window
+  *   .load()
+  * }}}
+  *
   * Multi-entity mode mirrors `chargeover.entities` + per-entity query
   * params (`getQueryParamsForEntity`, Config.java:279-289; entity list
   * Config.java:79-83): `entities=customer,invoice` loads every entity in
