@@ -49,7 +49,14 @@ object Streaming {
     * aggregation as q_paged_source over the landed rows. The oracle
     * replays the deterministic generator in SQL, so the differential
     * proves the STREAMING path (offset algebra, page planning, restartable
-    * drain) loses and duplicates nothing — not just the batch scan. */
+    * drain) loses and duplicates nothing — not just the batch scan.
+    *
+    * The memory sink is the TEST-SCALE landing zone (rows live in driver
+    * memory — fine for the fixed 12 k-row drain, never for production);
+    * a real deployment drains to files/Kafka via foreachBatch exactly as
+    * CheckpointSpec's partitioned-sink path does. The sink view is
+    * dropped after the result is cut to a leaf, so repeated runs
+    * (bench min-of-N, warmup) don't accumulate driver-held tables. */
   def qPagedStream(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.sources.PagedEntitySource
     val sink = s"paged_stream_q_${pagedStreamRuns.incrementAndGet()}"
@@ -62,13 +69,16 @@ object Streaming {
     q.awaitTermination(300000)
     if (q.isActive) { q.stop(); throw new IllegalStateException(
       "q_paged_stream: AvailableNow drain did not terminate in 300 s") }
-    spark.table(sink)
+    val out = spark.table(sink)
       .filter(col("ts_us") >= PagedEntitySource.tsOf(1000) &&
               col("ts_us") < PagedEntitySource.tsOf(9000))
       .groupBy(col("category"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .orderBy(col("category"))
+    val cut = Iterate.cut(out) // 5 rows: detach from the sink view
+    spark.catalog.dropTempView(sink)
+    cut
   }
 
   val qPagedStreamSql: String =
