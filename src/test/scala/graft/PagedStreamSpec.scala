@@ -91,6 +91,34 @@ class PagedStreamSpec extends SparkSpec {
     assert(replayed.get() == 0L, "restart must not re-emit committed pages")
   }
 
+  test("growth between runs: restart resumes from the committed watermark, drains only new rows") {
+    // the reference's operational loop: a run catches up to "now",
+    // stops, more records accrue, the next run opens its window at the
+    // COMMITTED last_processed — nothing re-read, nothing skipped.
+    // Simulated by growing `rows` between two AvailableNow runs over one
+    // checkpoint (the generator's extent IS "data available now").
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pg_ck").toString
+    def drain(rows: Long): Seq[Long] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+      val q = spark.readStream.format("graft.sources.PagedEntitySource")
+        .option("rows", rows).option("pageSize", PageSize)
+        .option("windowRows", WindowRows)
+        .load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select(col("id")).collect().foreach(r => got.add(r.getLong(0))); ()
+        }
+        .start()
+      q.awaitTermination(120000)
+      import scala.jdk.CollectionConverters._
+      got.asScala.map(_.longValue).toSeq.sorted
+    }
+    assert(drain(1000L) == (0L until 1000L))
+    assert(drain(2500L) == (1000L until 2500L),
+      "second run must emit exactly the newly-arrived rows")
+  }
+
   test("multi-entity stream: independent per-entity state machines equal the batch read") {
     def src(reader: Boolean) = {
       val opts = Map("entities" -> "customer,invoice", "customer.rows" -> "700",
