@@ -51,7 +51,16 @@ object BigWindow {
     * materialized leaf while the pin is alive, then the pin is dropped —
     * so concurrent BigWindow queries in one session each hold their own
     * pin and cannot unpersist each other's chunked frame mid-job, and
-    * nothing lingers in the cache manager after the call returns. */
+    * nothing lingers in the cache manager after the call returns.
+    *
+    * The cut is deliberate about failure semantics: a lazily-persisted
+    * result would RECOMPUTE on partition loss — through a fresh range
+    * exchange with fresh sampled bounds, i.e. exactly the silent
+    * divergence the pin exists to prevent. Iterate.cut gives either a
+    * reliable checkpoint (cluster: checkpoint dir set, replayable from
+    * HDFS) or an eager localCheckpoint (local mode: executor loss fails
+    * the job loudly instead of recomputing wrongly) — correct-or-fail,
+    * never silently wrong. */
   private def pinned(df: DataFrame): DataFrame =
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 

@@ -645,8 +645,10 @@ object LlmOps {
         .limit(100)
       out.persist().count() // materialize while the cluster cache is alive
       // the count above ran the observe node — the top-100 is exact only
-      // if no posting list was truncated
-      requireUncapped(capped, cap, "q_ngram_jaccard")
+      // if no posting list was truncated. Release the result cache on the
+      // throw path (the rows are wrong; nothing will consume them).
+      try requireUncapped(capped, cap, "q_ngram_jaccard")
+      catch { case t: Throwable => out.unpersist(blocking = false); throw t }
       out
     } finally cl.unpersist(blocking = false)
   }

@@ -535,10 +535,10 @@ object Relational {
   }
 
   val qPagedSourceSql: String =
-    """SELECT 'cat' || CAST(id % 5 AS VARCHAR) AS category, COUNT(*) AS n,
-      |  CAST(SUM(CAST(((id * 7919) % 100000) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-      |FROM range(10000, 60000) t(id)
-      |GROUP BY 1 ORDER BY category""".stripMargin
+    s"""SELECT 'cat' || CAST(id % 5 AS VARCHAR) AS category, COUNT(*) AS n,
+       |  ${sqlSum2("((id * 7919) % 100000) / 100.0")} AS sum_value
+       |FROM range(10000, 60000) t(id)
+       |GROUP BY 1 ORDER BY category""".stripMargin
 
   // --- aggregations ------------------------------------------------------
 

@@ -66,26 +66,27 @@ object Streaming {
       .load()
       .writeStream.format("memory").queryName(sink)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(300000)
-    if (q.isActive) { q.stop(); throw new IllegalStateException(
-      "q_paged_stream: AvailableNow drain did not terminate in 300 s") }
-    val out = spark.table(sink)
-      .filter(col("ts_us") >= PagedEntitySource.tsOf(1000) &&
-              col("ts_us") < PagedEntitySource.tsOf(9000))
-      .groupBy(col("category"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
-      .orderBy(col("category"))
-    val cut = Iterate.cut(out) // 5 rows: detach from the sink view
-    spark.catalog.dropTempView(sink)
-    cut
+    try {
+      q.awaitTermination(300000)
+      if (q.isActive) { q.stop(); throw new IllegalStateException(
+        "q_paged_stream: AvailableNow drain did not terminate in 300 s") }
+      val out = spark.table(sink)
+        .filter(col("ts_us") >= PagedEntitySource.tsOf(1000) &&
+                col("ts_us") < PagedEntitySource.tsOf(9000))
+        .groupBy(col("category"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy(col("category"))
+      Iterate.cut(out) // 5 rows: detach from the sink view
+    } finally
+      spark.catalog.dropTempView(sink) // also on the failure path
   }
 
   val qPagedStreamSql: String =
-    """SELECT 'cat' || CAST(id % 5 AS VARCHAR) AS category, COUNT(*) AS n,
-      |  CAST(SUM(CAST(((id * 7919) % 100000) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-      |FROM range(1000, 9000) t(id)
-      |GROUP BY 1 ORDER BY category""".stripMargin
+    s"""SELECT 'cat' || CAST(id % 5 AS VARCHAR) AS category, COUNT(*) AS n,
+       |  ${sqlSum2("((id * 7919) % 100000) / 100.0")} AS sum_value
+       |FROM range(1000, 9000) t(id)
+       |GROUP BY 1 ORDER BY category""".stripMargin
 
   /** q_stream_sliding: 1-hour windows sliding every 30 minutes — each
     * event lands in exactly two windows (the generator form of `window`
@@ -465,21 +466,27 @@ object Streaming {
         while (it.hasNext) b += it.next()
         b
       }
-      val ids = prior.map(_.doc_id).to(scala.collection.mutable.HashSet)
+      val known = prior.map(p => (p.doc_id, p.simhash))
+        .to(scala.collection.mutable.HashSet)
       val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
       arrivals.foreach { d =>
-        // at-least-once replay guard: a redelivered doc_id is already in
-        // the bucket's state — appending again would grow state AND
-        // re-emit its hits on every redelivery. First arrival wins;
-        // replays are a no-op (idempotent, the same contract dedupStream
-        // gives the windowed aggregations).
-        if (!ids.contains(d.doc_id)) {
+        // at-least-once replay guard: a redelivered (doc_id, simhash) is
+        // already in the bucket's state — appending again would grow
+        // state AND re-emit its hits on every redelivery; replays are a
+        // no-op (idempotent, the same contract dedupStream gives the
+        // windowed aggregations). Keyed on the PAIR, not doc_id alone: a
+        // genuinely UPDATED document (same id, new content ⇒ new
+        // simhash — the CDC-update case the incremental windows model)
+        // must still enter state and be checked.
+        if (!known.contains((d.doc_id, d.simhash))) {
           prior.foreach { p =>
-            val h = java.lang.Long.bitCount(p.simhash ^ d.simhash)
-            if (h <= 3) out += NearDupHit(d.doc_id, p.doc_id, h)
+            if (p.doc_id != d.doc_id) {
+              val h = java.lang.Long.bitCount(p.simhash ^ d.simhash)
+              if (h <= 3) out += NearDupHit(d.doc_id, p.doc_id, h)
+            }
           }
           prior += SeenDoc(d.doc_id, d.simhash)
-          ids += d.doc_id
+          known += ((d.doc_id, d.simhash))
           seen.appendValue(SeenDoc(d.doc_id, d.simhash))
         }
       }

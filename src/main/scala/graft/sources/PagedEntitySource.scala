@@ -259,24 +259,30 @@ class PagedScanBuilder(confs: Seq[PagedEntitySource.EntityConf], pageSize: Int,
     required = requiredSchema
 
   override def build(): Scan =
-    new PagedScan(math.min(lo, hi), hi, pageSize, required, kept, windowRows)
+    new PagedScan(math.min(lo, hi), hi, pageSize, required, kept, windowRows,
+      multi)
 }
 
 /** R4: the planner turns the (narrowed) id range into pages — out-of-window
   * pages simply never exist. Multi-entity: pages are planned per entity
   * (entity-level parallelism, the partitioned-source reading of R15). */
 class PagedScan(lo: Long, hi: Long, pageSize: Int, required: StructType,
-    confs: Seq[PagedEntitySource.EntityConf], windowRows: Long = 0L)
+    confs: Seq[PagedEntitySource.EntityConf], windowRows: Long = 0L,
+    multi: Boolean = false)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  /** The stream flavor follows the table MODE, not the entity count: an
+    * `entities=` table always uses per-entity map offsets, so a config
+    * that later adds entities restarts cleanly from the same checkpoint
+    * (a count-based choice would flip the offset JSON format). */
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    if (confs.size == 1)
+    if (multi)
+      new PagedMultiMicroBatchStream(confs, pageSize, windowRows, required)
+    else
       new PagedMicroBatchStream(confs.head, pageSize,
         if (windowRows > 0) windowRows else confs.head.rows, required)
-    else
-      new PagedMultiMicroBatchStream(confs, pageSize, windowRows, required)
   override def description(): String = {
     val ent = if (confs.size == 1) "" else s", entities=${confs.map(_.name).mkString("+")}"
     s"PagedScan(lo=$lo, hi=$hi, pageSize=$pageSize, fields=${required.fieldNames.mkString(",")}$ent)"
@@ -473,7 +479,12 @@ object PagedMicroBatchStream {
     val wEnd =
       if (s.isProcessingBatch) s.batchEndId
       else math.min(pos + windowRows, target)
-    val newPos = math.min(pos + math.max(maxRows, 1L), wEnd)
+    // admit = min(maxRows, remaining): computed WITHOUT pos + maxRows —
+    // ReadLimit.allAvailable (Trigger.Once forces it regardless of the
+    // default limit) arrives as Long.MaxValue and a naive pos + maxRows
+    // wraps negative, regressing the committed position
+    val admit = math.min(math.max(maxRows, 1L), wEnd - pos)
+    val newPos = pos + admit
     if (newPos >= wEnd)
       PagedStreamOffset("INCREMENTAL_LOAD", wEnd, wEnd, 0L,
         isProcessingBatch = false)
@@ -564,10 +575,15 @@ class PagedMultiMicroBatchStream(confs: Seq[PagedEntitySource.EntityConf],
       case _ => Long.MaxValue
     }
     val stepped = confs.map { c =>
-      c.name -> PagedMicroBatchStream.step(
-        s.entities(c.name), targetOf(c), winOf(c), maxRows)
+      // an entity ADDED to the config after the checkpoint was written has
+      // no restored state — it starts from INITIAL_LOAD, exactly the
+      // reference's per-entity state init for an unseen entity
+      // (loadEntityState default, ChargeOverSourceTask.java:98-133)
+      val prev = s.entities.getOrElse(c.name, PagedStreamOffset.Initial)
+      c.name -> PagedMicroBatchStream.step(prev, targetOf(c), winOf(c), maxRows)
     }.toMap
-    if (confs.forall(c => stepped(c.name) eq s.entities(c.name))) s
+    if (confs.forall(c =>
+        s.entities.get(c.name).exists(stepped(c.name) eq _))) s
     else MultiPagedStreamOffset(stepped)
   }
 
@@ -575,8 +591,9 @@ class PagedMultiMicroBatchStream(confs: Seq[PagedEntitySource.EntityConf],
     val sm = start.asInstanceOf[MultiPagedStreamOffset].entities
     val em = end.asInstanceOf[MultiPagedStreamOffset].entities
     confs.flatMap { c =>
-      PagedMicroBatchStream.pagesBetween(
-        sm(c.name).pos, em(c.name).pos, pageSize, c)
+      val spos = sm.get(c.name).map(_.pos).getOrElse(0L)
+      val epos = em.get(c.name).map(_.pos).getOrElse(0L)
+      PagedMicroBatchStream.pagesBetween(spos, epos, pageSize, c)
     }.toArray
   }
 

@@ -191,13 +191,19 @@ class LlmOpsSpec extends SparkSpec {
 
   test("sparse jaccard spawns no per-call warner threads, even when the plan never runs") {
     import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    // the regression being guarded: a detached thread parked forever in
+    // Observation.get for every call whose plan never ran. Stack-based
+    // detection is deterministic where Thread.activeCount deltas are not
+    // (Spark spawns unrelated pool threads at will).
+    def parkedInObservation: Int = Thread.getAllStackTraces.asScala.count {
+      case (_, st) => st.exists(_.getClassName.contains("sql.Observation"))
+    }
     val docs = Seq((1L, "s", "a b c d"), (2L, "s", "a b c e"))
       .toDF("doc_id", "source", "text")
-    val before = Thread.activeCount()
     (0 until 8).foreach(_ => graft.engine.LlmOps.sparseJaccardPairs(docs))
-    val after = Thread.activeCount()
-    assert(after - before < 8,
-      s"thread growth $before -> $after suggests a leaked per-call thread")
+    assert(parkedInObservation == 0,
+      "threads parked in Observation after 8 unmaterialized calls")
   }
 
   test("bm25 top-k ranks are contiguous, scores non-increasing, hits contain a query term") {

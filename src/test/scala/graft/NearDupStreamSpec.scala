@@ -96,6 +96,15 @@ class NearDupStreamSpec extends SparkSpec {
         s"near-dup must be flagged once: $without")
       assert(withReplay == without,
         s"replay changed the output: $withReplay vs $without")
+      // an UPDATED doc (same id, new content ⇒ new simhash) is NOT a
+      // replay: doc 100 v2 rewritten into a near-dup of doc 1's text must
+      // be checked and flagged — the guard keys on (doc_id, simhash)
+      val v2 = Seq((100L, base.replace("word31", "altered")))
+        .toDF("doc_id", "text")
+      val withUpdate = run("nd_update", Seq(b1, dup, v2))
+      assert(withUpdate.count(h => h._1 == 100L && h._2 == 1L) >
+             without.count(h => h._1 == 100L && h._2 == 1L),
+        s"updated doc 100 must produce new hits: $withUpdate")
     } finally saved match {
       case Some(v) => spark.conf.set(providerKey, v)
       case None    => spark.conf.unset(providerKey)

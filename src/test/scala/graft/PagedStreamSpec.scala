@@ -159,6 +159,54 @@ class PagedStreamSpec extends SparkSpec {
       !o.isProcessingBatch && o.loadMode == "INCREMENTAL_LOAD"))
   }
 
+  test("step admits a full window under ReadLimit.allAvailable without Long overflow") {
+    import graft.sources.{PagedMicroBatchStream, PagedStreamOffset}
+    // Trigger.Once forces ReadLimit.allAvailable regardless of the
+    // default page limit — maxRows arrives as Long.MaxValue and a naive
+    // pos + maxRows would wrap negative, regressing the committed offset
+    val mid = PagedStreamOffset("INCREMENTAL_LOAD", 1000L, 1000L, 0L,
+      isProcessingBatch = false)
+    val stepped = PagedMicroBatchStream.step(mid, 2500L, 1000L, Long.MaxValue)
+    assert(stepped == PagedStreamOffset("INCREMENTAL_LOAD", 2000L, 2000L, 0L,
+      isProcessingBatch = false))
+    // and from a mid-window position
+    val inWin = PagedStreamOffset("INITIAL_LOAD", 0L, 1000L, 300L,
+      isProcessingBatch = true)
+    val s2 = PagedMicroBatchStream.step(inWin, 2500L, 1000L, Long.MaxValue)
+    assert(s2.pos == 1000L && !s2.isProcessingBatch)
+  }
+
+  test("entity added to the config after a checkpoint starts from INITIAL_LOAD") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pa_ck").toString
+    def drain(entities: String, opts: Map[String, String]): Seq[(String, Long)] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+      var r = spark.readStream.format("graft.sources.PagedEntitySource")
+        .option("entities", entities).option("pageSize", "300")
+        .option("windowRows", "500")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select(col("_entity_type"), col("id")).collect()
+            .foreach(x => got.add((x.getString(0), x.getLong(1)))); ()
+        }
+        .start()
+      q.awaitTermination(120000)
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSeq.sorted
+    }
+    val first = drain("customer", Map("customer.rows" -> "700"))
+    assert(first == (0L until 700L).map(("customer", _)))
+    // restart with invoice ADDED: it must drain from scratch while
+    // customer re-emits nothing (the reference inits unseen entities to
+    // INITIAL_LOAD, ChargeOverSourceTask.java:98-133)
+    val second = drain("customer,invoice",
+      Map("customer.rows" -> "700", "invoice.rows" -> "600"))
+    assert(second == (0L until 600L).map(("invoice", _)),
+      s"expected only invoice rows, got ${second.take(5)}... (${second.length})")
+  }
+
   test("offset json round-trips through deserializeOffset") {
     val o = graft.sources.PagedStreamOffset("INCREMENTAL_LOAD", 1440L, 2880L,
       500L, isProcessingBatch = true)
