@@ -29,6 +29,46 @@ class PropertySpec extends SparkSpec {
     }, "pagination")
   }
 
+  test("stream step laws: batches partition [0, target), monotone, bounded, one mode switch") {
+    import graft.sources.{PagedMicroBatchStream, PagedStreamOffset}
+    val gen = for {
+      target <- Gen.choose(0L, 5000L)
+      windowRows <- Gen.choose(1L, 2000L)
+      pageSize <- Gen.choose(1L, 700L)
+      // occasionally the allAvailable limit Trigger.Once forces
+      limit <- Gen.oneOf(Gen.const(Long.MaxValue), Gen.const(pageSize))
+    } yield (target, windowRows, limit)
+    check(Prop.forAll(gen) { case (target, windowRows, limit) =>
+      var cur = PagedStreamOffset.Initial
+      var batches = List.empty[(Long, Long)] // [from, to) per micro-batch
+      var steps = 0
+      var done = false
+      while (!done && steps < 20000) {
+        val next = PagedMicroBatchStream.step(cur, target, windowRows, limit)
+        if (next eq cur) done = true
+        else { batches ::= (cur.pos, next.pos); cur = next; steps += 1 }
+      }
+      val bs = batches.reverse
+      val admitCap = math.min(limit, windowRows)
+      done && // drains to a fixpoint, never spins
+        cur.pos == target && // ends exactly at the available extent
+        bs.forall { case (a, b) => a < b && b - a <= admitCap } && // monotone, bounded
+        bs.map { case (a, b) => b - a }.sum == target && // partition: no loss/dup
+        bs.zip(bs.drop(1)).forall { case ((_, b1), (a2, _)) => b1 == a2 } && // contiguous
+        // the mode switches INITIAL→INCREMENTAL at most once, never back
+        { var prev = "INITIAL_LOAD"; var switches = 0; var sawIncr = false
+          var replay = PagedStreamOffset.Initial; var ok = true
+          bs.foreach { _ =>
+            val n = PagedMicroBatchStream.step(replay, target, windowRows, limit)
+            if (n.loadMode != prev) switches += 1
+            if (sawIncr && n.loadMode == "INITIAL_LOAD") ok = false
+            if (n.loadMode == "INCREMENTAL_LOAD") sawIncr = true
+            prev = n.loadMode; replay = n
+          }
+          ok && switches <= 1 }
+    }, "stream step")
+  }
+
   test("half-open windows tile: [a,b) ∪ [b,c) == [a,c), disjoint, any bounds") {
     val gen = for {
       xs <- Gen.listOf(Gen.choose(0L, 1000L))
