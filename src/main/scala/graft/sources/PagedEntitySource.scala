@@ -86,11 +86,22 @@ class PagedEntitySource extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val pageSize = properties.getOrDefault("pageSize", "500").toInt
+    // the reference range-validates batch.size into [1, 500] at config
+    // time (ConfigDef.Range.between, Config.java:53-58) — same hard bound
+    // here, at table resolution: a zero page divides by zero in page
+    // planning, an oversized one breaks the per-poll admission contract
+    if (pageSize < 1 || pageSize > 500)
+      throw new IllegalArgumentException(
+        s"pageSize must be in [1, 500] (the reference's batch.size range), got $pageSize")
     val defaultRows = properties.getOrDefault("rows", "10000").toLong
+    if (defaultRows < 0)
+      throw new IllegalArgumentException(s"rows must be >= 0, got $defaultRows")
     // streaming: ids advance one per minute, so an id window IS a time
     // window — windowRows=1440 is the daily `0 0 0 * * ?` cron window.
     // 0 (default) = one window covering everything (pure initial load).
     val windowRows = properties.getOrDefault("windowRows", "0").toLong
+    if (windowRows < 0)
+      throw new IllegalArgumentException(s"windowRows must be >= 0, got $windowRows")
     if (properties.containsKey("entities")) {
       val confs = properties.get("entities").split(",").map(_.trim).filter(_.nonEmpty)
         .map(e => PagedEntitySource.entityConf(e, properties, defaultRows))

@@ -207,6 +207,23 @@ class PagedStreamSpec extends SparkSpec {
       s"expected only invoice rows, got ${second.take(5)}... (${second.length})")
   }
 
+  test("option validation mirrors the reference's config ranges") {
+    def load(opts: (String, String)*): Unit = {
+      var r = spark.read.format("graft.sources.PagedEntitySource")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load().collect()
+    }
+    // batch.size is range-validated [1, 500] at config time in the
+    // reference (ConfigDef.Range.between, Config.java:53-58)
+    for (bad <- Seq("0", "501", "-3")) {
+      val e = intercept[IllegalArgumentException] { load("pageSize" -> bad) }
+      assert(e.getMessage.contains("pageSize"))
+    }
+    intercept[IllegalArgumentException] { load("rows" -> "-1") }
+    intercept[IllegalArgumentException] { load("windowRows" -> "-1") }
+    load("rows" -> "10", "pageSize" -> "1") // bounds are inclusive
+  }
+
   test("offset json round-trips through deserializeOffset") {
     val o = graft.sources.PagedStreamOffset("INCREMENTAL_LOAD", 1440L, 2880L,
       500L, isProcessingBatch = true)
