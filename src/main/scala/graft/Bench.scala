@@ -97,10 +97,14 @@ object Bench {
     // The driver captures only the LAST 2000 chars of output and parses the
     // JSON line out of that window (BENCH_r03: tail=2000 chars, full-precision
     // line was ~2.9k → start cut off → parsed:null three rounds running).
-    // 3-decimal seconds keep the whole line ~1.6k chars: line + sbt's trailing
-    // "[success] Total time" line both fit inside the window.
+    // Per-query values print 2 decimals: at 78 queries a 3-decimal line
+    // measured 1867 chars — ~55 chars of headroom once sbt's trailing
+    // "[success] Total time" line lands in the same window, i.e. ONE more
+    // query away from breaking the parse. 10 ms granularity is far below
+    // this host's run-to-run noise (BASELINE.md); the total keeps 3.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     System.err.println(s"""[bench-metrics] {"query":"TOTAL","shuffleReadB":${shRead.get},""" +
