@@ -78,8 +78,12 @@ object Streaming {
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
         .orderBy(col("category"))
       Iterate.cut(out) // 5 rows: detach from the sink view
-    } finally
+    } finally {
+      // a StreamingQueryException from awaitTermination can leave the
+      // query active — stop it BEFORE dropping the view it writes to
+      if (q.isActive) q.stop()
       spark.catalog.dropTempView(sink) // also on the failure path
+    }
   }
 
   val qPagedStreamSql: String =

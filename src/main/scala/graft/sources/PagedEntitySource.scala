@@ -102,15 +102,16 @@ class PagedEntitySource extends TableProvider {
     val windowRows = properties.getOrDefault("windowRows", "0").toLong
     if (windowRows < 0)
       throw new IllegalArgumentException(s"windowRows must be >= 0, got $windowRows")
+    val faults = PagedEntitySource.faultPlan(properties)
     if (properties.containsKey("entities")) {
       val confs = properties.get("entities").split(",").map(_.trim).filter(_.nonEmpty)
         .map(e => PagedEntitySource.entityConf(e, properties, defaultRows))
-      new PagedEntityTable(confs.toSeq, pageSize, multi = true, windowRows)
+      new PagedEntityTable(confs.toSeq, pageSize, multi = true, windowRows, faults)
     } else {
       val e = properties.getOrDefault("entity", "events")
       new PagedEntityTable(
-        Seq(PagedEntitySource.EntityConf(e, defaultRows, None, 5)),
-        pageSize, multi = false, windowRows)
+        Seq(PagedEntitySource.entityConf(e, properties, defaultRows)),
+        pageSize, multi = false, windowRows, faults)
     }
   }
 }
@@ -146,6 +147,13 @@ object PagedEntitySource {
 
   private[sources] def entityConf(e: String, props: util.Map[String, String],
       defaultRows: Long): EntityConf = {
+    // names feed option prefixes and the checkpoint offset JSON — anything
+    // outside this set either aliases another option key (a dot) or writes
+    // malformed JSON into the offset log (quote/backslash), so reject at
+    // table resolution like the other config ranges
+    if (!e.matches("[A-Za-z0-9_-]+"))
+      throw new IllegalArgumentException(
+        s"entity name must match [A-Za-z0-9_-]+, got '$e'")
     val fields = Option(props.get(s"$e.fields"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val params = Option(props.get(s"$e.params")).getOrElse("")
@@ -153,10 +161,90 @@ object PagedEntitySource {
         case Array(k, v) => Some(k.trim -> v.trim)
         case _ => None
       }).toMap
-    EntityConf(e,
-      Option(props.get(s"$e.rows")).map(_.toLong).getOrElse(defaultRows),
-      fields,
+    val rows = Option(props.get(s"$e.rows")).map(_.toLong).getOrElse(defaultRows)
+    if (rows < 0)
+      throw new IllegalArgumentException(s"$e.rows must be >= 0, got $rows")
+    EntityConf(e, rows, fields,
       params.get("category_mod").map(_.toInt).getOrElse(5))
+  }
+
+  /** R12 fault injection — the knobs that make the deterministic "remote"
+    * fail the way a real REST backend does, so the reference-exact retry
+    * loop (fetchBatchWithRetry, ChargeOverSourceTask.java:296-343) runs on
+    * the LIVE data path instead of only in unit-tested formula form:
+    *
+    *  - `failEveryNthPage=n`: the fetch of every page whose ordinal
+    *    (startId / pageSize) is a multiple of n fails TRANSIENTLY on its
+    *    first `failAttempts` attempts — recovered by the in-fetch
+    *    exponential-backoff retries when failAttempts <= maxRetries;
+    *  - `rateLimit=true`: those transient failures are HTTP-429-shaped
+    *    (ChargeOverRateLimitException, ApiClient.java:169-171) — the retry
+    *    waits the flat 60 s instead of the exponential curve;
+    *  - `maxRetries`: the reference's max.retries (default 3,
+    *    Config.java:69-73) — attempts = maxRetries + 1, then rethrow;
+    *  - `retryBackoffScale`: scales the SLEEP only (tests use 1e-4); the
+    *    computed backoff follows StateMachine.backoffMillis exactly;
+    *  - `pollFailAt=pos:k[,pos:k…]`: the poll whose fetch starts at
+    *    absolute position `pos` EXHAUSTS all in-fetch retries on its first
+    *    k polls (handleFetchError, Task.java:349-366) — the offset log
+    *    records retry_count climbing, and past 10 consecutive failures the
+    *    open batch resets (Task.java:356-361), re-serving the window from
+    *    its start: the reference's documented at-least-once duplication.
+    *
+    * Jitter is derived from (pageStart, attempt) via splitmix64 so every
+    * run — and every Spark task RETRY of the same page — replays the same
+    * backoff schedule. */
+  final case class FaultPlan(failEveryNthPage: Int, failAttempts: Int,
+      rateLimit: Boolean, maxRetries: Int, backoffScale: Double,
+      pollFailAt: Map[Long, Int]) {
+    def pageFault(startId: Long, pageSize: Int): PageFault =
+      if (failEveryNthPage > 0 && (startId / pageSize) % failEveryNthPage == 0)
+        PageFault(failAttempts, rateLimit, maxRetries, backoffScale)
+      else PageFault(0, rateLimited = false, maxRetries, backoffScale)
+  }
+  object FaultPlan {
+    val none: FaultPlan = FaultPlan(0, 0, rateLimit = false, 3, 1.0, Map.empty)
+  }
+
+  /** The planner's verdict for ONE page: how many fetch attempts fail
+    * before the page loads. Computed at planning time so the executor-side
+    * reader stays a pure retry loop. */
+  final case class PageFault(failAttempts: Int, rateLimited: Boolean,
+      maxRetries: Int, backoffScale: Double)
+  object PageFault {
+    val none: PageFault = PageFault(0, rateLimited = false, 3, 1.0)
+  }
+
+  private[sources] def faultPlan(props: util.Map[String, String]): FaultPlan = {
+    val n = props.getOrDefault("failEveryNthPage", "0").toInt
+    val attempts = props.getOrDefault("failAttempts", "2").toInt
+    val rate = props.getOrDefault("rateLimit", "false").toBoolean
+    val maxRetries = props.getOrDefault("maxRetries", "3").toInt
+    val scale = props.getOrDefault("retryBackoffScale", "1.0").toDouble
+    if (n < 0 || attempts < 0 || maxRetries < 0)
+      throw new IllegalArgumentException(
+        s"failEveryNthPage/failAttempts/maxRetries must be >= 0")
+    if (!(scale > 0.0))
+      throw new IllegalArgumentException(s"retryBackoffScale must be > 0, got $scale")
+    val pollFailAt = props.getOrDefault("pollFailAt", "").split(",")
+      .map(_.trim).filter(_.nonEmpty).map(_.split(":", 2) match {
+        case Array(p, k) => p.trim.toLong -> k.trim.toInt
+        case other => throw new IllegalArgumentException(
+          s"pollFailAt entries must be pos:count, got '${other.mkString(":")}'")
+      }).toMap
+    if (pollFailAt.exists(_._2 < 0))
+      throw new IllegalArgumentException("pollFailAt counts must be >= 0")
+    FaultPlan(n, attempts, rate, maxRetries, scale, pollFailAt)
+  }
+
+  /** splitmix64 → [0,1): the deterministic stand-in for the reference's
+    * Math.random() jitter sample (Task.java:333). */
+  private[graft] def jitterUnit(pageStart: Long, attempt: Int): Double = {
+    var z = pageStart * 0x9E3779B97F4A7C15L + attempt * 0xC2B2AE3D27D4EB4FL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= (z >>> 31)
+    (z >>> 11).toDouble / (1L << 53).toDouble
   }
 
   def tsOf(id: Long): Long = BaseUs + id * StepUs
@@ -167,18 +255,21 @@ object PagedEntitySource {
 }
 
 class PagedEntityTable(confs: Seq[PagedEntitySource.EntityConf], pageSize: Int,
-    multi: Boolean, windowRows: Long = 0L) extends Table with SupportsRead {
+    multi: Boolean, windowRows: Long = 0L,
+    faults: PagedEntitySource.FaultPlan = PagedEntitySource.FaultPlan.none)
+    extends Table with SupportsRead {
   override def name(): String = s"paged_${confs.map(_.name).mkString("+")}"
   override def schema(): StructType =
     if (multi) PagedEntitySource.multiSchema else PagedEntitySource.fullSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PagedScanBuilder(confs, pageSize, multi, windowRows)
+    new PagedScanBuilder(confs, pageSize, multi, windowRows, faults)
 }
 
 class PagedScanBuilder(confs: Seq[PagedEntitySource.EntityConf], pageSize: Int,
-    multi: Boolean, windowRows: Long = 0L)
+    multi: Boolean, windowRows: Long = 0L,
+    faults: PagedEntitySource.FaultPlan = PagedEntitySource.FaultPlan.none)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownOffset with SupportsPushDownTopN {
 
@@ -271,7 +362,7 @@ class PagedScanBuilder(confs: Seq[PagedEntitySource.EntityConf], pageSize: Int,
 
   override def build(): Scan =
     new PagedScan(math.min(lo, hi), hi, pageSize, required, kept, windowRows,
-      multi)
+      multi, faults)
 }
 
 /** R4: the planner turns the (narrowed) id range into pages — out-of-window
@@ -279,7 +370,8 @@ class PagedScanBuilder(confs: Seq[PagedEntitySource.EntityConf], pageSize: Int,
   * (entity-level parallelism, the partitioned-source reading of R15). */
 class PagedScan(lo: Long, hi: Long, pageSize: Int, required: StructType,
     confs: Seq[PagedEntitySource.EntityConf], windowRows: Long = 0L,
-    multi: Boolean = false)
+    multi: Boolean = false,
+    faults: PagedEntitySource.FaultPlan = PagedEntitySource.FaultPlan.none)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -290,10 +382,10 @@ class PagedScan(lo: Long, hi: Long, pageSize: Int, required: StructType,
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     if (multi)
-      new PagedMultiMicroBatchStream(confs, pageSize, windowRows, required)
+      new PagedMultiMicroBatchStream(confs, pageSize, windowRows, required, faults)
     else
       new PagedMicroBatchStream(confs.head, pageSize,
-        if (windowRows > 0) windowRows else confs.head.rows, required)
+        if (windowRows > 0) windowRows else confs.head.rows, required, faults)
   override def description(): String = {
     val ent = if (confs.size == 1) "" else s", entities=${confs.map(_.name).mkString("+")}"
     s"PagedScan(lo=$lo, hi=$hi, pageSize=$pageSize, fields=${required.fieldNames.mkString(",")}$ent)"
@@ -306,8 +398,9 @@ class PagedScan(lo: Long, hi: Long, pageSize: Int, required: StructType,
       val n = math.max(0L, eHi - eLo)
       val pages = ((n + pageSize - 1) / pageSize).toInt
       (0 until pages).map { p =>
-        PagedPartition(eLo + p.toLong * pageSize,
-          math.min(eHi, eLo + (p.toLong + 1) * pageSize), conf): InputPartition
+        val start = eLo + p.toLong * pageSize
+        PagedPartition(start, math.min(eHi, start + pageSize), conf,
+          faults.pageFault(start, pageSize)): InputPartition
       }
     }
 
@@ -316,26 +409,74 @@ class PagedScan(lo: Long, hi: Long, pageSize: Int, required: StructType,
 }
 
 case class PagedPartition(startId: Long, endId: Long,
-  conf: PagedEntitySource.EntityConf) extends InputPartition
+  conf: PagedEntitySource.EntityConf,
+  fault: PagedEntitySource.PageFault = PagedEntitySource.PageFault.none)
+  extends InputPartition
 
 class PagedReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PagedPartitionReader(partition.asInstanceOf[PagedPartition], required)
 }
 
+/** Transient page-fetch failure from the simulated remote — IOException-
+  * shaped like the reference's (ApiClient.java:173-175); the 429 flavor
+  * mirrors ChargeOverRateLimitException (ApiClient.java:169-171). */
+class PagedFetchException(msg: String, val rateLimited: Boolean)
+  extends java.io.IOException(msg)
+
 /** One page fetch (ChargeOverApiClient.fetchChangesWithPagination analog):
   * deterministic record generator in place of the HTTP GET. Per-entity
   * `fields=` means unrequested data columns come back null (a schemaless
   * record that lacks the field); `category_mod` stands in for an arbitrary
-  * extra query param the remote honors. */
+  * extra query param the remote honors.
+  *
+  * The fetch runs under the reference-exact retry loop
+  * (fetchBatchWithRetry, ChargeOverSourceTask.java:296-343): up to
+  * maxRetries+1 attempts, exponential backoff `min(2^attempt·1s + 0-10%
+  * jitter, 30s)` between general failures, a flat 60 s after a 429, and a
+  * rethrow once attempts are exhausted — at which point Spark's own task
+  * retry (`spark.task.maxFailures`) is the outer loop the Connect
+  * framework's next poll() provides in the reference. Backoff values come
+  * from StateMachine.backoffMillis (the PropertySpec'd formula); only the
+  * SLEEP is scaled by retryBackoffScale so specs drain in milliseconds. */
 class PagedPartitionReader(page: PagedPartition, required: StructType)
     extends PartitionReader[InternalRow] {
   private var id = page.startId - 1
   private val fields = required.fieldNames
   private val conf = page.conf
+  private var fetched = false
   private def served(f: String): Boolean = conf.fields.forall(_.contains(f))
 
-  override def next(): Boolean = { id += 1; id < page.endId }
+  /** The page "fetch": a no-op for the generator, except the planned fault
+    * fails the first `failAttempts` attempts. Runs once, lazily, so a
+    * zero-row page costs nothing. */
+  private def fetchWithRetry(): Unit = {
+    val f = page.fault
+    var attempt = 0
+    var lastEx: Exception = null
+    while (!fetched && attempt <= f.maxRetries) {
+      if (attempt >= f.failAttempts) fetched = true // the GET succeeded
+      else {
+        lastEx = new PagedFetchException(
+          s"simulated ${if (f.rateLimited) "429 rate limit" else "fetch failure"} " +
+          s"for page@${page.startId} attempt ${attempt + 1}", f.rateLimited)
+        if (attempt < f.maxRetries) {
+          val backoff = graft.engine.StateMachine.backoffMillis(attempt,
+            f.rateLimited, PagedEntitySource.jitterUnit(page.startId, attempt))
+          Thread.sleep(math.max(0L, (backoff * f.backoffScale).toLong))
+        }
+        attempt += 1
+      }
+    }
+    if (!fetched)
+      throw new java.io.IOException(
+        s"Failed after ${f.maxRetries + 1} attempts", lastEx)
+  }
+
+  override def next(): Boolean = {
+    if (!fetched) fetchWithRetry()
+    id += 1; id < page.endId
+  }
 
   override def get(): InternalRow = {
     val vals: Array[Any] = fields.map {
@@ -368,24 +509,32 @@ class PagedPartitionReader(page: PagedPartition, required: StructType)
   *  - `current_offset`         rows already served WITHIN the window —
   *                             the pagination cursor (:221-226)
   *  - `is_processing_batch`    window open and partially consumed
-  *  - `retry_count`            always 0 here: the deterministic generator
-  *                             cannot fail; a real REST backend would
-  *                             count page retries (:296-343)
-  *  - `next_scheduled_run`     always 0 here: windows open immediately —
-  *                             the engine's cron arithmetic lives in
-  *                             graft.engine.Cron, not the data plane
+  *  - `retry_count`            consecutive polls whose page fetch
+  *                             EXHAUSTED its in-fetch retries
+  *                             (handleFetchError, :349-366) — 0 on any
+  *                             successful poll; climbs only while the
+  *                             fault plan keeps a page down
+  *  - `next_scheduled_run`     0 while windows open immediately; a batch
+  *                             reset after >10 consecutive failures
+  *                             (:356-361) reschedules the entity to
+  *                             `last_processed_id + 1440` — the
+  *                             reference's +24 h fallback transposed to
+  *                             the id==minutes domain (cron arithmetic
+  *                             itself lives in graft.engine.Cron)
   *
   * Absolute stream position = last_processed_id + current_offset,
-  * strictly monotone across offsets — what Spark's offset log orders by. */
+  * monotone across offsets except the documented batch-reset regression —
+  * the reference's at-least-once window replay. */
 case class PagedStreamOffset(loadMode: String, lastProcessedId: Long,
-    batchEndId: Long, currentOffset: Long, isProcessingBatch: Boolean)
+    batchEndId: Long, currentOffset: Long, isProcessingBatch: Boolean,
+    retryCount: Int = 0, nextScheduledRunId: Long = 0L)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
   def pos: Long = lastProcessedId + currentOffset
   override def json(): String =
     s"""{"load_mode":"$loadMode","last_processed_id":$lastProcessedId,""" +
     s""""batch_end_id":$batchEndId,"current_offset":$currentOffset,""" +
-    s""""is_processing_batch":$isProcessingBatch,"retry_count":0,""" +
-    s""""next_scheduled_run":0}"""
+    s""""is_processing_batch":$isProcessingBatch,"retry_count":$retryCount,""" +
+    s""""next_scheduled_run":$nextScheduledRunId}"""
 }
 
 object PagedStreamOffset {
@@ -400,7 +549,9 @@ object PagedStreamOffset {
       m.get("last_processed_id").asLong(),
       m.get("batch_end_id").asLong(),
       m.get("current_offset").asLong(),
-      m.get("is_processing_batch").asBoolean())
+      m.get("is_processing_batch").asBoolean(),
+      m.get("retry_count").asInt(),
+      m.get("next_scheduled_run").asLong())
   }
 }
 
@@ -427,7 +578,8 @@ object PagedStreamOffset {
   * control (maxOffsetsPerTrigger's role); each micro-batch plans its
   * pages as parallel InputPartitions exactly like the batch path. */
 class PagedMicroBatchStream(conf: PagedEntitySource.EntityConf, pageSize: Int,
-    windowRows: Long, required: StructType)
+    windowRows: Long, required: StructType,
+    faults: PagedEntitySource.FaultPlan = PagedEntitySource.FaultPlan.none)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset, ReadLimit, ReadMaxRows}
@@ -450,19 +602,32 @@ class PagedMicroBatchStream(conf: PagedEntitySource.EntityConf, pageSize: Int,
     throw new UnsupportedOperationException(
       "latestOffset(start, limit) is used (SupportsAdmissionControl)")
 
+  /** Poll-failure budget still in force. A batch reset CONSUMES the entry
+    * for the position that caused it: a real transient outage ends, so the
+    * replayed window must eventually pass — keeping the entry would re-fail
+    * the same page forever (an injected permanent outage, which is what
+    * `failAttempts > maxRetries` is for). Driver-local by design: a driver
+    * restart re-arms the plan, which only adds zero-progress batches —
+    * committed rows stay exactly-once. */
+  @volatile private var activeFails: Map[Long, Int] = faults.pollFailAt
+
   override def latestOffset(start: SOffset, limit: ReadLimit): SOffset = {
     val maxRows = limit match {
       case r: ReadMaxRows => r.maxRows()
       case _ => Long.MaxValue
     }
-    PagedMicroBatchStream.step(
-      start.asInstanceOf[PagedStreamOffset], target, windowRows, maxRows)
+    val s = start.asInstanceOf[PagedStreamOffset]
+    val out = PagedMicroBatchStream.step(s, target, windowRows, maxRows,
+      activeFails)
+    if (out.nextScheduledRunId > 0L && s.nextScheduledRunId == 0L)
+      activeFails -= s.pos // the reset retired this outage
+    out
   }
 
   override def planInputPartitions(start: SOffset, end: SOffset): Array[InputPartition] =
     PagedMicroBatchStream.pagesBetween(
       start.asInstanceOf[PagedStreamOffset].pos,
-      end.asInstanceOf[PagedStreamOffset].pos, pageSize, conf).toArray
+      end.asInstanceOf[PagedStreamOffset].pos, pageSize, conf, faults).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PagedReaderFactory(required)
@@ -475,6 +640,10 @@ class PagedMicroBatchStream(conf: PagedEntitySource.EntityConf, pageSize: Int,
 }
 
 object PagedMicroBatchStream {
+  /** The reference's +24 h failure fallback (Task.java:386-388) in the
+    * id==minutes domain: 1440 ids = one day of records. */
+  val FallbackRows: Long = 1440L
+
   /** One `poll()` step of the reference's per-entity state machine
     * (ChargeOverSourceTask.java:195-291) in the id domain: serve up to
     * `maxRows` of the open window — opening a new window
@@ -482,36 +651,72 @@ object PagedMicroBatchStream {
     * window completion reset the cursor and switch the mode (a switch
     * that only has an effect once: INITIAL_LOAD→INCREMENTAL_LOAD).
     * Returns `s` UNCHANGED (reference equality) when caught up — the
-    * poll-returns-null case (:146-147) that ends an AvailableNow drain. */
+    * poll-returns-null case (:146-147) that ends an AvailableNow drain.
+    *
+    * `pollFailAt(pos) = k` injects the reference's POLL-level failure
+    * (handleFetchError, :349-366): the first k polls fetching the page at
+    * `pos` exhaust their in-fetch retries — each advances nothing and
+    * increments `retry_count`; a successful poll resets it to 0. Past 10
+    * consecutive failures the open batch RESETS (:356-361): the cursor
+    * regresses to last_processed and the entity is rescheduled +1440 ids
+    * (the +24 h fallback, :386-388) — when data growth passes that mark,
+    * the window reopens from its start and re-serves rows already
+    * emitted, which is exactly the reference's documented at-least-once
+    * duplication (SURVEY §2a quirks), repaired downstream by
+    * dedup/dropDuplicatesWithinWatermark.
+    *
+    * A restored in-flight window is clamped to `target`: a restart
+    * configured with fewer rows than the checkpointed batch_end_id must
+    * not serve ids past the configured extent. */
   def step(s: PagedStreamOffset, target: Long, windowRows: Long,
-      maxRows: Long): PagedStreamOffset = {
+      maxRows: Long, pollFailAt: Map[Long, Int] = Map.empty): PagedStreamOffset = {
     val pos = s.pos
     if (pos >= target) return s
+    // readiness gate after a batch reset: "now" in the id domain is the
+    // data's extent — the entity stays parked until growth passes the
+    // rescheduled mark (isReady, Task.java:178-190)
+    if (!s.isProcessingBatch && target < s.nextScheduledRunId) return s
     val wEnd =
-      if (s.isProcessingBatch) s.batchEndId
+      if (s.isProcessingBatch) math.min(s.batchEndId, target)
       else math.min(pos + windowRows, target)
-    // admit = min(maxRows, remaining): computed WITHOUT pos + maxRows —
-    // ReadLimit.allAvailable (Trigger.Once forces it regardless of the
-    // default limit) arrives as Long.MaxValue and a naive pos + maxRows
-    // wraps negative, regressing the committed position
-    val admit = math.min(math.max(maxRows, 1L), wEnd - pos)
-    val newPos = pos + admit
-    if (newPos >= wEnd)
-      PagedStreamOffset("INCREMENTAL_LOAD", wEnd, wEnd, 0L,
-        isProcessingBatch = false)
-    else
-      PagedStreamOffset(s.loadMode, s.lastProcessedId, wEnd,
-        newPos - s.lastProcessedId, isProcessingBatch = true)
+    if (pollFailAt.getOrElse(pos, 0) > s.retryCount) {
+      // this poll's fetch exhausted all in-fetch retries: keep the window
+      // open at the same cursor, count the failure (Task.java:349-355)
+      val rc = s.retryCount + 1
+      if (rc > 10) // too many consecutive failures → reset the batch
+        PagedStreamOffset(s.loadMode, s.lastProcessedId, 0L, 0L,
+          isProcessingBatch = false, retryCount = 0,
+          nextScheduledRunId = s.lastProcessedId + FallbackRows)
+      else
+        PagedStreamOffset(s.loadMode, s.lastProcessedId, wEnd,
+          pos - s.lastProcessedId, isProcessingBatch = true, retryCount = rc)
+    } else {
+      // admit = min(maxRows, remaining): computed WITHOUT pos + maxRows —
+      // ReadLimit.allAvailable (Trigger.Once forces it regardless of the
+      // default limit) arrives as Long.MaxValue and a naive pos + maxRows
+      // wraps negative, regressing the committed position
+      val admit = math.min(math.max(maxRows, 1L), wEnd - pos)
+      val newPos = pos + admit
+      if (newPos >= wEnd)
+        PagedStreamOffset("INCREMENTAL_LOAD", wEnd, wEnd, 0L,
+          isProcessingBatch = false)
+      else
+        PagedStreamOffset(s.loadMode, s.lastProcessedId, wEnd,
+          newPos - s.lastProcessedId, isProcessingBatch = true)
+    }
   }
 
   /** Pages [spos, epos) as InputPartitions for one entity. */
   private[sources] def pagesBetween(spos: Long, epos: Long, pageSize: Int,
-      conf: PagedEntitySource.EntityConf): Seq[InputPartition] = {
+      conf: PagedEntitySource.EntityConf,
+      faults: PagedEntitySource.FaultPlan = PagedEntitySource.FaultPlan.none):
+      Seq[InputPartition] = {
     val n = math.max(0L, epos - spos)
     val pages = ((n + pageSize - 1) / pageSize).toInt
     (0 until pages).map { p =>
-      PagedPartition(spos + p.toLong * pageSize,
-        math.min(epos, spos + (p.toLong + 1) * pageSize), conf): InputPartition
+      val start = spos + p.toLong * pageSize
+      PagedPartition(start, math.min(epos, start + pageSize), conf,
+        faults.pageFault(start, pageSize)): InputPartition
     }
   }
 }
@@ -519,7 +724,9 @@ object PagedMicroBatchStream {
 /** Multi-entity stream position: one [[PagedStreamOffset]] per entity —
   * the reference's `Map<String, EntityState>` (one independent state
   * machine per configured entity, ChargeOverSourceTask.java:84-90),
-  * serialized with entity keys sorted so the JSON is deterministic. */
+  * serialized with entity keys sorted so the JSON is deterministic.
+  * Interpolating names unescaped is safe because table resolution rejects
+  * anything outside [A-Za-z0-9_-] (entityConf). */
 case class MultiPagedStreamOffset(entities: Map[String, PagedStreamOffset])
     extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String =
@@ -553,7 +760,8 @@ object MultiPagedStreamOffset {
   * do with tasks.max=1). The admission bound is per entity, matching
   * the reference's per-entity fetch of batch.size records per poll. */
 class PagedMultiMicroBatchStream(confs: Seq[PagedEntitySource.EntityConf],
-    pageSize: Int, windowRows: Long, required: StructType)
+    pageSize: Int, windowRows: Long, required: StructType,
+    faults: PagedEntitySource.FaultPlan = PagedEntitySource.FaultPlan.none)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset, ReadLimit, ReadMaxRows}
@@ -566,10 +774,21 @@ class PagedMultiMicroBatchStream(confs: Seq[PagedEntitySource.EntityConf],
   private def winOf(c: PagedEntitySource.EntityConf): Long =
     if (windowRows > 0) windowRows else c.rows
 
+  /** Per-position poll-failure budget; consumed on batch reset exactly
+    * like the single-entity stream (shared across entities: positions are
+    * the failure key). */
+  @volatile private var activeFails: Map[Long, Int] = faults.pollFailAt
+
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTargets = confs.map(c => c.name -> availableOf(c)).toMap
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(pageSize)
+  /** The ReadLimit contract is PER BATCH, so the declared bound is the sum
+    * of per-entity pages: one poll advances each entity by at most one
+    * page (the reference fetches batch.size records per entity per poll,
+    * Task.java:151-172), and the admission split below keeps the total
+    * inside whatever limit Spark hands back. */
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(pageSize.toLong * confs.size)
 
   override def initialOffset(): SOffset =
     MultiPagedStreamOffset(
@@ -585,13 +804,22 @@ class PagedMultiMicroBatchStream(confs: Seq[PagedEntitySource.EntityConf],
       case r: ReadMaxRows => r.maxRows()
       case _ => Long.MaxValue
     }
+    // split the per-batch admission bound evenly across entities so
+    // entities × perEntity never exceeds the declared/requested limit
+    val perEntity =
+      if (maxRows == Long.MaxValue) Long.MaxValue
+      else math.max(1L, maxRows / confs.size)
     val stepped = confs.map { c =>
       // an entity ADDED to the config after the checkpoint was written has
       // no restored state — it starts from INITIAL_LOAD, exactly the
       // reference's per-entity state init for an unseen entity
       // (loadEntityState default, ChargeOverSourceTask.java:98-133)
       val prev = s.entities.getOrElse(c.name, PagedStreamOffset.Initial)
-      c.name -> PagedMicroBatchStream.step(prev, targetOf(c), winOf(c), maxRows)
+      val out = PagedMicroBatchStream.step(prev, targetOf(c), winOf(c),
+        perEntity, activeFails)
+      if (out.nextScheduledRunId > 0L && prev.nextScheduledRunId == 0L)
+        activeFails -= prev.pos // see the single-entity stream's note
+      c.name -> out
     }.toMap
     if (confs.forall(c =>
         s.entities.get(c.name).exists(stepped(c.name) eq _))) s
@@ -604,7 +832,7 @@ class PagedMultiMicroBatchStream(confs: Seq[PagedEntitySource.EntityConf],
     confs.flatMap { c =>
       val spos = sm.get(c.name).map(_.pos).getOrElse(0L)
       val epos = em.get(c.name).map(_.pos).getOrElse(0L)
-      PagedMicroBatchStream.pagesBetween(spos, epos, pageSize, c)
+      PagedMicroBatchStream.pagesBetween(spos, epos, pageSize, c, faults)
     }.toArray
   }
 
