@@ -88,6 +88,10 @@ object SparkEntry {
     "q_stream_session"    -> (Streaming.qStreamSession _),
     // genuine MicroBatchStream drain of the paged CDC source
     "q_paged_stream"      -> (Streaming.qPagedStream _),
+    // the reference's whole production path composed end to end:
+    // changelog stream drain → StringCast SMT → envelope/routing →
+    // upsert compaction, one oracle over the lot
+    "q_cdc_pipeline"      -> (Cdc.qCdcPipeline _),
     // sink frame + control plane + typed aggregation
     "q_kafka_frame"       -> (Sink.qKafkaFrame _),
     "q_incremental_batch" -> (Sink.qIncrementalBatch _),
@@ -167,6 +171,7 @@ object SparkEntry {
     "q_stream_tumbling"   -> Streaming.qStreamTumblingSql,
     "q_stream_session"    -> Streaming.qStreamSessionSql,
     "q_paged_stream"      -> Streaming.qPagedStreamSql,
+    "q_cdc_pipeline"      -> Cdc.qCdcPipelineSql,
     "q_typed_revenue"     -> Typed.qTypedRevenueSql,
     "q_pivot"             -> Relational.qPivotSql,
     "q_array_funcs"       -> Relational.qArrayFuncsSql,

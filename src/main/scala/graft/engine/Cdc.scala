@@ -1,0 +1,107 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The reference's ENTIRE production path as one oracle-checked
+  * composition (SURVEY.md §3.1): paged CDC source → SMT → routed topic,
+  * plus the consumer-side upsert compaction its changelog semantics
+  * demand. Where the separate q_* rows prove each operator alone, this is
+  * the integration proof — the stream drain, enrichment, routing and
+  * compaction composed end to end with ONE DuckDB differential over the
+  * whole pipeline.
+  */
+object Cdc {
+
+  private val runs = new java.util.concurrent.atomic.AtomicInteger
+
+  /** q_cdc_pipeline, stage by stage (reference mapping in parens):
+    *
+    *  1. SOURCE — the multi-entity paged MicroBatchStream in upsert-
+    *     changelog mode (`update_every=4`: every 4th position re-emits an
+    *     earlier id with a later ts — Task.java:431-432), windowed
+    *     INITIAL→INCREMENTAL progression, one page per entity per poll
+    *     (poll loop, Task.java:136-173). Drained with AvailableNow into a
+    *     memory sink — the TEST-SCALE landing zone for this fixed 15 k-
+    *     position replay (production path = foreachBatch → partitioned
+    *     files, CheckpointSpec); the sink view is dropped on all paths.
+    *  2. SMT — StringCast on the category field (Jackson quoting,
+    *     StringCast.java:52-96) — the enrichment the reference applies
+    *     per record in-flight.
+    *  3. ENVELOPE — key extraction (R7, stringified id), topic routing
+    *     (R9, `chargeover.{entity}`).
+    *  4. COMPACTION — dedup-latest per (entity, id) on the changelog: the
+    *     consumer-side upsert that keeps exactly the newest version of
+    *     every entity row (ts is unique per position, so latest-wins is
+    *     deterministic without a tiebreak column).
+    *
+    * At scale: stages 2-3 are narrow codegen projections fused into the
+    * sink write; stage 4 is ONE shuffle on (entity, id) — at 100 TB the
+    * same pipeline lands via foreachBatch into files partitioned by
+    * topic, and the compaction window keys the same shuffle. */
+  def qCdcPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    JsonStringCast.register(spark)
+    val sink = s"cdc_pipeline_${runs.incrementAndGet()}"
+    val q = spark.readStream.format("graft.sources.PagedEntitySource")
+      .option("entities", "customer,invoice")
+      .option("customer.rows", "6000")
+      .option("invoice.rows", "9000")
+      .option("invoice.params", "category_mod=3")
+      .option("updatesEveryN", "4")
+      .option("pageSize", "500").option("windowRows", "2000")
+      .load()
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination(300000)
+      if (q.isActive) { q.stop(); throw new IllegalStateException(
+        "q_cdc_pipeline: AvailableNow drain did not terminate in 300 s") }
+      val landed = spark.table(sink)
+      val enriched = landed
+        .withColumn("category_cast", expr("json_string_cast(category)"))
+        .filter(col("id").isNotNull)
+        .withColumn("key", col("id").cast("string"))
+        .withColumn("topic", concat_ws(".", lit("chargeover"), col("_entity_type")))
+      val w = Window.partitionBy(col("_entity_type"), col("id"))
+        .orderBy(col("ts_us").desc)
+      val compacted = enriched
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("topic"), col("key"), col("_entity_type"), col("id"),
+          col("ts_us"), col("value"), col("category_cast"))
+        .orderBy(col("_entity_type"), col("id"))
+      Iterate.cut(compacted) // 11,250 rows: detach from the sink view
+    } finally {
+      if (q.isActive) q.stop()
+      spark.catalog.dropTempView(sink)
+    }
+  }
+
+  /** The oracle replays the WHOLE pipeline in SQL: the changelog
+    * generator (closed-form position→record mapping, EntityConf scaladoc),
+    * the Jackson quoting, the envelope, and the latest-wins compaction. */
+  val qCdcPipelineSql: String =
+    """WITH gen AS (
+      |  SELECT 'customer' AS _entity_type, p, 5 AS cmod FROM range(0, 6000) t(p)
+      |  UNION ALL
+      |  SELECT 'invoice', p, 3 AS cmod FROM range(0, 9000) t(p)
+      |), rec AS (
+      |  SELECT _entity_type,
+      |    CASE WHEN p % 4 = 3 THEN (p - p // 4) // 2 ELSE p - p // 4 END AS id,
+      |    CASE WHEN p % 4 = 3 THEN 1 ELSE 0 END AS ver,
+      |    1704067200000000 + p * 60000000 AS ts_us, cmod
+      |  FROM gen
+      |), val AS (
+      |  SELECT _entity_type, id, ts_us,
+      |    ((id * 7919 + ver * 1000003) % 100000) / 100.0 AS value,
+      |    'cat' || CAST(id % cmod AS VARCHAR) AS category,
+      |    row_number() OVER (PARTITION BY _entity_type, id ORDER BY ts_us DESC) AS rn
+      |  FROM rec
+      |)
+      |SELECT 'chargeover.' || _entity_type AS topic, CAST(id AS VARCHAR) AS key,
+      |  _entity_type, id, ts_us, value, '"' || category || '"' AS category_cast
+      |FROM val WHERE rn = 1
+      |ORDER BY _entity_type, id""".stripMargin
+}

@@ -140,10 +140,34 @@ object PagedEntitySource {
   /** Per-entity config (getQueryParamsForEntity, Config.java:279-289):
     * row count, server-side field projection, and extra query params —
     * the simulated remote honors `category_mod=<n>` (response category
-    * cardinality), unknown params are ignored like any REST API ignores
-    * unknown query strings. */
+    * cardinality) and `update_every=<k>` (upsert-changelog mode, below),
+    * unknown params are ignored like any REST API ignores unknown query
+    * strings.
+    *
+    * `updateEvery = k >= 2` turns the generator into the reference's TRUE
+    * stream shape — an UPSERT CHANGELOG (§2a quirks: a re-modified entity
+    * re-appears in a later window with a later timestamp,
+    * ChargeOverSourceTask.java:431-432; consumers keep the latest by key).
+    * The generator's domain becomes changelog POSITIONS: `rows` counts
+    * positions, every k-th position (p % k == k-1) re-emits an UPDATED
+    * version of an earlier id instead of a new id. Closed form, so DuckDB
+    * replays it exactly:
+    *
+    *   updates_before(p) = p / k            (update positions ≡ k-1 mod k)
+    *   new_idx(p)        = p - p / k
+    *   id(p)  = new_idx(p)                  for new positions
+    *          = new_idx(p) / 2              for update positions — always
+    *                                        an id already emitted earlier
+    *   ver(p) = 1 for updates, 0 for new
+    *   ts(p)  = tsOf(p)                     strictly ascending: the update
+    *                                        is LATER, dedup-latest keeps it
+    *   value  = ((id·7919 + ver·1000003) % 100000) / 100.0
+    *
+    * An id can be updated more than once (k=2 targets repeat) — more
+    * changelog realism, and latest-wins stays provable because ts is
+    * unique per position. */
   final case class EntityConf(name: String, rows: Long,
-    fields: Option[Set[String]], categoryMod: Int)
+    fields: Option[Set[String]], categoryMod: Int, updateEvery: Int = 0)
 
   private[sources] def entityConf(e: String, props: util.Map[String, String],
       defaultRows: Long): EntityConf = {
@@ -164,9 +188,27 @@ object PagedEntitySource {
     val rows = Option(props.get(s"$e.rows")).map(_.toLong).getOrElse(defaultRows)
     if (rows < 0)
       throw new IllegalArgumentException(s"$e.rows must be >= 0, got $rows")
+    val updateEvery = params.get("update_every").map(_.toInt).getOrElse(
+      Option(props.get("updatesEveryN")).map(_.toInt).getOrElse(0))
+    if (updateEvery < 0 || updateEvery == 1)
+      throw new IllegalArgumentException(
+        s"update_every must be 0 (off) or >= 2, got $updateEvery")
     EntityConf(e, rows, fields,
-      params.get("category_mod").map(_.toInt).getOrElse(5))
+      params.get("category_mod").map(_.toInt).getOrElse(5), updateEvery)
   }
+
+  /** Position → record id under the changelog mapping (identity when
+    * updates are off). */
+  def recordId(p: Long, updateEvery: Int): Long =
+    if (updateEvery < 2) p
+    else {
+      val newIdx = p - p / updateEvery
+      if (p % updateEvery == updateEvery - 1) newIdx / 2 else newIdx
+    }
+
+  /** Position → record version: 1 on update positions, else 0. */
+  def recordVer(p: Long, updateEvery: Int): Int =
+    if (updateEvery >= 2 && p % updateEvery == updateEvery - 1) 1 else 0
 
   /** R12 fault injection — the knobs that make the deterministic "remote"
     * fail the way a real REST backend does, so the reference-exact retry
@@ -300,6 +342,13 @@ class PagedScanBuilder(confs: Seq[PagedEntitySource.EntityConf], pageSize: Int,
     true
   }
 
+  /** True while every kept entity is in plain (id == position) mode — the
+    * precondition for pushing id-keyed predicates/orderings into the page
+    * plan. In changelog mode update positions re-emit EARLIER ids, so id
+    * is neither dense nor ascending; only ts (linear in position in both
+    * modes) stays pushable. */
+  private def idIsPosition: Boolean = kept.forall(_.updateEvery < 2)
+
   /** R3+R4: ORDER BY id/ts ASC LIMIT n — the source's native order IS
     * id==ts ascending (one record per minute per id), so a TopN on either
     * column collapses to the same page-plan cap as a plain LIMIT. Any
@@ -309,7 +358,7 @@ class PagedScanBuilder(confs: Seq[PagedEntitySource.EntityConf], pageSize: Int,
     import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
     val nativeOrder = orders.forall { o =>
       o.direction == SortDirection.ASCENDING && (o.expression match {
-        case f: NamedReference => f.fieldNames.sameElements(Array("id")) ||
+        case f: NamedReference => f.fieldNames.sameElements(Array("id")) && idIsPosition ||
           f.fieldNames.sameElements(Array("ts_us"))
         case _ => false
       })
@@ -330,8 +379,8 @@ class PagedScanBuilder(confs: Seq[PagedEntitySource.EntityConf], pageSize: Int,
       // filters, so leave the (vacuous GT / all-rows LTE) case residual.
       case GreaterThan("ts_us", v: Long) => v != Long.MaxValue
       case LessThanOrEqual("ts_us", v: Long) => v != Long.MaxValue
-      case GreaterThanOrEqual("ts_us", _: Long) | LessThan("ts_us", _: Long) |
-           GreaterThanOrEqual("id", _: Long) | LessThan("id", _: Long) => true
+      case GreaterThanOrEqual("ts_us", _: Long) | LessThan("ts_us", _: Long) => true
+      case GreaterThanOrEqual("id", _: Long) | LessThan("id", _: Long) => idIsPosition
       // R9 inverse: an entity predicate prunes whole entity streams at
       // planning time — the analog of not polling that entity at all
       case EqualTo("_entity_type", _: String) => multi
@@ -479,13 +528,18 @@ class PagedPartitionReader(page: PagedPartition, required: StructType)
   }
 
   override def get(): InternalRow = {
+    // `id` here is the stream POSITION; the record id diverges from it
+    // only in changelog mode (update positions re-emit an earlier id)
+    val rid = PagedEntitySource.recordId(id, conf.updateEvery)
+    val ver = PagedEntitySource.recordVer(id, conf.updateEvery)
     val vals: Array[Any] = fields.map {
       case "_entity_type" => UTF8String.fromString(conf.name)
-      case "id" => java.lang.Long.valueOf(id)
+      case "id" => java.lang.Long.valueOf(rid)
       case f if !served(f) => null
       case "ts_us" => java.lang.Long.valueOf(PagedEntitySource.tsOf(id))
-      case "value" => java.lang.Double.valueOf(((id * 7919) % 100000) / 100.0)
-      case "category" => UTF8String.fromString(s"cat${id % conf.categoryMod}")
+      case "value" =>
+        java.lang.Double.valueOf(((rid * 7919 + ver * 1000003L) % 100000) / 100.0)
+      case "category" => UTF8String.fromString(s"cat${rid % conf.categoryMod}")
     }
     new GenericInternalRow(vals)
   }
