@@ -80,4 +80,53 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"),
       "a scalar cast must not introduce a hash shuffle")
   }
+
+  /** Structural pins for the most expensive queries (BENCH_r05 top-10 +
+    * the broadcast-reliant family): exchange/broadcast counts and pushdown
+    * asserted from the post-AQE executed plan, with auto-broadcast OFF so
+    * a broadcast can only come from an EXPLICIT hint — removing a hint, or
+    * adding an exchange, turns `sbt test` red instead of waiting for the
+    * next plan audit. Counts measured on the current tree (PlanAudit
+    * structural walk); a pin that fails after a deliberate plan change is
+    * the prompt to re-audit, not to loosen blindly.
+    *
+    * Not pinned: queries whose declared frame is a materialized cut leaf
+    * (q_dedup_groups, q_ngram_jaccard, q_dedup_embedding, q_sim_ivf_quant,
+    * q_paged_stream, q_cdc_pipeline — their pipelines are spec'd where
+    * they run), and q_sim_ivf's shuffle count (k-means training loop;
+    * its broadcast posture is pinned instead). q_join_asof_range pins
+    * ZERO broadcasts deliberately: a fact×fact self-join must shuffle —
+    * the sf0.1 auto-broadcast was small-data luck, wrong at 100 TB. */
+  test("expensive-query plan pins: exchanges, hinted broadcasts, pushdown (auto-broadcast off)") {
+    // name -> (shuffles, broadcasts, pushdownReached)
+    val pins: Seq[(String, (Int, Int, Boolean))] = Seq(
+      "q_expand_join"     -> ((0, 1, true)),  // dim hint: zero-shuffle enrich
+      "q_join_multiway"   -> ((4, 3, true)),  // 3 hinted dims around the fact agg
+      "q_expand_nested"   -> ((2, 1, true)),
+      "q_join_asof_range" -> ((3, 0, true)),  // self-join: shuffle is correct
+      "q_decontaminate"   -> ((8, 0, true)),
+      "q_bm25_topk"       -> ((9, 3, false)), // postings/vocab/query broadcasts
+      "q_window_misc"     -> ((1, 1, false)),
+      "q_percentile"      -> ((7, 2, true)),
+      "q_agg_approx"      -> ((2, 0, false)),
+      "q_agg_hash"        -> ((2, 0, true)),
+      "q_sim_topk"        -> ((4, 1, true)),  // query-side broadcast by design
+      "q_stream_join"     -> ((2, 0, true)),
+      "q_dedup_latest"    -> ((1, 0, false)))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bad = pins.flatMap { case (name, (shfl, bcast, pushed)) =>
+        val t = PlanAudit.audit(SparkEntry.queries(name)(spark, sf))
+        if (t.shuffles == shfl && t.broadcasts == bcast && t.pushed == pushed) None
+        else Some(s"$name: expected shfl=$shfl bcast=$bcast pushed=$pushed, " +
+          s"got shfl=${t.shuffles} bcast=${t.broadcasts} pushed=${t.pushed}")
+      }
+      assert(bad.isEmpty, bad.mkString("\n"))
+      // the training query keeps its centroid broadcast + scan pushdown
+      val ivf = PlanAudit.audit(SparkEntry.queries("q_sim_ivf")(spark, sf))
+      assert(ivf.broadcasts >= 1 && ivf.pushed,
+        s"q_sim_ivf: centroids must broadcast (got ${ivf.broadcasts}) with pushdown ${ivf.pushed}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
