@@ -92,6 +92,13 @@ object SparkEntry {
     // changelog stream drain → StringCast SMT → envelope/routing →
     // upsert compaction, one oracle over the lot
     "q_cdc_pipeline"      -> (Cdc.qCdcPipeline _),
+    // SCD2 history — the other canonical changelog consumption
+    "q_scd2"              -> (Cdc.qScd2 _),
+    // bounded-state exact analytics: MG heavy hitters, bloom join pruning
+    "q_heavy_hitters"     -> (HeavyHitters.qHeavyHitters _),
+    "q_bloom_join"        -> (Bloom.qBloomJoin _),
+    // sequential-pattern funnel over the event stream
+    "q_funnel"            -> (Funnel.qFunnel _),
     // sink frame + control plane + typed aggregation
     "q_kafka_frame"       -> (Sink.qKafkaFrame _),
     "q_incremental_batch" -> (Sink.qIncrementalBatch _),
@@ -172,6 +179,10 @@ object SparkEntry {
     "q_stream_session"    -> Streaming.qStreamSessionSql,
     "q_paged_stream"      -> Streaming.qPagedStreamSql,
     "q_cdc_pipeline"      -> Cdc.qCdcPipelineSql,
+    "q_scd2"              -> Cdc.qScd2Sql,
+    "q_heavy_hitters"     -> HeavyHitters.qHeavyHittersSql,
+    "q_bloom_join"        -> Bloom.qBloomJoinSql,
+    "q_funnel"            -> Funnel.qFunnelSql,
     "q_typed_revenue"     -> Typed.qTypedRevenueSql,
     "q_pivot"             -> Relational.qPivotSql,
     "q_array_funcs"       -> Relational.qArrayFuncsSql,

@@ -79,6 +79,61 @@ object Cdc {
     }
   }
 
+  /** q_scd2: Slowly-Changing-Dimension Type 2 — the OTHER canonical
+    * consumption of the reference's upsert changelog. Where q_cdc_pipeline
+    * compacts to latest-wins (the Kafka log-compaction view,
+    * Task.java:431-432), SCD2 keeps EVERY version as a half-open validity
+    * interval [valid_from, valid_to) with an is_current flag — the
+    * history table a warehouse builds from the same topic.
+    *
+    * Plan shape: the batch paged source in changelog mode (id pushdowns
+    * correctly declined — ChangelogSpec), then ONE shuffle on
+    * (_entity_type, id) shared by both window functions (lead + count
+    * over the same partitioning collapse into a single Window node).
+    * That is the whole cost at any scale: state per key is one row of
+    * lookahead, never the full history. */
+  def qScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val log = spark.read.format("graft.sources.PagedEntitySource")
+      .option("entities", "customer,invoice")
+      .option("customer.rows", "6000")
+      .option("invoice.rows", "9000")
+      .option("updatesEveryN", "3")
+      .option("pageSize", "500")
+      .load()
+    val w = Window.partitionBy(col("_entity_type"), col("id")).orderBy(col("ts_us"))
+    log
+      .withColumn("version_seq", row_number().over(w).cast("long"))
+      .withColumn("valid_from_us", col("ts_us"))
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .select(col("_entity_type"), col("id"), col("version_seq"),
+        col("valid_from_us"), col("valid_to_us"), col("is_current"), col("value"))
+      .orderBy(col("_entity_type"), col("id"), col("version_seq"))
+  }
+
+  /** Generator replay (closed form, update_every=3) + the same windows. */
+  val qScd2Sql: String =
+    """WITH gen AS (
+      |  SELECT 'customer' AS _entity_type, p FROM range(0, 6000) t(p)
+      |  UNION ALL
+      |  SELECT 'invoice', p FROM range(0, 9000) t(p)
+      |), rec AS (
+      |  SELECT _entity_type,
+      |    CASE WHEN p % 3 = 2 THEN (p - p // 3) // 2 ELSE p - p // 3 END AS id,
+      |    CASE WHEN p % 3 = 2 THEN 1 ELSE 0 END AS ver,
+      |    1704067200000000 + p * 60000000 AS ts_us
+      |  FROM gen
+      |)
+      |SELECT _entity_type, id,
+      |  CAST(row_number() OVER w AS BIGINT) AS version_seq,
+      |  ts_us AS valid_from_us,
+      |  lead(ts_us) OVER w AS valid_to_us,
+      |  lead(ts_us) OVER w IS NULL AS is_current,
+      |  ((id * 7919 + ver * 1000003) % 100000) / 100.0 AS value
+      |FROM rec
+      |WINDOW w AS (PARTITION BY _entity_type, id ORDER BY ts_us)
+      |ORDER BY _entity_type, id, version_seq""".stripMargin
+
   /** The oracle replays the WHOLE pipeline in SQL: the changelog
     * generator (closed-form position→record mapping, EntityConf scaladoc),
     * the Jackson quoting, the envelope, and the latest-wins compaction. */
