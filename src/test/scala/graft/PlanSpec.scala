@@ -75,6 +75,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_bloom_join: membership filter sits below the join exchanges") {
+    val p = plan(graft.engine.Bloom.qBloomJoin(spark, sf))
+    assert(p.contains("bloom_might_contain"),
+      "probe-side bloom pruning filter missing from the physical plan")
+  }
+
   test("q_string_cast: single narrow projection, no exchange before sort") {
     val p = plan(graft.engine.Cast.qStringCast(spark, sf))
     assert(!p.contains("Exchange hashpartitioning"),
@@ -112,7 +118,13 @@ class PlanSpec extends SparkSpec {
       "q_agg_hash"        -> ((2, 0, true)),
       "q_sim_topk"        -> ((4, 1, true)),  // query-side broadcast by design
       "q_stream_join"     -> ((2, 0, true)),
-      "q_dedup_latest"    -> ((1, 0, false)))
+      "q_dedup_latest"    -> ((1, 0, false)),
+      // round-6 additions: bloom-pruned join must NOT broadcast (the whole
+      // point is surviving a non-broadcastable build side); funnel and
+      // SCD2 are one-exchange window pipelines
+      "q_bloom_join"      -> ((4, 0, true)),  // SMJ pair + agg + sort; zero broadcast
+      "q_funnel"          -> ((2, 0, true)),  // user_id window + distinct agg
+      "q_scd2"            -> ((2, 0, true)))  // key window + output sort
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
