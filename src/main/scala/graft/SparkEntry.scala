@@ -99,6 +99,8 @@ object SparkEntry {
     "q_bloom_join"        -> (Bloom.qBloomJoin _),
     // sequential-pattern funnel over the event stream
     "q_funnel"            -> (Funnel.qFunnel _),
+    // Morton clustering key for multi-dimensional data skipping
+    "q_zorder"            -> (ZOrder.qZorder _),
     // sink frame + control plane + typed aggregation
     "q_kafka_frame"       -> (Sink.qKafkaFrame _),
     "q_incremental_batch" -> (Sink.qIncrementalBatch _),
@@ -183,6 +185,7 @@ object SparkEntry {
     "q_heavy_hitters"     -> HeavyHitters.qHeavyHittersSql,
     "q_bloom_join"        -> Bloom.qBloomJoinSql,
     "q_funnel"            -> Funnel.qFunnelSql,
+    "q_zorder"            -> ZOrder.qZorderSql,
     "q_typed_revenue"     -> Typed.qTypedRevenueSql,
     "q_pivot"             -> Relational.qPivotSql,
     "q_array_funcs"       -> Relational.qArrayFuncsSql,
