@@ -14,11 +14,19 @@ import numpy as np
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
+    # bound DuckDB and let heavy oracles spill instead of climbing toward
+    # the 80%-of-RAM default with no temp dir (observed at the 100x dir:
+    # an in-memory connection grinds to the cap and dies instead of
+    # spilling)
+    con.sql("SET memory_limit='64GB'")
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     fails = []
     for name, sql in sorted(oracle.items()):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
@@ -60,6 +68,7 @@ def main(sf_dir, out_dir):
     for d in sorted(glob.glob(f"{out_dir}/q_*")):
         name = d.split("/")[-1]
         if name in oracle: continue
+        if only and name not in only: continue
         files = glob.glob(f"{d}/*.parquet")
         n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
         status = "rows>0 OK" if n > 0 else "EMPTY!"
@@ -69,4 +78,5 @@ def main(sf_dir, out_dir):
     return 1 if fails else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  only=set(sys.argv[3:]) or None))
