@@ -145,17 +145,14 @@ object Streaming {
   /** File-source stream over a DIRECTORY of events parquet files (the file
     * source tails a directory — new files become new micro-batches, the
     * streaming twin of the reference's "new window per poll"). Schema is
-    * taken from the batch read (nanos-as-long), ts converted in-stream. */
+    * taken from the batch read (raw encoding), ts normalized in-stream. */
   def streamEvents(spark: SparkSession, sfDir: String, eventsDir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val schema: StructType = Tables.eventsRaw(spark, sfDir).schema
     val reader = spark.readStream.schema(schema)
     val withOpt = maxFilesPerTrigger.fold(reader)(n =>
       reader.option("maxFilesPerTrigger", n.toString))
-    val raw = withOpt.parquet(eventsDir)
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    Tables.normalizeTs(withOpt.parquet(eventsDir))
   }
 
   /** Watermarked tumbling aggregation on a stream — the streaming twin of

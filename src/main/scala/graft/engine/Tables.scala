@@ -40,19 +40,28 @@ object Tables {
     * they still reach the parquet scan as PushedFilters. */
   def events(s: SparkSession, d: String): DataFrame = {
     graft.plans.NanosRangePushdown.install(s)
-    val raw = eventsRaw(s, d)
+    normalizeTs(eventsRaw(s, d))
+  }
+
+  /** Normalize an events frame's `ts` to session-local TIMESTAMP (LTZ),
+    * whatever encoding the parquet writer chose — the one conversion both
+    * the batch and the file-source streaming paths share:
+    *
+    *  - INT64 ns read via nanosAsLong → `ts div 1000` truncated to µs
+    *    (integral divide; a double divide loses precision above 2^53 ns),
+    *    matching DuckDB's own ns→µs truncation;
+    *  - µs with isAdjustedToUTC=false (DuckDB/Hive writers) → Spark reads
+    *    TIMESTAMP_NTZ; under the UTC session the cast to LTZ is wall-clock
+    *    identity, and downstream unix_micros/window functions require LTZ;
+    *  - already-LTZ µs passes through. */
+  def normalizeTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      // parquet written by µs-native engines (DuckDB, Hive) carries
-      // isAdjustedToUTC=false → Spark reads TIMESTAMP_NTZ; under the UTC
-      // session the cast to LTZ is wall-clock identity, and downstream
-      // unix_micros/window functions require LTZ
       case org.apache.spark.sql.types.TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
-  }
 
   /** Raw events read (ts as nanosecond long) — streaming needs the
     * pre-conversion schema. */

@@ -27,8 +27,8 @@ class CheckpointSpec extends SparkSpec {
     stage("batch1", "a")
 
     def runOnce(): Unit = {
-      val stream = spark.readStream.schema(schema).parquet(s"$in/*.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = Tables.normalizeTs(
+        spark.readStream.schema(schema).parquet(s"$in/*.parquet"))
       val q = stream.writeStream
         .option("checkpointLocation", ck)
         .trigger(Trigger.AvailableNow())

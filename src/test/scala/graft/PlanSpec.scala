@@ -16,11 +16,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("l_extendedprice"), "unprojected column must not be read")
   }
 
-  test("q_filter_range: the window predicate reaches the parquet scan (NanosRangePushdown)") {
+  test("q_filter_range: the window predicate reaches the parquet scan") {
     val p = plan(graft.engine.Incremental.qFilterRange(spark, sf))
-    // raw nanosecond bounds: 2024-01-08T00:00Z and 2024-01-15T00:00Z in ns
-    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,1704672000000000000), LessThan(ts,1705276800000000000)]"),
-      s"expected raw-ns pushed filters, plan:\n${p.take(2000)}")
+    // encoding-agnostic: ns-encoded files push raw-long bounds (via
+    // NanosRangePushdown), µs-encoded files push timestamp literals
+    // natively — either way BOTH half-open bounds must be in PushedFilters
+    val pushed = p.linesIterator.flatMap(l =>
+      "PushedFilters: \\[[^\\]]*\\]".r.findFirstIn(l)).mkString("\n")
+    assert(pushed.contains("GreaterThanOrEqual(ts,") && pushed.contains("LessThan(ts,"),
+      s"expected both window bounds pushed to the scan, got: $pushed\nplan:\n${p.take(2000)}")
   }
 
   test("q_expand_join / q_join_multiway: dimension joins broadcast") {

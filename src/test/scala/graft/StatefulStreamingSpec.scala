@@ -53,8 +53,7 @@ class StatefulStreamingSpec extends SparkSpec {
     val schema = Tables.eventsRaw(spark, sf).schema
     val rawStream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(flat)
-    val stream = rawStream.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(expr("ts div 1000")))
+    val stream = Tables.normalizeTs(rawStream)
     val out = Streaming.upsertLatest(Streaming.typedEvents(stream)).toDF()
     val q = Streaming.runToMemoryUpdate(out, "multibatch_test")
     q.awaitTermination(120000)
@@ -85,7 +84,7 @@ class StatefulStreamingSpec extends SparkSpec {
     val schema = raw.schema
     val rawStream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$flat/batch_*.parquet")
-    val stream = rawStream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Tables.normalizeTs(rawStream)
     val out = Streaming.upsertLatestTtl(Streaming.typedEvents(stream), ttlMs = 1L).toDF()
     val perUserCount = Tables.events(spark, sf)
       .select(col("user_id")).distinct().count()

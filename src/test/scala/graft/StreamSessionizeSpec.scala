@@ -12,7 +12,9 @@ class StreamSessionizeSpec extends SparkSpec {
     // split the corpus at the median ts so batch 1 strictly precedes
     // batch 2 per user — the ordered-replay contract the operator states
     val raw = Tables.eventsRaw(spark, sf)
-    val cut = raw.selectExpr("percentile_approx(ts, 0.5) AS c").head().getLong(0)
+    // encoding-generic median: raw ts is a ns long OR an NTZ timestamp —
+    // lit() round-trips either into the comparison below
+    val cut = lit(raw.selectExpr("percentile_approx(ts, 0.5) AS c").head().get(0))
     val dir = java.nio.file.Files.createTempDirectory("graft_sess_mb").toString
     raw.filter(col("ts") <= cut).coalesce(1).write.parquet(s"$dir/f1")
     raw.filter(col("ts") > cut).coalesce(1).write.parquet(s"$dir/f2")
@@ -32,7 +34,7 @@ class StreamSessionizeSpec extends SparkSpec {
     val schema = raw.schema
     val rawStream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(flat)
-    val stream = rawStream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Tables.normalizeTs(rawStream)
     val out = Streaming.sessionizeStream(Streaming.sessEvents(stream)).toDF()
     val q = Streaming.runToMemoryUpdate(out, "sess_stream")
     q.awaitTermination(120000)

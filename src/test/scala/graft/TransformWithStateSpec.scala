@@ -66,7 +66,7 @@ class TransformWithStateSpec extends SparkSpec {
       }
       val rawStream = spark.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$flat/batch_*.parquet")
-      val stream = rawStream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = Tables.normalizeTs(rawStream)
       val out = Streaming.upsertLatestTws(Streaming.typedEvents(stream),
         ttl = Some(java.time.Duration.ofMillis(1))).toDF()
       val q = Streaming.runToMemoryUpdate(out, "tws_ttl_test")
