@@ -101,6 +101,17 @@ object SparkEntry {
     "q_funnel"            -> (Funnel.qFunnel _),
     // Morton clustering key for multi-dimensional data skipping
     "q_zorder"            -> (ZOrder.qZorder _),
+    // skew-mitigated salted join (result == the plain join)
+    "q_skew_join"         -> (Skew.qSkewJoin _),
+    // data-quality audit gate (rows/nulls/dup-pk/orphans/domains)
+    "q_dq_audit"          -> (Quality.qDqAudit _),
+    // time-series regularization: bucket, spine, carry-forward fill
+    "q_resample"          -> (Resample.qResample _),
+    // training-set assembly: stable hash split + weighted source mixing
+    "q_split_assign"      -> (Mixture.qSplitAssign _),
+    "q_mixture"           -> (Mixture.qMixture _),
+    // trailing-window anomaly gate, integer-exact decision rule
+    "q_anomaly"           -> (Anomaly.qAnomaly _),
     // sink frame + control plane + typed aggregation
     "q_kafka_frame"       -> (Sink.qKafkaFrame _),
     "q_incremental_batch" -> (Sink.qIncrementalBatch _),
@@ -186,6 +197,12 @@ object SparkEntry {
     "q_bloom_join"        -> Bloom.qBloomJoinSql,
     "q_funnel"            -> Funnel.qFunnelSql,
     "q_zorder"            -> ZOrder.qZorderSql,
+    "q_skew_join"         -> Skew.qSkewJoinSql,
+    "q_dq_audit"          -> Quality.qDqAuditSql,
+    "q_resample"          -> Resample.qResampleSql,
+    "q_split_assign"      -> Mixture.qSplitAssignSql,
+    "q_mixture"           -> Mixture.qMixtureSql,
+    "q_anomaly"           -> Anomaly.qAnomalySql,
     "q_typed_revenue"     -> Typed.qTypedRevenueSql,
     "q_pivot"             -> Relational.qPivotSql,
     "q_array_funcs"       -> Relational.qArrayFuncsSql,

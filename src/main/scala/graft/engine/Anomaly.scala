@@ -1,0 +1,76 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Streaming-shaped anomaly detection: flag events whose value deviates
+  * from the TRAILING per-series distribution — the self-tuning data-drift
+  * monitor of a pipeline (a fixed threshold goes stale; a trailing-window
+  * z-score tracks the series).
+  *
+  * The decision rule is evaluated ENTIRELY in integer arithmetic. The
+  * usual rolling z-score (`abs(x - avg) > 3·stddev`) puts two
+  * floating-point aggregates on the decision path, and Spark and any
+  * other engine disagree in the last ulps (different summation trees,
+  * Welford vs naive variance) — fine for a monitor, fatal for a
+  * hash-compared oracle, and genuinely flaky for rows sitting ON the
+  * threshold. Clearing the denominators fixes both: with cents
+  * c = floor(value·100 + 0.5) (an exact integer both engines compute
+  * bit-identically from the same IEEE double),
+  *
+  *   |x − μ| > 3σ   ⇔   (n·x − s)² > 9·(n·s2 − s²)        [n > 0]
+  *
+  * where s = Σc, s2 = Σc² over the trailing window — all BIGINT, exact,
+  * engine-independent. Magnitudes: c ≤ 5·10⁴, so over a 100-row window
+  * s ≤ 5·10⁶, s2 ≤ 2.5·10¹¹, and both squared terms stay ≤ ~2.5·10¹³ —
+  * eight orders below the long boundary even under ANSI checks.
+  *
+  * Scale posture: one shuffle on the series key; the trailing frame is
+  * O(1) running state per row (Spark's bounded-preceding ROWS frame), so
+  * a series with a billion events streams through without materializing
+  * windows. The same rule runs incrementally under
+  * mapGroupsWithState with a 100-deep ring buffer per key.
+  */
+object Anomaly {
+
+  /** q_anomaly: per-event-type trailing-100 z-score gate (|z| > 3, at
+    * least 30 trailing points), emitting the flagged events. The frame
+    * EXCLUDES the current row (100 preceding → 1 preceding): the event is
+    * judged against the distribution BEFORE it — including itself would
+    * shrink its own deviation and mask the very spike being detected. */
+  def qAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-100, -1)
+    val cents = floor(col("value") * 100.0 + 0.5).cast("long")
+    Tables.events(spark, sfDir)
+      .withColumn("c", cents)
+      .withColumn("n", count(col("c")).over(w))
+      .withColumn("s", sum(col("c")).over(w))
+      .withColumn("s2", sum(col("c") * col("c")).over(w))
+      .filter(col("n") >= 30 &&
+        (col("n") * col("c") - col("s")) * (col("n") * col("c") - col("s")) >
+        lit(9L) * (col("n") * col("s2") - col("s") * col("s")))
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("c").as("cents"),
+        col("n").as("n_trailing"))
+      .orderBy(col("event_id"))
+  }
+
+  val qAnomalySql: String =
+    """WITH c AS (
+      |  SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+      |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+      |  FROM events),
+      |t AS (
+      |  SELECT event_id, event_type, ts_us, c,
+      |    COUNT(c) OVER w AS n, SUM(c) OVER w AS s, SUM(c * c) OVER w AS s2
+      |  FROM c
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
+      |    ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING))
+      |SELECT event_id, event_type, ts_us, c AS cents, n AS n_trailing
+      |FROM t
+      |WHERE n >= 30 AND (n * c - s) * (n * c - s) > 9 * (n * s2 - s * s)
+      |ORDER BY event_id""".stripMargin
+}

@@ -128,7 +128,15 @@ class PlanSpec extends SparkSpec {
       // SCD2 are one-exchange window pipelines
       "q_bloom_join"      -> ((4, 0, true)),  // SMJ pair + agg + sort; zero broadcast
       "q_funnel"          -> ((2, 0, true)),  // user_id window + distinct agg
-      "q_scd2"            -> ((2, 0, true)))  // key window + output sort
+      "q_scd2"            -> ((2, 0, true)),  // key window + output sort
+      // pipeline operators (round 6): the salted join must stay on the
+      // shuffled-hash path (broadcast would bypass the salt algebra under
+      // test); split/mixture/anomaly are single-window or single-agg
+      // pipelines over one scan
+      "q_skew_join"       -> ((4, 0, true)),  // salted SHJ + rollup + sort
+      "q_split_assign"    -> ((3, 0, false)), // rebalance + agg + sort
+      "q_mixture"         -> ((3, 0, false)), // rebalance + source window + agg
+      "q_anomaly"         -> ((2, 0, false))) // series window + output sort
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
