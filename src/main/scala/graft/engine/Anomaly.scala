@@ -58,6 +58,68 @@ object Anomaly {
       .orderBy(col("event_id"))
   }
 
+  // --- streaming twin -----------------------------------------------------
+
+  case class AnomIn(event_id: Long, event_type: String, tsMicros: Long, cents: Long)
+  /** Ring of the trailing ≤100 cents plus running Σc / Σc² — O(1) update
+    * per event, ~800 B per live series key in the state store. */
+  case class AnomRing(ring: Vector[Long], s: Long, s2: Long)
+  case class AnomHit(event_id: Long, event_type: String, tsMicros: Long,
+    cents: Long, n_trailing: Long)
+
+  /** The SAME integer decision rule evaluated incrementally with
+    * per-series keyed state — the monitoring deployment of q_anomaly: a
+    * 100-deep ring buffer per key, each event judged against the ring
+    * BEFORE being pushed into it. Batch rows are sorted by (ts, event_id)
+    * inside each micro-batch and the caller replays files in time order —
+    * the same ordered-replay contract as sessionizeStream; under that
+    * contract stream output == the batch window formulation exactly
+    * (spec'd), because both see identical trailing windows.
+    *
+    * State is bounded: 100 longs + 2 running sums per live series,
+    * independent of stream length — the O(1)-state property the batch
+    * ROWS frame has, carried to the continuous form. */
+  def anomalyStream(events: org.apache.spark.sql.Dataset[AnomIn]):
+      org.apache.spark.sql.Dataset[AnomHit] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnomRing, AnomHit](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[AnomIn], state: GroupState[AnomRing]) =>
+          var st = state.getOption.getOrElse(AnomRing(Vector.empty, 0L, 0L))
+          val out = Vector.newBuilder[AnomHit]
+          for (e <- rows.toSeq.sortBy(r => (r.tsMicros, r.event_id))) {
+            val n = st.ring.size.toLong
+            if (n >= 30) {
+              val d = n * e.cents - st.s
+              if (d * d > 9L * (n * st.s2 - st.s * st.s))
+                out += AnomHit(e.event_id, key, e.tsMicros, e.cents, n)
+            }
+            val pushed =
+              if (st.ring.size == 100)
+                AnomRing(st.ring.tail :+ e.cents,
+                  st.s - st.ring.head + e.cents,
+                  st.s2 - st.ring.head * st.ring.head + e.cents * e.cents)
+              else AnomRing(st.ring :+ e.cents, st.s + e.cents,
+                st.s2 + e.cents * e.cents)
+            st = pushed
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Events in the stream gate's typed shape (cents exactly as the batch
+    * query computes them). */
+  def anomInEvents(df: DataFrame): org.apache.spark.sql.Dataset[AnomIn] = {
+    import df.sparkSession.implicits._
+    df.select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsMicros"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .as[AnomIn]
+  }
+
   val qAnomalySql: String =
     """WITH c AS (
       |  SELECT event_id, event_type, epoch_us(ts) AS ts_us,

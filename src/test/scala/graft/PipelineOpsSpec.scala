@@ -217,4 +217,38 @@ class PipelineOpsSpec extends SparkSpec {
       .select(col("event_id")).collect().map(_.getLong(0)).toSet
     assert(out == Set(201L), s"exactly the spike must flag, got $out")
   }
+
+  test("streamed anomaly gate == batch q_anomaly across two micro-batches") {
+    val raw = Tables.eventsRaw(spark, sf)
+    val cut = lit(raw.selectExpr("percentile_approx(ts, 0.5) AS c").head().get(0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_anom_mb").toString
+    raw.filter(col("ts") <= cut).coalesce(1).write.parquet(s"$dir/f1")
+    raw.filter(col("ts") > cut).coalesce(1).write.parquet(s"$dir/f2")
+    val flat = java.nio.file.Files.createTempDirectory("graft_anom_flat").toString
+    var idx = 0
+    for (sub <- Seq("f1", "f2"); f <- new java.io.File(s"$dir/$sub").listFiles()
+         if f.getName.endsWith(".parquet")) {
+      val dst = java.nio.file.Paths.get(f"$flat/part_$idx%02d.parquet")
+      java.nio.file.Files.copy(f.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + idx * 60000L))
+      idx += 1
+    }
+    assert(idx == 2, s"expected 2 files, got $idx")
+    val rawStream = spark.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", "1").parquet(flat)
+    val stream = Tables.normalizeTs(rawStream)
+    val out = Anomaly.anomalyStream(Anomaly.anomInEvents(stream)).toDF()
+    val q = graft.engine.Streaming.runToMemoryUpdate(out, "anom_stream")
+    q.awaitTermination(120000)
+    val streamed = spark.table("anom_stream")
+      .select(col("event_id"), col("n_trailing"))
+    val batch = Anomaly.qAnomaly(spark, sf)
+      .select(col("event_id"), col("n_trailing"))
+    assert(batch.count() > 0, "corpus must contain anomalies for the test to bite")
+    assert(streamed.count() == batch.count() &&
+      streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "ordered stream replay must flag exactly the batch anomalies")
+  }
 }
