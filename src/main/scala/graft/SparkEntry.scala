@@ -112,6 +112,8 @@ object SparkEntry {
     "q_mixture"           -> (Mixture.qMixture _),
     // trailing-window anomaly gate, integer-exact decision rule
     "q_anomaly"           -> (Anomaly.qAnomaly _),
+    // weekly cohort retention matrix
+    "q_cohort"            -> (Cohort.qCohort _),
     // sink frame + control plane + typed aggregation
     "q_kafka_frame"       -> (Sink.qKafkaFrame _),
     "q_incremental_batch" -> (Sink.qIncrementalBatch _),
@@ -203,6 +205,7 @@ object SparkEntry {
     "q_split_assign"      -> Mixture.qSplitAssignSql,
     "q_mixture"           -> Mixture.qMixtureSql,
     "q_anomaly"           -> Anomaly.qAnomalySql,
+    "q_cohort"            -> Cohort.qCohortSql,
     "q_typed_revenue"     -> Typed.qTypedRevenueSql,
     "q_pivot"             -> Relational.qPivotSql,
     "q_array_funcs"       -> Relational.qArrayFuncsSql,

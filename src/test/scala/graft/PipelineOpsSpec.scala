@@ -251,4 +251,19 @@ class PipelineOpsSpec extends SparkSpec {
       batch.exceptAll(streamed).count() == 0,
       "ordered stream replay must flag exactly the batch anomalies")
   }
+
+  test("q_cohort: offset-0 equals cohort size; retention never exceeds it") {
+    val rows = graft.engine.Cohort.qCohort(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val cohorts = rows.keys.map(_._1).toSet
+    val users = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    // every user is in exactly one cohort, and appears at offset 0 by
+    // definition (the first-touch week is itself an active week)
+    assert(cohorts.forall(c => rows.contains((c, 0L))), "offset 0 present")
+    assert(rows.collect { case ((c, 0L), n) => n }.sum == users,
+      "cohort sizes partition the user base")
+    for (((c, off), n) <- rows if off > 0)
+      assert(n <= rows((c, 0L)), s"retention at ($c,$off) exceeds cohort size")
+    assert(rows.keys.forall(_._2 >= 0), "no activity before first touch")
+  }
 }
