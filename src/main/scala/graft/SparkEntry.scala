@@ -107,6 +107,12 @@ object SparkEntry {
     "q_dq_audit"          -> (Quality.qDqAudit _),
     // time-series regularization: bucket, spine, carry-forward fill
     "q_resample"          -> (Resample.qResample _),
+    // …and the linear-interpolation dual, exact-integer lerp
+    "q_interpolate"       -> (Resample.qInterpolate _),
+    // materialized-view upkeep: base+delta partial merge == full recompute
+    "q_incr_agg"          -> (Materialize.qIncrAgg _),
+    // snapshot differencing: derive the changelog from two table versions
+    "q_snapshot_diff"     -> (Cdc.qSnapshotDiff _),
     // training-set assembly: stable hash split + weighted source mixing
     "q_split_assign"      -> (Mixture.qSplitAssign _),
     "q_mixture"           -> (Mixture.qMixture _),
@@ -202,6 +208,9 @@ object SparkEntry {
     "q_skew_join"         -> Skew.qSkewJoinSql,
     "q_dq_audit"          -> Quality.qDqAuditSql,
     "q_resample"          -> Resample.qResampleSql,
+    "q_interpolate"       -> Resample.qInterpolateSql,
+    "q_incr_agg"          -> Materialize.qIncrAggSql,
+    "q_snapshot_diff"     -> Cdc.qSnapshotDiffSql,
     "q_split_assign"      -> Mixture.qSplitAssignSql,
     "q_mixture"           -> Mixture.qMixtureSql,
     "q_anomaly"           -> Anomaly.qAnomalySql,

@@ -111,6 +111,83 @@ object Cdc {
       .orderBy(col("_entity_type"), col("id"), col("version_seq"))
   }
 
+  /** q_snapshot_diff: snapshot differencing — given two versions of a
+    * table, emit the minimal change set (insert / delete / update rows)
+    * that turns the old snapshot into the new one. This is the
+    * reference's CDC problem INVERTED: the reference tails a changelog
+    * the backend provides (Task.java:296-343); when a backend provides
+    * only full snapshots, the consumer must DERIVE the changelog — the
+    * classic "diff two S3 dumps" job every warehouse runs.
+    *
+    * The two snapshots are carved deterministically from `orders` so the
+    * oracle can carve them identically:
+    *   - NEW  = current orders minus keys ≡ 0 (mod 997)   (deleted since)
+    *   - OLD  = current orders minus keys ≡ 0 (mod 1000)  (inserted since),
+    *     and for keys ≡ 0 (mod 7) the old price was the whole-dollar
+    *     truncation (later corrected → an update when cents remain).
+    *
+    * Classification is a FULL OUTER join on the key:
+    *   old NULL → 'I', new NULL → 'D', both + differing value → 'U';
+    *   unchanged rows are dropped (the diff is minimal by construction).
+    *
+    * Prices compare as exact integer cents (floor(p·100 + 0.5) — the
+    * established IEEE-exact spelling), so 'U' detection is never a
+    * float epsilon question.
+    *
+    * Scale posture: ONE full-outer shuffle join keyed on the primary
+    * key — the optimal general snapshot diff (no index assumption). At
+    * 100 TB both snapshots would be bucketed by the key at write time
+    * (q_zorder's layout machinery), making the join a zero-shuffle
+    * sort-merge; the change set that ships downstream is |I|+|D|+|U|
+    * rows, not the table. */
+  def qSnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+    val newSnap = orders.filter(pmod(col("o_orderkey"), lit(997)) =!= 0)
+      .select(col("o_orderkey"), col("cents").as("new_cents"))
+    val oldSnap = orders.filter(pmod(col("o_orderkey"), lit(1000)) =!= 0)
+      .select(col("o_orderkey"),
+        when(pmod(col("o_orderkey"), lit(7)) === 0,
+          col("cents") - pmod(col("cents"), lit(100)))
+          .otherwise(col("cents")).as("old_cents"))
+    oldSnap.join(newSnap, Seq("o_orderkey"), "full_outer")
+      .withColumn("op",
+        when(col("old_cents").isNull, lit("I"))
+          .when(col("new_cents").isNull, lit("D"))
+          .when(col("old_cents") =!= col("new_cents"), lit("U")))
+      .filter(col("op").isNotNull)
+      .select(col("op"), col("o_orderkey"), col("old_cents"), col("new_cents"),
+        (coalesce(col("new_cents"), lit(0L)) - coalesce(col("old_cents"), lit(0L)))
+          .as("delta_cents"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Same carve, same full-outer classification. */
+  val qSnapshotDiffSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey,
+      |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      |  FROM orders),
+      |new_snap AS (
+      |  SELECT o_orderkey, cents AS new_cents FROM o WHERE o_orderkey % 997 <> 0),
+      |old_snap AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN cents - cents % 100 ELSE cents END
+      |      AS old_cents
+      |  FROM o WHERE o_orderkey % 1000 <> 0),
+      |d AS (
+      |  SELECT COALESCE(old_snap.o_orderkey, new_snap.o_orderkey) AS o_orderkey,
+      |    old_cents, new_cents,
+      |    CASE WHEN old_cents IS NULL THEN 'I'
+      |         WHEN new_cents IS NULL THEN 'D'
+      |         WHEN old_cents <> new_cents THEN 'U' END AS op
+      |  FROM old_snap FULL OUTER JOIN new_snap USING (o_orderkey))
+      |SELECT op, o_orderkey, old_cents, new_cents,
+      |  COALESCE(new_cents, 0) - COALESCE(old_cents, 0) AS delta_cents
+      |FROM d WHERE op IS NOT NULL
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Generator replay (closed form, update_every=3) + the same windows. */
   val qScd2Sql: String =
     """WITH gen AS (

@@ -136,7 +136,16 @@ class PlanSpec extends SparkSpec {
       "q_skew_join"       -> ((4, 0, true)),  // salted SHJ + rollup + sort
       "q_split_assign"    -> ((3, 0, false)), // rebalance + agg + sort
       "q_mixture"         -> ((3, 0, false)), // rebalance + source window + agg
-      "q_anomaly"         -> ((2, 0, false))) // series window + output sort
+      "q_anomaly"         -> ((2, 0, false)), // series window + output sort
+      // incremental-analytics trio: the MV merge is two agg trees over one
+      // cut scan (partial→merge + two-level keyset distinct) joined on the
+      // group key; interpolate is the resample spine + one window pass;
+      // snapshot diff is the canonical 3-exchange full-outer (both
+      // snapshot sides + output sort) with ZERO broadcasts — at 100 TB
+      // neither snapshot is small, so a broadcast would be a regression
+      "q_incr_agg"        -> ((7, 2, false)), // bounds+spine broadcasts only
+      "q_interpolate"     -> ((6, 1, false)), // series-list broadcast only
+      "q_snapshot_diff"   -> ((3, 0, true))) // full-outer SMJ; key pushdown
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
