@@ -65,13 +65,18 @@ object Materialize {
         min(col("cents")).as("min_cents"),
         max(col("cents")).as("max_cents"))
 
-  /** Events with the exact-integer measure columns the rollup keys on. */
-  def measured(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir).select(
+  /** The exact-integer measure columns the rollup keys on, over any
+    * normalized events frame (batch table or a foreachBatch micro-batch —
+    * MvMaintSpec maintains the same rollup over the file stream). */
+  def measureEvents(ev: DataFrame): DataFrame =
+    ev.select(
       expr(s"unix_micros(ts) div ${DayUs}L").as("day"),
       col("event_type"), col("user_id"),
       floor(col("value") * 100.0 + 0.5).cast("long").as("cents"),
       unix_micros(col("ts")).as("us"))
+
+  def measured(spark: SparkSession, sfDir: String): DataFrame =
+    measureEvents(Tables.events(spark, sfDir))
 
   /** q_incr_agg: the daily (day × event_type) rollup maintained as
     * base-state + delta-merge, output identical to a full recompute.

@@ -66,6 +66,44 @@ class MvMaintSpec extends SparkSpec {
       "keyset-union distinct must be exact on the straddling day too")
   }
 
+  test("streaming maintenance: foreachBatch merge over micro-batches == batch recompute") {
+    import org.apache.spark.sql.streaming.Trigger
+    // stage events as 3 files; maxFilesPerTrigger=1 forces 3 micro-batches
+    val in = java.nio.file.Files.createTempDirectory("mv_in").toString
+    val raw = Tables.eventsRaw(spark, sf)
+    val n = raw.count()
+    raw.filter(col("event_id") * 3 < n).coalesce(1).write.parquet(s"$in/s1")
+    raw.filter(col("event_id") * 3 >= n && col("event_id") * 3 < 2 * n)
+      .coalesce(1).write.parquet(s"$in/s2")
+    raw.filter(col("event_id") * 3 >= 2 * n).coalesce(1).write.parquet(s"$in/s3")
+    for (s <- Seq("s1", "s2", "s3");
+         f <- new java.io.File(s"$in/$s").listFiles()
+         if f.getName.endsWith(".parquet"))
+      java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(s"$in/$s.parquet"))
+    // state := merge(state ∪ partial(batch)) per micro-batch — the MV job
+    // a production pipeline runs from the changelog topic; cut() detaches
+    // each state from the expiring micro-batch lineage
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    var batches = 0
+    val stream = Tables.normalizeTs(
+      spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$in/*.parquet"))
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val partial = Materialize.partialAgg(Materialize.measureEvents(b))
+        state = Some(Iterate.cut(state.fold(partial)(s =>
+          Materialize.mergePartials(s.unionByName(partial)))))
+        batches += 1
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(batches >= 3, s"expected one micro-batch per staged file, got $batches")
+    val got = state.get
+    assert(got.exceptAll(fullRollup).count() == 0 &&
+      fullRollup.exceptAll(got).count() == 0,
+      "streamed MV state must equal the batch recompute")
+  }
+
   // --- linear interpolation -----------------------------------------------
 
   test("q_interpolate invariants: pass-through, boundedness, edge fills") {
