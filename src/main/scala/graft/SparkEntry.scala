@@ -120,6 +120,12 @@ object SparkEntry {
     "q_anomaly"           -> (Anomaly.qAnomaly _),
     // weekly cohort retention matrix
     "q_cohort"            -> (Cohort.qCohort _),
+    // ordered string aggregation (LISTAGG with an ORDER BY key)
+    "q_listagg"           -> (Relational.qListagg _),
+    // all-pairs rare-term cosine after exact dedup (prefix-filter shape)
+    "q_cosine_pairs"      -> (LlmOps.qCosinePairs _),
+    // integer-exact damped PageRank, 3 unrolled message-passing rounds
+    "q_pagerank"          -> (Graph.qPagerank _),
     // sink frame + control plane + typed aggregation
     "q_kafka_frame"       -> (Sink.qKafkaFrame _),
     "q_incremental_batch" -> (Sink.qIncrementalBatch _),
@@ -215,6 +221,9 @@ object SparkEntry {
     "q_mixture"           -> Mixture.qMixtureSql,
     "q_anomaly"           -> Anomaly.qAnomalySql,
     "q_cohort"            -> Cohort.qCohortSql,
+    "q_listagg"           -> Relational.qListaggSql,
+    "q_cosine_pairs"      -> LlmOps.qCosinePairsSql,
+    "q_pagerank"          -> Graph.qPagerankSql,
     "q_typed_revenue"     -> Typed.qTypedRevenueSql,
     "q_pivot"             -> Relational.qPivotSql,
     "q_array_funcs"       -> Relational.qArrayFuncsSql,

@@ -1,0 +1,137 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics as join-based message passing — the Spark
+  * shape for PageRank-style computation at scale: each round is one
+  * (ranks ⋈ edges) join, one aggregation on the destination key, and one
+  * join back to the node set; state lives in a DataFrame (never on the
+  * driver), and `Iterate.cut` keeps the logical plan from growing by one
+  * layer per round (the connectedComponents lesson).
+  *
+  * Reference scope: the reference engine has no graph operator — this is
+  * beyond-reference surface, alongside the LLM-pipeline family. What makes
+  * it declarable on the oracle-differential harness is the arithmetic: the
+  * damped update is cleared to SCALED INTEGERS (rank mass in units of
+  * 10⁻¹² of one unit of probability) with floor division at the two
+  * places mass is split, so every iteration is exact 64-bit integer math
+  * that DuckDB replays with `//` — no floating point anywhere, bit-equal
+  * fixpoints at every scale factor. (Classic float PageRank differs
+  * across engines in the last ulps of every sum, which an exact-hash
+  * differential cannot absorb.)
+  */
+object Graph {
+
+  /** Rank mass scale: 1.0 of probability == 10¹². Headroom argument:
+    * total mass stays ≤ SCALE (floor division only ever loses mass), so
+    * the damped sum `85 * Σ contrib` is < 85·10¹² « 2⁶³. */
+  private val Scale = 1000000000000L
+
+  private val Iters = 3
+
+  /** q_pagerank: 3 damped (d = 0.85) synchronous PageRank rounds over the
+    * bipartite supplier↔part graph induced by lineitem (an edge per
+    * distinct (l_suppkey, l_partkey) pair, both directions), top-20 nodes
+    * by final rank.
+    *
+    * Update rule (all integer):
+    *   contrib(u)  = r(u) div outdeg(u)
+    *   r'(v)       = (15·(SCALE div N)) div 100
+    *               + (85 · Σ_{u→v} contrib(u)) div 100
+    *
+    * Scale posture: the edge distinct is one shuffle; each round shuffles
+    * on the node key for the message aggregation — the canonical
+    * PageRank cost — with the (st, sid) join co-partitioned with the
+    * previous round's output, the 1-row N spine broadcast, and no node
+    * ever materialized on the driver. Undirected-bipartite edges mean
+    * every node has outdeg ≥ 1 (no dangling-mass term) and receives at
+    * least one message (the left join's coalesce(0) is pure safety). */
+  def qPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val e0 = Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+      .distinct()
+    rankBipartite(e0, Iters)
+      .orderBy(col("r").desc, col("nt"), col("nid"))
+      .limit(20)
+      .select(col("nt").as("node_type"), col("nid").as("node_id"),
+        col("r").as("rank"))
+  }
+
+  /** The iteration core over any distinct (s, p) bipartite edge frame —
+    * returns the FULL final rank set (nt, nid, outdeg, r); the spec
+    * replays the identical integer recurrence driver-side on a small
+    * graph and asserts exact equality. */
+  private[graft] def rankBipartite(e0: DataFrame, iters: Int): DataFrame = {
+    val edges = e0.select(lit("s").as("st"), col("s").as("sid"),
+        lit("p").as("dt"), col("p").as("did"))
+      .unionAll(e0.select(lit("p").as("st"), col("p").as("sid"),
+        lit("s").as("dt"), col("s").as("did")))
+      .persist() // scanned once per round; lineage = the distinct shuffle
+    val nodes = edges
+      .select(col("st").as("nt"), col("sid").as("nid"))
+      .groupBy(col("nt"), col("nid"))
+      .agg(count(lit(1)).as("outdeg"))
+      .persist()
+    try {
+      val params = nodes.agg(count(lit(1)).as("n")) // 1-row broadcast spine
+      var r = Iterate.cut(nodes.crossJoin(broadcast(params))
+        .select(col("nt"), col("nid"), col("outdeg"),
+          expr(s"$Scale div n").as("r")))
+      for (_ <- 1 to iters) {
+        val msgs = edges
+          .join(r.select(col("nt").as("st"), col("nid").as("sid"),
+            expr("r div outdeg").as("c")), Seq("st", "sid"))
+          .select(col("dt").as("nt"), col("did").as("nid"), col("c"))
+          .groupBy(col("nt"), col("nid"))
+          .agg(sum(col("c")).as("m"))
+        r = Iterate.cut(nodes
+          .join(msgs, Seq("nt", "nid"), "left")
+          .crossJoin(broadcast(params))
+          .select(col("nt"), col("nid"), col("outdeg"),
+            (expr(s"(15 * ($Scale div n)) div 100") +
+              expr("(85 * coalesce(m, 0L)) div 100")).as("r")))
+      }
+      r
+    } finally {
+      // safe before the caller's action: every round ended in Iterate.cut,
+      // so the returned frame's plan is a leaf over the final ranks
+      nodes.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
+    }
+  }
+
+  /** The three rounds unrolled in DuckDB — `//` is floor division, which
+    * equals Spark's `div` truncation on the non-negative operands here. */
+  val qPagerankSql: String = {
+    def round(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT n.nt, n.nid, n.outdeg,
+         |    ((15 * (1000000000000 // p.n)) // 100)
+         |      + (85 * COALESCE(m.s, 0)) // 100 AS r
+         |  FROM nodes n
+         |  LEFT JOIN (
+         |    SELECT e.dt AS nt, e.did AS nid, CAST(SUM(r.r // r.outdeg) AS BIGINT) AS s
+         |    FROM edges e JOIN $prev r ON r.nt = e.st AND r.nid = e.sid
+         |    GROUP BY 1, 2) m ON m.nt = n.nt AND m.nid = n.nid
+         |  CROSS JOIN params p)""".stripMargin
+    s"""WITH e0 AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+       |edges AS (
+       |  SELECT 's' AS st, s AS sid, 'p' AS dt, p AS did FROM e0
+       |  UNION ALL
+       |  SELECT 'p' AS st, p AS sid, 's' AS dt, s AS did FROM e0),
+       |nodes AS (
+       |  SELECT st AS nt, sid AS nid, CAST(COUNT(*) AS BIGINT) AS outdeg
+       |  FROM edges GROUP BY 1, 2),
+       |params AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+       |r0 AS (
+       |  SELECT nt, nid, outdeg, (1000000000000 // p.n) AS r
+       |  FROM nodes CROSS JOIN params p),
+       |${round("r0", "r1")},
+       |${round("r1", "r2")},
+       |${round("r2", "r3")}
+       |SELECT nt AS node_type, nid AS node_id, r AS rank
+       |FROM r3
+       |ORDER BY r DESC, nt, nid LIMIT 20""".stripMargin
+  }
+}

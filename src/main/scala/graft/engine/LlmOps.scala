@@ -779,6 +779,99 @@ object LlmOps {
       |FROM common
       |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100""".stripMargin
 
+  /** q_cosine_pairs: top-50 exact cosine-similar pairs over sparse
+    * term-frequency vectors restricted to DISCRIMINATIVE terms (document
+    * frequency ≤ 256), computed AFTER exact dedup — the standard near-dup
+    * stage a pipeline runs once `q_dedup_exact_text` has collapsed byte
+    * copies.
+    *
+    * 100 TB shape (the all-pairs-similarity problem, cf. DISCO/prefix
+    * filtering): a naive doc×doc cosine is quadratic in the corpus; this
+    * plan is linear because BOTH blowup sources are structurally bounded:
+    *  - dedup-first: postings are built over exact-distinct texts only
+    *    (min-doc_id representative per sha256 digest), so duplicate-heavy
+    *    corpora collapse before any pairing;
+    *  - the df ≤ 256 vocabulary prune (declared semantics, not a silent
+    *    cap): a term shared by thousands of documents carries no
+    *    discriminative signal AND is exactly the term whose posting list
+    *    makes pair generation quadratic. With it, every posting list is
+    *    ≤ 256 docs by construction — pairs per term are constant-bounded
+    *    and total work is linear in vocabulary size. No fail-fast guard
+    *    needed: the bound is part of the query's meaning, so it can never
+    *    silently corrupt output.
+    *
+    * Norms are computed over the SAME pruned vector space, so the cosine
+    * is exact for the declared (rare-term) vectors. Every aggregate is an
+    * exact integer < 2⁵³; the single divide and the IEEE-correctly-rounded
+    * sqrt are evaluated with the identical parenthesization in DuckDB, so
+    * scores are bit-equal cross-engine (the BM25 determinism discipline).
+    */
+  def qCosinePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val reps = Tables.documents(spark, sfDir)
+      .groupBy(sha2(col("text"), 256).as("digest"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+    val tf = reps
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // df prune BEFORE norms: the kept vector space defines the semantics.
+    // df is a term-keyed aggregate; broadcast of the kept-vocabulary side
+    // is NOT safe at scale (vocab ~ corpus-sized), so it stays a shuffled
+    // semi-join on term — one exchange shared with the posting groupBy.
+    val rare = tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .filter(col("df") <= 256).drop("df")
+    val post = rare.withColumn("nrm",
+      sum(col("tf") * col("tf")).over(Window.partitionBy(col("doc_id"))))
+    val pairs = post
+      .groupBy(col("term"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("tf"), col("nrm")))).as("m"))
+      .filter(size(col("m")) > 1)
+      .select(explode(pairsOf(col("m"))).as("p"))
+      .groupBy(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"))
+      .agg(sum(col("p.a.tf") * col("p.b.tf")).as("dot"),
+        first(col("p.a.nrm")).as("n_a"), first(col("p.b.nrm")).as("n_b"))
+    pairs
+      .select(col("doc_a"), col("doc_b"),
+        (col("dot").cast("double") /
+          sqrt((col("n_a") * col("n_b")).cast("double"))).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_a"), col("doc_b"))
+      .limit(50)
+  }
+
+  /** The identical pruned-vector cosine in DuckDB: same dedup-first
+    * representative rule (GROUP BY text == GROUP BY digest for exact
+    * equality), same df ≤ 256 prune, same integer dot/norms, same
+    * parenthesization of the one double expression. */
+  val qCosinePairsSql: String =
+    """WITH reps AS (
+      |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+      |t AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+      |  FROM reps),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM t GROUP BY 1, 2),
+      |rare AS (
+      |  SELECT doc_id, term, tf FROM (
+      |    SELECT doc_id, term, tf,
+      |      COUNT(*) OVER (PARTITION BY term) AS df
+      |    FROM tf) WHERE df <= 256),
+      |nrm AS (
+      |  SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS nrm
+      |  FROM rare GROUP BY 1),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+      |  FROM rare a JOIN rare b ON a.term = b.term AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm * nb.nrm AS DOUBLE)) AS cosine
+      |FROM p
+      |JOIN nrm na ON na.doc_id = p.doc_a
+      |JOIN nrm nb ON nb.doc_id = p.doc_b
+      |ORDER BY cosine DESC, doc_a, doc_b LIMIT 50""".stripMargin
+
   /** Connected components by min-label propagation: labels start as the
     * node id; each round every node takes the min of its own and its
     * neighbors' labels; stop at fixpoint (checked with a count, which also

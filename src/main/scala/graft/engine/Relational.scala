@@ -959,6 +959,40 @@ object Relational {
       |   EXCEPT SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
       |ORDER BY op, c_custkey""".stripMargin
 
+  /** q_listagg: ordered string aggregation (LISTAGG / string_agg ... ORDER
+    * BY) — per BUILDING-segment customer, their order priorities
+    * concatenated in (o_orderdate, o_orderkey) order. The ORDER BY key
+    * differs from the aggregated value, the part Spark has no direct
+    * function for: collect structs carrying the sort key, `sort_array`
+    * (array-level, no extra shuffle or window), project the value out with
+    * `transform`, join. One exchange on c_custkey; group payload bounded
+    * by per-customer order counts (broadcast dimension-filter on the
+    * probe side keeps the fact scan shuffle-only-once). */
+  def qListagg(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val o = Tables.orders(spark, sfDir)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    o.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sort_array(collect_list(struct(
+          col("o_orderdate"), col("o_orderkey"), col("o_orderpriority")))).as("_s"))
+      .select(col("o_custkey"), col("n_orders"),
+        array_join(transform(col("_s"), s => s.getField("o_orderpriority")), "|")
+          .as("priorities"))
+  }
+
+  val qListaggSql: String =
+    """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  string_agg(o_orderpriority, '|' ORDER BY o_orderdate, o_orderkey)
+      |    AS priorities
+      |FROM orders
+      |WHERE o_custkey IN
+      |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
   /** q_pivot: event counts pivoted to one column per type (explicit value
     * list keeps the schema static — the 100 TB form; an unbounded pivot
     * would need a driver-side distinct first). coalesce(0) because Spark's
