@@ -104,4 +104,62 @@ class HeavyHitterSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(got.toSeq == Seq((1L, "a", 900L), (2L, "b", 700L), (3L, "c", 500L)))
   }
+
+  test("streaming twin: per-micro-batch MG summaries merged across batches " +
+      "+ recount == exact top-10 (mergeable-summaries over a real stream)") {
+    import org.apache.spark.sql.streaming.Trigger
+    // the production shape for a token stream: each micro-batch reduces to
+    // ONE m-bounded summary (the only state carried between batches —
+    // O(m), never the token multiset); the mergeable-summaries law makes
+    // the merged state equivalent to a single-pass summary of the union,
+    // so the pass-2 recount + provability check work unchanged
+    val docs = engine.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val n = docs.count()
+    val in = java.nio.file.Files.createTempDirectory("hh_in").toString
+    docs.filter(col("doc_id") * 3 < n).coalesce(1).write.parquet(s"$in/a")
+    docs.filter(col("doc_id") * 3 >= n && col("doc_id") * 3 < 2 * n)
+      .coalesce(1).write.parquet(s"$in/b")
+    docs.filter(col("doc_id") * 3 >= 2 * n).coalesce(1).write.parquet(s"$in/c")
+    for (s <- Seq("a", "b", "c");
+         f <- new java.io.File(s"$in/$s").listFiles()
+         if f.getName.endsWith(".parquet"))
+      java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(s"$in/$s.parquet"))
+    val m = 4096
+    val agg = new MgAggregator(m)
+    var state = agg.zero
+    var batches = 0
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$in/*.parquet")
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        import spark.implicits._
+        val buf = b.select(explode(split(lower(col("text")), " ")).as("token"))
+          .filter(col("token") =!= "")
+          .select(col("token").as[String])
+          .select(agg.toColumn).head()
+        state = agg.merge(state, buf)
+        batches += 1
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(batches >= 3, s"expected one micro-batch per staged file, got $batches")
+    // pass 2 over the full corpus with the streamed summary's candidates
+    val toks = docs
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val top = toks.filter(col("token").isin(state.keys.toSeq: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc).limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // provability against the streamed summary's exact error weight
+    assert(top.last._2 > state.maxErr,
+      s"streamed summary must keep the top-10 provable (kth=${top.last._2}, " +
+      s"maxErr=${state.maxErr})")
+    val brute = toks.groupBy("token").count()
+      .orderBy(col("count").desc, col("token").asc).limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top.toSeq == brute.toSeq,
+      "streaming-merged summary + recount must equal the exact batch top-10")
+  }
 }
