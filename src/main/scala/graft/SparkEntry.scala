@@ -68,6 +68,7 @@ object SparkEntry {
     "q_sim_ivf"           -> (LlmOps.qSimIvf _),
     "q_quantize_embed"    -> (Quantize.qQuantizeEmbed _),
     "q_sim_ivf_quant"     -> (Quantize.qSimIvfQuant _),
+    "q_ann_recall"        -> (Quantize.qAnnRecall _),
     "q_text_analysis"     -> (LlmOps.qTextAnalysis _),
     "q_token_count"       -> (LlmOps.qTokenCount _),
     "q_text_quality"      -> (LlmOps.qTextQuality _),
@@ -241,6 +242,7 @@ object SparkEntry {
     "q_agg_kmv"           -> Sketches.qAggKmvSql,
     "q_quantize_embed"    -> Quantize.qQuantizeEmbedSql,
     "q_sim_ivf_quant"     -> Quantize.qSimIvfQuantSql,
+    "q_ann_recall"        -> Quantize.qAnnRecallSql,
     "q_chunk_docs"        -> Curation.qChunkDocsSql,
   )
 }

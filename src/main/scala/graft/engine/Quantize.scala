@@ -153,6 +153,79 @@ object Quantize {
     * vector would thread NULL distances through two Lloyd rounds, where
     * engine and oracle NULL-ordering conventions differ. The invariant is
     * asserted by SketchQuantChunkSpec over the test corpus. */
+  /** q_ann_recall: the ANN quality metric — recall@3 of the quantized-IVF
+    * path against the EXACT top-3 by the same int8 squared distance, per
+    * query, as exact integers (hits and basis points; no floats on the
+    * hash path). The evaluation op every ANN deployment needs: IVF trades
+    * recall for probe locality, and this query MEASURES the trade instead
+    * of assuming it.
+    *
+    * Scale posture: the exact side is the deliberate cost of ground truth
+    * — ONE corpus scan against a broadcast 10-query set (the standard
+    * sampled-recall methodology at 100 TB: you never brute-force every
+    * query, you sample); the IVF side reuses the probe-bounded pipeline.
+    * Both sides and the join are DuckDB-replayed, so the oracle checks
+    * the metric arithmetic end to end. */
+  def qAnnRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val ivf = qSimIvfQuant(spark, sfDir).select(col("qid"), col("neighbor_id"))
+    val q8 = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), VectorExprs.quantizeU8(col("embedding")).getField("q").as("qv"))
+    val queries = q8.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"))
+    val wRank = Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))
+    val exact = q8.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), sqd(col("qq"), col("qv")).as("d"))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= TopK)
+      .select(col("qid"), col("vec_id").as("neighbor_id"))
+    val hits = exact
+      .join(ivf, Seq("qid", "neighbor_id"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    queries.select(col("qid"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr(s"(coalesce(n_hits, 0L) * 10000) div $TopK").as("recall_bp"))
+      .orderBy(col("qid"))
+  }
+
+  /** Exact-side replay + the full IVF pipeline as a subquery; `//` floors
+    * like `div` on the non-negative counts. (lazy: interpolates
+    * qSimIvfQuantSql, declared below — object vals initialize in order.) */
+  lazy val qAnnRecallSql: String = {
+    val dist = (a: String, b: String) =>
+      s"list_sum([CAST(($a[i] - $b[i]) * ($a[i] - $b[i]) AS BIGINT) " +
+        s"for i in range(1, len($a) + 1)])"
+    s"""WITH ivf AS (SELECT qid, neighbor_id FROM ($qSimIvfQuantSql)),
+       |v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       |m AS (
+       |  SELECT vec_id, ve, list_min(ve) AS lo, list_max(ve) AS hi FROM v),
+       |q8 AS (
+       |  SELECT vec_id,
+       |    CASE WHEN hi = lo THEN [0 for x in ve]
+       |         ELSE [CAST(floor(((x - lo) * 255.0) / (hi - lo) + 0.5) AS INT)
+       |               for x in ve]
+       |    END AS qv
+       |  FROM m),
+       |qs AS (SELECT vec_id AS qid, qv AS qq FROM q8 WHERE vec_id < 10),
+       |ex AS (
+       |  SELECT qid, vec_id AS neighbor_id FROM (
+       |    SELECT q.qid, c.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid
+       |        ORDER BY ${dist("q.qq", "c.qv")}, c.vec_id) AS rn
+       |    FROM qs q CROSS JOIN q8 c WHERE c.vec_id <> q.qid) WHERE rn <= $TopK),
+       |h AS (
+       |  SELECT e.qid, CAST(COUNT(*) AS BIGINT) AS n_hits
+       |  FROM ex e JOIN ivf i ON i.qid = e.qid AND i.neighbor_id = e.neighbor_id
+       |  GROUP BY 1)
+       |SELECT q.qid, COALESCE(h.n_hits, 0) AS n_hits,
+       |  (COALESCE(h.n_hits, 0) * 10000) // $TopK AS recall_bp
+       |FROM qs q LEFT JOIN h ON h.qid = q.qid
+       |ORDER BY q.qid""".stripMargin
+  }
+
   val qSimIvfQuantSql: String = {
     val dist = (a: String, b: String) =>
       s"list_sum([CAST(($a[i] - $b[i]) * ($a[i] - $b[i]) AS BIGINT) " +

@@ -161,4 +161,32 @@ class SketchQuantChunkSpec extends SparkSpec {
     assert(c0.drop(48).toSeq == c1.take(16).toSeq)
     assert(chunks(2).split(" ").head == "w96")
   }
+
+  test("q_ann_recall: metric arithmetic exact; hits recomputed independently") {
+    val out = graft.engine.Quantize.qAnnRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 10 && out.map(_._1).toSeq == (0L to 9L))
+    // recall_bp is exactly hits*10000 div 3, hits within [0, 3]
+    assert(out.forall { case (_, h, bp) => h >= 0 && h <= 3 && bp == h * 10000 / 3 })
+    // independent recomputation of the intersection: both top-3 sets via
+    // collect + Scala set ops (different join path than the query's semi)
+    val ivf = graft.engine.Quantize.qSimIvfQuant(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, g) => q -> g.map(_._2).toSet }
+    val q8 = graft.engine.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        VectorExprs.quantizeU8(col("embedding")).getField("q").as("qv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toArray))
+    val queries = q8.filter(_._1 < 10)
+    def d2(a: Array[Int], b: Array[Int]): Long =
+      a.zip(b).map { case (x, y) => (x - y).toLong * (x - y) }.sum
+    val exact = queries.map { case (qid, qq) =>
+      qid -> q8.filter(_._1 != qid)
+        .map { case (v, qv) => (d2(qq, qv), v) }.sorted.take(3).map(_._2).toSet
+    }.toMap
+    out.foreach { case (qid, h, _) =>
+      assert(h == (exact(qid) intersect ivf.getOrElse(qid, Set.empty)).size,
+        s"hits mismatch for query $qid")
+    }
+  }
 }
