@@ -145,7 +145,20 @@ class PlanSpec extends SparkSpec {
       // neither snapshot is small, so a broadcast would be a regression
       "q_incr_agg"        -> ((7, 2, false)), // bounds+spine broadcasts only
       "q_interpolate"     -> ((6, 1, false)), // series-list broadcast only
-      "q_snapshot_diff"   -> ((3, 0, true))) // full-outer SMJ; key pushdown
+      "q_snapshot_diff"   -> ((3, 0, true)), // full-outer SMJ; key pushdown
+      // round-6 second half: listagg is the ideal group-agg shape (one
+      // exchange on the group key, dimension filter broadcast + pushed);
+      // cosine-pairs alternates doc/term partitionings — 4 essential
+      // exchanges for the tf→df-prune→norm→postings dataflow plus the
+      // digest/tf/pair aggs, zero broadcasts (vocab is corpus-sized);
+      // pagerank's final plan is a LEAF (every round ends in Iterate.cut
+      // — the pin locks the lineage-truncation design); ann_recall keeps
+      // the query sample broadcast with vec_id pushdown, the IVF side
+      // entering as a cut leaf
+      "q_listagg"         -> ((1, 1, true)),
+      "q_cosine_pairs"    -> ((7, 0, false)),
+      "q_pagerank"        -> ((0, 0, false)), // cut leaves; see Graph.scala
+      "q_ann_recall"      -> ((9, 1, true)))
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
