@@ -26,9 +26,12 @@ object Funnel {
   private val ClickWinUs = 8L * 3600 * 1000000    // view → click within 8 h
   private val BuyWinUs = 24L * 3600 * 1000000     // click → purchase within 24 h
 
-  def qFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-user stage times (t1, t2, t3) — factored out so the streaming
+    * twin's spec can compare its carried state against the batch windows
+    * directly (FunnelStreamSpec). */
+  private[graft] def userStages(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
-    val staged = Tables.events(spark, sfDir)
+    Tables.events(spark, sfDir)
       .filter(col("event_type").isin("view", "click", "purchase"))
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_type"))
       .withColumn("t1", min(when(col("event_type") === "view", col("ts_us"))).over(w))
@@ -40,6 +43,10 @@ object Funnel {
         col("ts_us") <= col("t2") + lit(BuyWinUs), col("ts_us"))).over(w))
       .select(col("user_id"), col("t1"), col("t2"), col("t3"))
       .distinct() // one row per user: the window columns are constant per key
+  }
+
+  def qFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val staged = userStages(spark, sfDir)
     staged.agg(
         count(col("t1")).as("u1"),
         count(col("t2")).as("u2"),

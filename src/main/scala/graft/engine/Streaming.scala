@@ -378,6 +378,61 @@ object Streaming {
       .as[SessEventIn]
   }
 
+  // --- streaming funnel (ordered 3-stage conversion, O(1) state) ---------
+
+  case class FunnelEventIn(user_id: Long, tsMicros: Long, event_type: String)
+  case class FunnelState(t1: Long, t2: Long, t3: Long)
+  case class FunnelOut(user_id: Long, t1: Option[Long], t2: Option[Long],
+      t3: Option[Long])
+
+  /** Streaming twin of Funnel.qFunnel's per-user stage times: the
+    * greedy-earliest (t1, t2, t3) machine carried as 24 bytes per user —
+    * each slot is write-once (unset → earliest qualifying ts, never
+    * reassigned), so under the same ordered-replay contract as
+    * [[sessionizeStream]] the first qualifying event encountered IS the
+    * batch formulation's min. Within a batch rows fold in
+    * (ts, event_type) order, matching the batch windows' tie behavior
+    * (same-ts click sorts before the view that would open its window, and
+    * `>` excludes it either way). FunnelStreamSpec pins stream == batch
+    * stage times across a time-ordered multi-micro-batch replay. */
+  def funnelStream(events: org.apache.spark.sql.Dataset[FunnelEventIn]):
+      org.apache.spark.sql.Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val clickWin = 8L * 3600 * 1000000
+    val buyWin = 24L * 3600 * 1000000
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[FunnelEventIn], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          for (e <- rows.toSeq.sortBy(x => (x.tsMicros, x.event_type))) {
+            if (s.t1 < 0 && e.event_type == "view")
+              s = s.copy(t1 = e.tsMicros)
+            else if (s.t2 < 0 && s.t1 >= 0 && e.event_type == "click" &&
+                e.tsMicros > s.t1 && e.tsMicros <= s.t1 + clickWin)
+              s = s.copy(t2 = e.tsMicros)
+            else if (s.t3 < 0 && s.t2 >= 0 && e.event_type == "purchase" &&
+                e.tsMicros > s.t2 && e.tsMicros <= s.t2 + buyWin)
+              s = s.copy(t3 = e.tsMicros)
+          }
+          state.update(s)
+          Iterator(FunnelOut(key,
+            Some(s.t1).filter(_ >= 0),
+            Some(s.t2).filter(_ >= 0),
+            Some(s.t3).filter(_ >= 0)))
+      }
+  }
+
+  /** Events in the funnel's typed shape (pre-filtered to the stages). */
+  def funnelEvents(df: DataFrame): org.apache.spark.sql.Dataset[FunnelEventIn] = {
+    import df.sparkSession.implicits._
+    df.filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"),
+        col("event_type"))
+      .as[FunnelEventIn]
+  }
+
   // --- transformWithState (Spark 4 arbitrary-state API) ------------------
 
   /** `transformWithState` port of `upsertLatest`/`upsertLatestTtl` — the
