@@ -395,27 +395,32 @@ object Streaming {
     * (same-ts click sorts before the view that would open its window, and
     * `>` excludes it either way). FunnelStreamSpec pins stream == batch
     * stage times across a time-ordered multi-micro-batch replay. */
+  /** The funnel transition — factored for the ScalaCheck law in
+    * FunnelStreamSpec (fold over any time-ordered batch split == the
+    * batch conditional-min windows). */
+  private[graft] def funnelStep(s: FunnelState, tsMicros: Long,
+      eventType: String): FunnelState = {
+    val clickWin = 8L * 3600 * 1000000
+    val buyWin = 24L * 3600 * 1000000
+    if (s.t1 < 0 && eventType == "view") s.copy(t1 = tsMicros)
+    else if (s.t2 < 0 && s.t1 >= 0 && eventType == "click" &&
+        tsMicros > s.t1 && tsMicros <= s.t1 + clickWin) s.copy(t2 = tsMicros)
+    else if (s.t3 < 0 && s.t2 >= 0 && eventType == "purchase" &&
+        tsMicros > s.t2 && tsMicros <= s.t2 + buyWin) s.copy(t3 = tsMicros)
+    else s
+  }
+
   def funnelStream(events: org.apache.spark.sql.Dataset[FunnelEventIn]):
       org.apache.spark.sql.Dataset[FunnelOut] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val clickWin = 8L * 3600 * 1000000
-    val buyWin = 24L * 3600 * 1000000
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelOut](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (key: Long, rows: Iterator[FunnelEventIn], state: GroupState[FunnelState]) =>
           var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
-          for (e <- rows.toSeq.sortBy(x => (x.tsMicros, x.event_type))) {
-            if (s.t1 < 0 && e.event_type == "view")
-              s = s.copy(t1 = e.tsMicros)
-            else if (s.t2 < 0 && s.t1 >= 0 && e.event_type == "click" &&
-                e.tsMicros > s.t1 && e.tsMicros <= s.t1 + clickWin)
-              s = s.copy(t2 = e.tsMicros)
-            else if (s.t3 < 0 && s.t2 >= 0 && e.event_type == "purchase" &&
-                e.tsMicros > s.t2 && e.tsMicros <= s.t2 + buyWin)
-              s = s.copy(t3 = e.tsMicros)
-          }
+          for (e <- rows.toSeq.sortBy(x => (x.tsMicros, x.event_type)))
+            s = funnelStep(s, e.tsMicros, e.event_type)
           state.update(s)
           Iterator(FunnelOut(key,
             Some(s.t1).filter(_ >= 0),

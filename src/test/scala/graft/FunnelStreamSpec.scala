@@ -1,7 +1,9 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 import graft.engine.{Funnel, Streaming, Tables}
+import graft.engine.Streaming.FunnelState
 
 /** Streaming funnel: the per-user greedy-earliest (t1, t2, t3) machine,
   * carried as 24 bytes of state, must equal the batch conditional-min
@@ -48,5 +50,38 @@ class FunnelStreamSpec extends SparkSpec {
     assert(counts("1_view") == streamed.filter(col("t1").isNotNull).count())
     assert(counts("2_click") == streamed.filter(col("t2").isNotNull).count())
     assert(counts("3_purchase") == streamed.filter(col("t3").isNotNull).count())
+  }
+
+  test("funnelStep law: ordered fold == batch windows, invariant to batch splits") {
+    val clickWin = 8L * 3600 * 1000000L
+    val buyWin = 24L * 3600 * 1000000L
+    // batch semantics in plain Scala: three chained conditional mins
+    def batch(ev: Seq[(Long, String)]): (Long, Long, Long) = {
+      def minOr(xs: Seq[Long]): Long = if (xs.isEmpty) -1L else xs.min
+      val t1 = minOr(ev.collect { case (ts, "view") => ts })
+      val t2 = if (t1 < 0) -1L else minOr(ev.collect {
+        case (ts, "click") if ts > t1 && ts <= t1 + clickWin => ts })
+      val t3 = if (t2 < 0) -1L else minOr(ev.collect {
+        case (ts, "purchase") if ts > t2 && ts <= t2 + buyWin => ts })
+      (t1, t2, t3)
+    }
+    // small ts domain forces same-ts ties; windows exercised via hour gaps
+    val genEv = for {
+      ts <- Gen.chooseNum(0L, 40L).map(_ * 3600000000L)
+      ty <- Gen.oneOf("view", "click", "purchase")
+    } yield (ts, ty)
+    val p = Prop.forAll(Gen.listOf(genEv), Gen.chooseNum(1, 5)) { (ev, nb) =>
+      val sorted = ev.sortBy(identity) // (ts, type) — the operator's order
+      // split the ORDERED sequence into nb contiguous batches (the
+      // time-ordered replay contract), fold each batch through the step
+      val per = math.max(1, (sorted.size + nb - 1) / nb)
+      val folded = sorted.grouped(per).foldLeft(FunnelState(-1L, -1L, -1L)) {
+        (s, b) => b.foldLeft(s)((s2, e) => Streaming.funnelStep(s2, e._1, e._2))
+      }
+      val (t1, t2, t3) = batch(ev)
+      (folded.t1, folded.t2, folded.t3) == ((t1, t2, t3))
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.toString)
   }
 }
