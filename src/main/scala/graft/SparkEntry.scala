@@ -84,6 +84,8 @@ object SparkEntry {
     "q_decontaminate"     -> (Curation.qDecontaminate _),
     "q_pack_sequences"    -> (Curation.qPackSequences _),
     "q_chunk_docs"        -> (Curation.qChunkDocs _),
+    // the curation production path (dedup → gate → chunk) as ONE oracle
+    "q_curation_pipeline" -> (Curation.qCurationPipeline _),
     // streaming window algebra (batch-checkable)
     "q_stream_tumbling"   -> (Streaming.qStreamTumbling _),
     "q_stream_session"    -> (Streaming.qStreamSession _),
@@ -244,5 +246,6 @@ object SparkEntry {
     "q_sim_ivf_quant"     -> Quantize.qSimIvfQuantSql,
     "q_ann_recall"        -> Quantize.qAnnRecallSql,
     "q_chunk_docs"        -> Curation.qChunkDocsSql,
+    "q_curation_pipeline" -> Curation.qCurationPipelineSql,
   )
 }

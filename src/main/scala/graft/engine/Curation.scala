@@ -406,4 +406,85 @@ object Curation {
       |  -- the comparator then reads float64 vs Spark's BIGINT. CAST back.
       |  CAST(cum_excl % 2048 AS BIGINT) AS seq_offset
       |FROM c ORDER BY skey, doc_id""".stripMargin
+
+  // --- end-to-end curation pipeline --------------------------------------
+
+  /** q_curation_pipeline: the LLM-data production path composed end to
+    * end under ONE oracle — the counterpart of q_cdc_pipeline for the
+    * curation side. Stages, in pipeline order:
+    *
+    *  1. exact dedup → representatives (min doc_id per exact text; lang/
+    *     source aggregated with min for cross-replica determinism);
+    *  2. language + quality gate (lang = 'en', the q_text_quality
+    *     `passes` rule: ≥ 10 tokens with ≥ 1 stopword — exact integer
+    *     predicates only);
+    *  3. fixed-token overlapping chunking (the qChunkDocs 64/48 windows)
+    *     with a sha256 digest of each chunk's normalized text.
+    *
+    * The digest makes the check END-TO-END byte equality: any divergence
+    * in dedup choice, gate arithmetic, tokenization, window arithmetic,
+    * or slicing changes some chunk's hash. Each stage is individually
+    * oracled elsewhere (q_dedup_exact_text / q_text_quality /
+    * q_chunk_docs); this row checks their COMPOSITION — the interactions
+    * (dedup-then-gate ordering, gate-then-chunk carrying lang/source
+    * through) that per-stage oracles cannot see.
+    *
+    * Scale: one digest-keyed exchange for the dedup, then narrow passes
+    * only — the gate is per-row, the chunker amplifies ≈1.33× in-row.
+    * Same posture as the stages it composes. */
+  def qCurationPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val reps = Tables.documents(spark, sfDir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("lang")).as("lang"),
+        min(col("source")).as("source"))
+    val stopArr = typedLit(LlmOps.stopwords)
+    val gated = reps
+      .filter(col("lang") === "en")
+      .withColumn("_tk", LlmOps.tokens(col("text")))
+      .filter(size(col("_tk")) >= 10 &&
+        size(filter(col("_tk"), t => array_contains(stopArr, t))) >= 1)
+    gated
+      .select(col("doc_id"), col("lang"), col("source"), col("_tk"),
+        posexplode(sequence(lit(0), size(col("_tk")) - 1, lit(chunkStride)))
+          .as(Seq("chunk_id", "start")))
+      .select(col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        col("start").cast("long").as("start_token"),
+        least(lit(chunkSize), size(col("_tk")) - col("start")).cast("long")
+          .as("n_tokens"),
+        sha2(array_join(slice(col("_tk"), col("start") + 1, lit(chunkSize)), " "),
+          256).as("chunk_sha"),
+        col("lang"), col("source"))
+  }
+
+  /** The composed pipeline in DuckDB; sha256() and Spark's sha2(_, 256)
+    * both emit lowercase hex of the UTF-8 bytes. */
+  val qCurationPipelineSql: String = {
+    val stops = LlmOps.stopwords.mkString("['", "','", "']")
+    s"""WITH reps AS (
+       |  SELECT min(doc_id) AS doc_id, min(lang) AS lang,
+       |    min(source) AS source, text
+       |  FROM documents GROUP BY text),
+       |g AS (
+       |  SELECT doc_id, lang, source,
+       |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+       |  FROM reps WHERE lang = 'en'),
+       |q AS (
+       |  SELECT * FROM g
+       |  WHERE len(tk) >= 10
+       |    AND len(list_filter(tk, t -> list_contains($stops, t))) >= 1),
+       |c AS (
+       |  SELECT doc_id, lang, source, tk,
+       |    unnest(range(0, len(tk), $chunkStride)) AS start
+       |  FROM q)
+       |SELECT doc_id,
+       |  CAST(start // $chunkStride AS BIGINT) AS chunk_id,
+       |  CAST(start AS BIGINT) AS start_token,
+       |  CAST(len(list_slice(tk, start + 1, start + $chunkSize)) AS BIGINT)
+       |    AS n_tokens,
+       |  sha256(array_to_string(list_slice(tk, start + 1, start + $chunkSize), ' '))
+       |    AS chunk_sha,
+       |  lang, source
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+  }
 }

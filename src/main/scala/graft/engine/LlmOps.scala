@@ -81,7 +81,7 @@ object LlmOps {
       |  CAST(length(text) AS BIGINT) AS n_chars_calc
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private[engine] val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
   /** q_text_quality: length / punctuation / stopword-ratio quality signals —
     * the filters a pretraining pipeline runs before anything expensive.

@@ -72,6 +72,39 @@ class AnalyticsOpsSpec extends SparkSpec {
       a < b && c > 0.0 && c <= 1.0 })
   }
 
+  // --- q_curation_pipeline ------------------------------------------------
+
+  test("q_curation_pipeline == driver-side replay of dedup → gate → chunk") {
+    val out = graft.engine.Curation.qCurationPipeline(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5), r.getString(6)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val stops = Set("the", "a", "of", "and", "to", "in", "is")
+    def sha(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = docs.groupBy(_._2).toSeq
+      .map { case (text, g) =>
+        (g.map(_._1).min, text, g.map(_._3).min, g.map(_._4).min) }
+      .filter(_._3 == "en")
+      .flatMap { case (id, text, lang, source) =>
+        val tk = text.toLowerCase.split(" ").filter(_.nonEmpty)
+        if (tk.length >= 10 && tk.exists(stops)) {
+          (0 until tk.length by 48).zipWithIndex.map { case (start, ci) =>
+            val chunk = tk.slice(start, start + 64)
+            (id, ci.toLong, start.toLong, chunk.length.toLong,
+              sha(chunk.mkString(" ")), lang, source)
+          }
+        } else Seq.empty
+      }.sortBy(t => (t._1, t._2))
+    assert(out == expected)
+    assert(out.nonEmpty)
+  }
+
   // --- q_pagerank ---------------------------------------------------------
 
   /** The declared integer recurrence in plain Scala (Long `/` == `div` on
