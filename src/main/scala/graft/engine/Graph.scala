@@ -117,10 +117,17 @@ object Graph {
   }
 
   /** The three rounds unrolled in DuckDB — `//` is floor division, which
-    * equals Spark's `div` truncation on the non-negative operands here. */
+    * equals Spark's `div` truncation on the non-negative operands here.
+    *
+    * Every CTE is MATERIALIZED: DuckDB inlines CTEs by default, so the
+    * unrolled rounds would otherwise re-embed `edges`/`nodes` (a DISTINCT
+    * over the whole fact table) once per reference — at the 100×-dir
+    * replay the concurrent re-computations spilled past the disk budget;
+    * materialization computes each stage exactly once, as the engine
+    * does. Purely an evaluation-plan hint, zero semantic effect. */
   val qPagerankSql: String = {
     def round(prev: String, out: String): String =
-      s"""$out AS (
+      s"""$out AS MATERIALIZED (
          |  SELECT n.nt, n.nid, n.outdeg,
          |    ((15 * (1000000000000 // p.n)) // 100)
          |      + (85 * COALESCE(m.s, 0)) // 100 AS r
@@ -130,16 +137,17 @@ object Graph {
          |    FROM edges e JOIN $prev r ON r.nt = e.st AND r.nid = e.sid
          |    GROUP BY 1, 2) m ON m.nt = n.nt AND m.nid = n.nid
          |  CROSS JOIN params p)""".stripMargin
-    s"""WITH e0 AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
-       |edges AS (
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+       |edges AS MATERIALIZED (
        |  SELECT 's' AS st, s AS sid, 'p' AS dt, p AS did FROM e0
        |  UNION ALL
        |  SELECT 'p' AS st, p AS sid, 's' AS dt, s AS did FROM e0),
-       |nodes AS (
+       |nodes AS MATERIALIZED (
        |  SELECT st AS nt, sid AS nid, CAST(COUNT(*) AS BIGINT) AS outdeg
        |  FROM edges GROUP BY 1, 2),
-       |params AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
-       |r0 AS (
+       |params AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+       |r0 AS MATERIALIZED (
        |  SELECT nt, nid, outdeg, (1000000000000 // p.n) AS r
        |  FROM nodes CROSS JOIN params p),
        |${round("r0", "r1")},
