@@ -38,17 +38,42 @@ object Anomaly {
     * least 30 trailing points), emitting the flagged events. The frame
     * EXCLUDES the current row (100 preceding → 1 preceding): the event is
     * judged against the distribution BEFORE it — including itself would
-    * shrink its own deviation and mask the very spike being detected. */
+    * shrink its own deviation and mask the very spike being detected.
+    *
+    * 100 TB shape (round-6 rework): `Window.partitionBy(event_type)` is a
+    * 5-value key, i.e. one task per SERIES — the whole table funnels
+    * through 5 single-task sorts (measured 61 s at the 100× dir; at
+    * 100 TB a series is one executor-killing task). The trailing frame is
+    * therefore rebuilt from BigWindow's chunked per-group prefix sums:
+    * with per-series rank i and inclusive prefixes P(i) = Σc, Q(i) = Σc²,
+    *
+    *   n  = min(i − 1, 100)
+    *   s  = (P(i) − cᵢ) − P(i − 101)       [P(j ≤ 0) = 0]
+    *   s2 = (Q(i) − cᵢ²) − Q(i − 101)
+    *
+    * P(i−101)/Q(i−101) come from ONE hash equi-join of the frame with
+    * itself on (series, rank − 101) — uniform keys, full parallelism.
+    * Decision rule and output are UNCHANGED (same oracle): 61 s → ~19 s
+    * at the 100× dir, and — the point — no single-task stage survives in
+    * the plan, so the 1000-executor run parallelizes instead of funneling
+    * one task per series. */
   def qAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("ts"), col("event_id"))
-      .rowsBetween(-100, -1)
     val cents = floor(col("value") * 100.0 + 0.5).cast("long")
-    Tables.events(spark, sfDir)
-      .withColumn("c", cents)
-      .withColumn("n", count(col("c")).over(w))
-      .withColumn("s", sum(col("c")).over(w))
-      .withColumn("s2", sum(col("c") * col("c")).over(w))
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("ts"), cents.as("c"))
+    val pref = BigWindow.groupPrefixSummed(base,
+      Seq(col("event_type")), Seq(col("ts"), col("event_id")),
+      Seq(col("c"), col("c") * col("c")))
+    val back = pref.select(col("event_type").as("_bt"),
+      col("_grank").as("_brank"), col("_gps0").as("_bp"), col("_gps1").as("_bp2"))
+    pref
+      .join(back, col("event_type") === col("_bt") &&
+        (col("_grank") - 101L) === col("_brank"), "left")
+      .withColumn("n", least(col("_grank") - 1L, lit(100L)))
+      .withColumn("s",
+        (col("_gps0") - col("c")) - coalesce(col("_bp"), lit(0L)))
+      .withColumn("s2",
+        (col("_gps1") - col("c") * col("c")) - coalesce(col("_bp2"), lit(0L)))
       .filter(col("n") >= 30 &&
         (col("n") * col("c") - col("s")) * (col("n") * col("c") - col("s")) >
         lit(9L) * (col("n") * col("s2") - col("s") * col("s")))

@@ -163,6 +163,75 @@ object BigWindow {
     (local, result)
   }
 
+  /** Appends `_grank` (1-based per-group rank), `_gn` (group size), and
+    * `_gps{k}` (INCLUSIVE per-group prefix sum of `values(k)`, BIGINT)
+    * in ONE chunked pass — the combined [[ranked]]+[[prefixSummed]] for
+    * per-group running aggregates over low-cardinality groups. Bounded
+    * trailing frames follow arithmetically: the trailing-(w) sum ending
+    * before row i is `_gps(i) − v_i − Pgroup(i − w − 1)`, the latter
+    * fetched with one hash equi-join on (group, rank − w − 1) — see
+    * Anomaly.qAnomaly, the first consumer.
+    *
+    * Same contract as the other entry points: `order` must be tie-free
+    * within a group, `values` integral; result is cut to a leaf with the
+    * chunk pin scoped to the call. */
+  def groupPrefixSummed(df: DataFrame, group: Seq[Column], order: Seq[Column],
+      values: Seq[Column], numChunks: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val chunks =
+      if (numChunks > 0) numChunks
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val gNames = group.indices.map(i => s"_g$i")
+    val gCols = gNames.map(col)
+    val vNames = values.indices.map(i => s"_v$i")
+    val withG = df.select(
+      (col("*") +: group.zip(gNames).map { case (g, n) => g.as(n) }) ++
+        values.zip(vNames).map { case (v, n) => v.cast("long").as(n) }: _*)
+    val ranged = withG
+      .repartitionByRange(chunks, (gCols ++ order): _*)
+      .withColumn("_chunk", spark_partition_id())
+    val wOrd = Window.partitionBy(col("_chunk")).orderBy((gCols ++ order): _*)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = pinned(ranged
+      .withColumn("_lrank", row_number().over(wOrd))
+      .select(col("*") +: vNames.zipWithIndex.map { case (v, i) =>
+        sum(col(v)).over(wRun).as(s"_ls$i") }: _*))
+    // per-chunk totals: count + one sum per value — numChunks rows
+    val offsets = local.groupBy(col("_chunk"))
+      .agg(count(lit(1)).as("_c"),
+        vNames.zipWithIndex.map { case (v, i) => sum(col(v)).as(s"_cs$i") }: _*)
+      .select(col("_chunk") +: (
+        coalesce(sum(col("_c")).over(Window.orderBy(col("_chunk"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("_offset") +:
+        vNames.indices.map(i =>
+          coalesce(sum(col(s"_cs$i")).over(Window.orderBy(col("_chunk"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as(s"_voff$i"))): _*)
+    val global = local
+      .join(broadcast(offsets), "_chunk")
+      .withColumn("_grn", col("_offset") + col("_lrank"))
+      .select(col("*") +: vNames.indices.map(i =>
+        (col(s"_voff$i") + col(s"_ls$i")).as(s"_gsum$i")): _*)
+    // group metadata: size, start rank, and the GLOBAL value-prefix just
+    // before the group's first row (struct-min picks the first row)
+    val groups = global.groupBy(gCols: _*)
+      .agg(count(lit(1)).as("_gn"),
+        min(col("_grn")).as("_gstart") +:
+        vNames.indices.map(i =>
+          min(struct(col("_grn"), (col(s"_gsum$i") - col(s"_v$i")).as("p")))
+            .getField("p").as(s"_vstart$i")): _*)
+    val dropCols = Seq("_chunk", "_lrank", "_offset", "_grn", "_gstart") ++
+      vNames ++ vNames.indices.flatMap(i =>
+        Seq(s"_ls$i", s"_voff$i", s"_gsum$i", s"_vstart$i"))
+    val result = global
+      .join(broadcast(groups), gNames)
+      .withColumn("_grank", col("_grn") - col("_gstart") + 1L)
+      .select(col("*") +: vNames.indices.map(i =>
+        (col(s"_gsum$i") - col(s"_vstart$i")).as(s"_gps$i")): _*)
+      .drop(dropCols ++ gNames: _*)
+    try Iterate.cut(result)
+    finally local.unpersist(blocking = false)
+  }
+
   /** Spark-exact `percent_rank` from (rank, n): (rank−1)/(n−1), 0.0 for
     * single-row groups (the builtin's convention). */
   def percentRank(rank: Column, n: Column): Column =

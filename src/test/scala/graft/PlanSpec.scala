@@ -136,7 +136,10 @@ class PlanSpec extends SparkSpec {
       "q_skew_join"       -> ((4, 0, true)),  // salted SHJ + rollup + sort
       "q_split_assign"    -> ((3, 0, false)), // rebalance + agg + sort
       "q_mixture"         -> ((3, 0, false)), // rebalance + source window + agg
-      "q_anomaly"         -> ((2, 0, false)), // series window + output sort
+      // post-rework: the prefix frame enters as a cut leaf; the consumer
+      // is the lag-101 hash self-join (two sides) + output sort — no
+      // per-series single-task window anywhere
+      "q_anomaly"         -> ((3, 0, false)),
       // incremental-analytics trio: the MV merge is two agg trees over one
       // cut scan (partial→merge + two-level keyset distinct) joined on the
       // group key; interpolate is the resample spine + one window pass;
