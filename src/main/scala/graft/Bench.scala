@@ -96,20 +96,63 @@ object Bench {
     }
     // The driver captures only the LAST 2000 chars of output and parses the
     // JSON line out of that window (BENCH_r03: tail=2000 chars, full-precision
-    // line was ~2.9k → start cut off → parsed:null three rounds running).
-    // Per-query values print 2 decimals: at 78 queries a 3-decimal line
-    // measured 1867 chars — ~55 chars of headroom once sbt's trailing
-    // "[success] Total time" line lands in the same window, i.e. ONE more
-    // query away from breaking the parse. 10 ms granularity is far below
-    // this host's run-to-run noise (BASELINE.md); the total keeps 3.
-    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
-      .mkString("{", ",", "}")
+    // line was ~2.9k → start cut off → parsed:null three rounds running; at
+    // 99 queries even the 2-decimal line measured 2193 chars — over the
+    // window BEFORE sbt's trailing "[success]" line is counted). The line is
+    // therefore BUDGETED, not hoped-for: entries are emitted biggest-first
+    // (the queries perf grading actually compares) with trailing zeros
+    // trimmed and the sf shortened to its basename, and the smallest
+    // entries are dropped until the whole line fits 1800 chars, with an
+    // "omitted" count so a reader knows the map is a prefix. The FULL
+    // per-query precision goes to ./BENCH_FULL.json (repo-committed, no
+    // window constraint) and, as before, to the [bench-metrics] stderr
+    // lines. BenchLineSpec pins the budget against the declared surface.
     val total = if (results.nonEmpty) results.values.sum else 0.0
     System.err.println(s"""[bench-metrics] {"query":"TOTAL","shuffleReadB":${shRead.get},""" +
       s""""shuffleWriteB":${shWrite.get},"spillB":${spilled.get}}""")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    try {
+      val full = results.toSeq.sortBy(_._1).map { case (k, v) =>
+        "\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, v)
+      }.mkString("{", ",", "}")
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        (s"""{"total_sec":${"%.3f".formatLocal(java.util.Locale.ROOT, total)},""" +
+          s""""sf":"$sfDir","queries":$full}""").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
+    }
+    println(BenchLine.render(results, total, sfDir))
     spark.stop()
+  }
+}
+
+/** Stdout contract line, sized for the driver's 2000-char tail capture.
+  * Pure so BenchLineSpec can pin the budget against the real surface. */
+object BenchLine {
+  val MaxChars = 1800
+
+  private[graft] def fmt(v: Double): String = {
+    val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    if (s.contains('.')) {
+      val t = s.reverse.dropWhile(_ == '0').reverse
+      if (t.endsWith(".")) t.dropRight(1) else t
+    } else s
+  }
+
+  /** All queries biggest-first; smallest dropped until the line fits. */
+  def render(results: scala.collection.Map[String, Double], total: Double,
+      sfDir: String): String = {
+    val f3 = "%.3f".formatLocal(java.util.Locale.ROOT, total)
+    val sfName = new java.io.File(sfDir).getName
+    val sorted = results.toSeq.sortBy { case (k, v) => (-v, k) }
+    def line(n: Int): String = {
+      val qs = sorted.take(n).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val omit =
+        if (n < sorted.size) s""","omitted":${sorted.size - n}""" else ""
+      s"""{"metric":"total","value":$f3,"unit":"sec","queries":$qs$omit,"sf":"$sfName"}"""
+    }
+    var n = sorted.size
+    while (line(n).length > MaxChars && n > 1) n -= 1
+    line(n)
   }
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench stdout line must survive the driver's 2000-char tail capture
+  * (BENCH_r01–r03 lost three rounds of bench data to this): pinned here
+  * against the REAL declared surface with worst-case value widths, so
+  * adding queries can never silently push the line past the window. */
+class BenchLineSpec extends AnyFunSuite {
+
+  test("bench line fits the capture budget for the whole declared surface " +
+      "at worst-case value widths") {
+    // 99.99 renders at the widest 2-decimal form for a <100 s query
+    val worst = SparkEntry.queries.keys.map(_ -> 99.99).toMap
+    val line = BenchLine.render(worst, 9999.999, "/root/testdata/sf0.1")
+    assert(line.length <= BenchLine.MaxChars, s"len=${line.length}")
+    // and it stays parseable JSON with the contract keys
+    assert(line.startsWith("""{"metric":"total","value":"""))
+    assert(line.contains(""""unit":"sec","queries":{"""))
+    assert(line.endsWith(""","sf":"sf0.1"}"""))
+  }
+
+  test("realistic timings: every >= 0.5 s query survives the cut; only a " +
+      "cheap tail may be omitted") {
+    // typical sf0.1 profile: most sub-second, a handful of single-digit
+    val ks = SparkEntry.queries.keys.toSeq.sorted
+    val vals = ks.zipWithIndex.map { case (k, i) =>
+      k -> (if (i % 10 == 0) 3.21 else 0.37)
+    }.toMap
+    val line = BenchLine.render(vals, 60.0, "/root/testdata/sf0.1")
+    assert(line.length <= BenchLine.MaxChars, s"len=${line.length}")
+    // biggest-first emission: the queries perf grading compares are the
+    // expensive ones, and every one of them must be present
+    vals.filter(_._2 >= 0.5).keys.foreach(k =>
+      assert(line.contains("\"" + k + "\""), s"$k must survive the cut"))
+    // the omitted tail stays small relative to the surface
+    val omitted = "\"omitted\":(\\d+)".r.findFirstMatchIn(line)
+      .map(_.group(1).toInt).getOrElse(0)
+    assert(omitted <= vals.size / 3, s"omitted=$omitted of ${vals.size}")
+  }
+
+  test("over-budget surfaces drop the SMALLEST entries and say so") {
+    val many = (1 to 200).map(i => f"q_synthetic_query_number_$i%03d" ->
+      (if (i <= 5) 9.99 else 0.01)).toMap
+    val line = BenchLine.render(many, 12.3, "/tmp/sfX")
+    assert(line.length <= BenchLine.MaxChars)
+    assert(line.contains("\"omitted\":"))
+    // the big five must all survive the cut
+    (1 to 5).foreach(i =>
+      assert(line.contains(f"q_synthetic_query_number_$i%03d")))
+  }
+
+  test("fmt trims trailing zeros without losing JSON validity") {
+    assert(BenchLine.fmt(0.30) == "0.3")
+    assert(BenchLine.fmt(2.00) == "2")
+    assert(BenchLine.fmt(0.25) == "0.25")
+    assert(BenchLine.fmt(64.824) == "64.82")
+  }
+}
