@@ -116,10 +116,10 @@ object Materialize {
       |  FROM events)
       |SELECT day, event_type,
       |  COUNT(*) AS n_events,
-      |  SUM(cents) AS sum_cents,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
       |  MIN(cents) AS min_cents,
       |  MAX(cents) AS max_cents,
-      |  SUM(cents) // COUNT(*) AS avg_cents,
+      |  CAST(SUM(cents) // COUNT(*) AS BIGINT) AS avg_cents,
       |  COUNT(DISTINCT user_id) AS n_users
       |FROM ev GROUP BY 1, 2
       |ORDER BY day, event_type""".stripMargin

@@ -62,7 +62,7 @@ object Mixture {
        |  CASE WHEN bucket < 838860 THEN 'train'
        |       WHEN bucket < 943718 THEN 'val'
        |       ELSE 'test' END AS split,
-       |  COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+       |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
        |FROM k GROUP BY 1, 2 ORDER BY source, split""".stripMargin
 
   /** q_mixture: weighted source mixing under a character budget — every
@@ -110,7 +110,8 @@ object Mixture {
        |  CASE WHEN CAST(regexp_extract(source, '(\\d+)$$', 1) AS BIGINT) % 2 = 0
        |       THEN 4000 ELSE 2000 END AS budget
        |  FROM sx)
-       |SELECT source, COUNT(*) AS n_selected, SUM(n_chars) AS chars_selected
+       |SELECT source, COUNT(*) AS n_selected,
+       |  CAST(SUM(n_chars) AS BIGINT) AS chars_selected
        |FROM c WHERE cum_chars - n_chars < budget
        |GROUP BY source ORDER BY source""".stripMargin
 }

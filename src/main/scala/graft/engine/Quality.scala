@@ -126,7 +126,7 @@ object Quality {
       |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
       |ol AS (SELECT COUNT(*) AS v FROM lineitem
       |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
-      |SELECT * FROM (
+      |SELECT table_name, metric, CAST(value AS BIGINT) AS value FROM (
       |  SELECT 'orders' AS table_name, 'rows' AS metric, rows AS value FROM o
       |  UNION ALL SELECT 'orders', 'nulls:o_custkey', nulls_custkey FROM o
       |  UNION ALL SELECT 'orders', 'domain:o_totalprice>0', neg_price FROM o

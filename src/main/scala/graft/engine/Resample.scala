@@ -173,13 +173,13 @@ object Resample {
       |  wn AS (PARTITION BY spine.event_type ORDER BY spine.bucket_us
       |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
       |SELECT event_type, bucket_us, obs_cents IS NULL AS is_gap,
-      |  CASE WHEN obs_cents IS NOT NULL THEN obs_cents
+      |  CAST(CASE WHEN obs_cents IS NOT NULL THEN obs_cents
       |       WHEN prev_cents IS NULL OR next_cents IS NULL
       |         THEN COALESCE(prev_cents, next_cents, 0)
       |       ELSE (prev_cents * ((next_bucket - bucket_us) // 3600000000) +
       |             next_cents * ((bucket_us - prev_bucket) // 3600000000))
       |             // ((next_bucket - prev_bucket) // 3600000000)
-      |  END AS interp_cents
+      |  END AS BIGINT) AS interp_cents
       |FROM grid
       |ORDER BY event_type, bucket_us""".stripMargin
 
@@ -204,11 +204,11 @@ object Resample {
       |  FROM events GROUP BY 1, 2)
       |SELECT spine.event_type, spine.bucket_us,
       |  COALESCE(hourly.n_events, 0) AS n_events,
-      |  COALESCE(hourly.sum_cents, 0) AS sum_cents,
+      |  CAST(COALESCE(hourly.sum_cents, 0) AS BIGINT) AS sum_cents,
       |  hourly.sum_cents IS NULL AS is_gap,
-      |  COALESCE(last_value(hourly.sum_cents IGNORE NULLS) OVER (
+      |  CAST(COALESCE(last_value(hourly.sum_cents IGNORE NULLS) OVER (
       |    PARTITION BY spine.event_type ORDER BY spine.bucket_us
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS filled_cents
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS filled_cents
       |FROM spine LEFT JOIN hourly
       |  ON spine.event_type = hourly.event_type
       | AND spine.bucket_us = hourly.bucket_us

@@ -33,7 +33,19 @@ def main(sf_dir, out_dir, only=None):
         if not files:
             print(f"{name:22s} NO SPARK OUTPUT"); fails.append(name); continue
         try:
-            odf = con.sql(sql).df()
+            rel = con.sql(sql)
+            # Driver-parity dtype gate: the driver hashes DuckDB's native
+            # result types, and an un-cast SUM(BIGINT) silently widens to
+            # HUGEINT (int128) — value-equal to Spark's int64 after pandas
+            # coercion but hash-DIFFERENT on the driver (the round-6 red-row
+            # cause). Fail here, before pandas hides it.
+            widened = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+                       if str(t).upper().startswith(("HUGEINT", "UHUGEINT",
+                                                     "DECIMAL", "UBIGINT"))]
+            if widened:
+                print(f"{name:22s} ORACLE DTYPE {widened} — cast to BIGINT/DOUBLE in the oracle SQL")
+                fails.append(name); continue
+            odf = rel.df()
         except Exception as e:
             print(f"{name:22s} ORACLE ERROR: {e}"); fails.append(name); continue
         sdf = pd.read_parquet(files[0]) if len(files) == 1 else pd.concat(
