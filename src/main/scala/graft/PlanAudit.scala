@@ -62,6 +62,78 @@ object PlanAudit {
     t
   }
 
+  /** Runtime exchange counter: a SparkListener tallying what actually
+    * EXECUTED, not what the final plan tree contains. Eagerly-materialized
+    * stages (Iterate.cut lineage truncation, BigWindow's chunked pass,
+    * micro-batch drains) run their shuffles BEFORE the audited plan exists,
+    * so the structural walk reports them as 0-shuffle leaf scans — the
+    * round-6 PLANS.md blind spot. Counting here:
+    *  - shuffles  = distinct ShuffleDependency ids across submitted stages
+    *    (StageInfo.shuffleDepId); AQE-reused exchanges are skipped stages,
+    *    never resubmitted, so "counted once" matches executed-once;
+    *  - broadcasts = jobs whose description carries the engine's
+    *    "broadcast exchange (runId ..." job-group tag
+    *    (BroadcastExchangeLike.submitBroadcastJob). */
+  final class RuntimeCounter extends org.apache.spark.scheduler.SparkListener {
+    private val shuffleIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    private val bcastJobs = new java.util.concurrent.atomic.AtomicInteger
+    private val stampCtr = new java.util.concurrent.atomic.AtomicLong
+    def shuffles: Int = shuffleIds.size
+    def broadcasts: Int = bcastJobs.get
+    def stamp: Long = stampCtr.get
+    // StageInfo.shuffleDepId is private[spark] at compile time but public
+    // in bytecode — one reflected getter, resolved once
+    private val depIdGetter =
+      classOf[org.apache.spark.scheduler.StageInfo].getMethod("shuffleDepId")
+    override def onStageSubmitted(
+        e: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
+      depIdGetter.invoke(e.stageInfo).asInstanceOf[Option[Int]]
+        .foreach(id => shuffleIds.add(id))
+      stampCtr.incrementAndGet()
+    }
+    override def onJobStart(
+        e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      // Spark 4 carries the broadcast-exchange marker as a job TAG
+      // (spark.job.tags), not the job description
+      val marked = Option(e.properties).exists { p =>
+        Seq("spark.job.tags", "spark.job.description").exists(k =>
+          Option(p.getProperty(k)).exists(_.contains("broadcast exchange (runId")))
+      }
+      if (marked) bcastJobs.incrementAndGet()
+      stampCtr.incrementAndGet()
+    }
+    override def onJobEnd(
+        e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+      stampCtr.incrementAndGet(); ()
+    }
+  }
+
+  /** Listener events are async — wait until the bus goes quiet (two
+    * consecutive unchanged stamps, 100 ms apart; 3 s cap) before reading
+    * or snapshotting the counters. */
+  def quiesce(c: RuntimeCounter): Unit = {
+    var last = -1L; var stable = 0
+    val deadline = System.nanoTime + 3000000000L
+    while (stable < 2 && System.nanoTime < deadline) {
+      val s = c.stamp
+      if (s == last) stable += 1 else { stable = 0; last = s }
+      Thread.sleep(100)
+    }
+  }
+
+  /** Audit a query INCLUDING its construction-time work: snapshots the
+    * runtime counters around `build` + materialization, so eager stages
+    * are attributed to the query that ran them. Returns the structural
+    * tally plus (runtime shuffles, runtime broadcasts). */
+  def auditRuntime(c: RuntimeCounter)(build: => DataFrame): (Tally, Int, Int) = {
+    quiesce(c) // flush stragglers from the previous query
+    val sh0 = c.shuffles; val bc0 = c.broadcasts
+    val df = build
+    val t = audit(df)
+    quiesce(c)
+    (t, c.shuffles - sh0, c.broadcasts - bc0)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val outFile = if (args.length > 1) args(1) else "PLANS.md"
@@ -74,11 +146,14 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    val counter = new RuntimeCounter
+    spark.sparkContext.addSparkListener(counter)
+
     val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
-        val t = audit(fn(spark, sfDir))
+        val (t, rtSh, rtBc) = auditRuntime(counter)(fn(spark, sfDir))
         val pushed = if (t.pushed) "yes" else "-"
-        f"| $name%-22s | ${t.shuffles}%2d | ${t.broadcasts}%2d | ${t.scans}%2d | ${t.sorts}%2d | ${t.codegen}%2d | $pushed |"
+        f"| $name%-22s | ${t.shuffles}%2d | ${t.broadcasts}%2d | $rtSh%2d | $rtBc%2d | ${t.scans}%2d | ${t.sorts}%2d | ${t.codegen}%2d | $pushed |"
       } catch {
         case e: Throwable => f"| $name%-22s | plan failed: ${e.getMessage.take(60)} |"
       }
@@ -86,20 +161,20 @@ object PlanAudit {
     val header =
       """# PLANS — physical-plan audit of every declared query (sf0.01)
         |
-        |Generated by `graft.PlanAudit` (structural walk of the post-AQE
-        |executed plan; cached/reused subtrees counted once). Columns:
-        |shuffle exchanges, broadcast exchanges, scans, sorts,
-        |whole-stage-codegen spans, filter pushdown reached a scan.
+        |Generated by `graft.PlanAudit`. `shfl`/`bcast` are the STRUCTURAL
+        |walk of the post-AQE executed plan (cached/reused subtrees counted
+        |once); `rtShfl`/`rtBcast` are RUNTIME counts from a SparkListener
+        |around construction + materialization — distinct shuffle
+        |dependencies whose map stages actually ran, and broadcast-exchange
+        |jobs actually submitted. Eagerly-materialized queries (Iterate.cut,
+        |BigWindow, micro-batch drains) show their true totals in the
+        |runtime columns even though their declared frame is a leaf scan.
+        |Runtime > structural ⇒ eager/cached work; runtime < structural ⇒
+        |AQE reused an exchange across the tree. Remaining columns: scans,
+        |sorts, whole-stage-codegen spans, filter pushdown reached a scan.
         |
-        |BigWindow-backed queries (q_window_misc, q_pack_sequences) run
-        |their chunked-window stage EAGERLY at construction (call-scoped
-        |pin → materialized leaf, round 5); the rows below audit only the
-        |post-materialization consumer plan. The full chunked shape (one
-        |range exchange + metadata broadcasts) is documented and spec'd in
-        |BigWindow.scala / BigWindowSpec.
-        |
-        || query | shfl | bcast | scans | sorts | codegen | pushdown |
-        ||---|---|---|---|---|---|---|""".stripMargin
+        || query | shfl | bcast | rtShfl | rtBcast | scans | sorts | codegen | pushdown |
+        ||---|---|---|---|---|---|---|---|---|""".stripMargin
     Files.writeString(Paths.get(outFile), (header +: rows).mkString("\n") + "\n")
     println(s"[plan-audit] wrote ${rows.size} rows to $outFile")
     spark.stop()

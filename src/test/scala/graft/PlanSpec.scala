@@ -178,4 +178,36 @@ class PlanSpec extends SparkSpec {
         s"q_sim_ivf: centroids must broadcast (got ${ivf.broadcasts}) with pushdown ${ivf.pushed}")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  /** Runtime pins for the eagerly-materialized queries: their declared
+    * frame is a cut leaf (structural walk = 0 shuffles — the round-6
+    * PLANS.md blind spot), so the pin instead counts what EXECUTED via
+    * PlanAudit.RuntimeCounter around construction + materialization.
+    * Bounds, not exact counts: iteration depth (pagerank rounds, k-means
+    * sweeps) and AQE coalescing legitimately vary with data scale; what
+    * must NOT happen is the audit reporting zero (counter broken / work
+    * moved out of its view) or an explosion (an iterative stage losing
+    * its lineage cut and re-running history). */
+  test("eager-query runtime pins: executed shuffles within design bounds") {
+    val counter = new PlanAudit.RuntimeCounter
+    spark.sparkContext.addSparkListener(counter)
+    // name -> (rtShfl lo..hi, rtBcast lo)
+    val pins: Seq[(String, (Int, Int, Int))] = Seq(
+      "q_pagerank"      -> ((5, 18, 1)), // per-round node shuffles + N-spine/prefix broadcasts
+      "q_dedup_groups"  -> ((8, 30, 0)), // posting lists + CC rounds
+      "q_ngram_jaccard" -> ((5, 18, 0)),
+      "q_heavy_hitters" -> ((2, 8, 0)),  // MG summary + exact recount
+      "q_sim_ivf_quant" -> ((8, 30, 1)), // k-means sweeps + centroid broadcasts
+      "q_cdc_pipeline"  -> ((1, 6, 0)),  // drain + compaction
+      "q_paged_stream"  -> ((1, 6, 0)))
+    try {
+      val bad = pins.flatMap { case (name, (lo, hi, bcLo)) =>
+        val (_, rs, rb) = PlanAudit.auditRuntime(counter)(
+          SparkEntry.queries(name)(spark, sf))
+        if (rs >= lo && rs <= hi && rb >= bcLo) None
+        else Some(s"$name: expected rtShfl in [$lo,$hi] rtBcast>=$bcLo, got rtShfl=$rs rtBcast=$rb")
+      }
+      assert(bad.isEmpty, bad.mkString("\n"))
+    } finally spark.sparkContext.removeSparkListener(counter)
+  }
 }
