@@ -99,6 +99,7 @@ object SparkEntry {
     "q_scd2"              -> (Cdc.qScd2 _),
     // bounded-state exact analytics: MG heavy hitters, bloom join pruning
     "q_heavy_hitters"     -> (HeavyHitters.qHeavyHitters _),
+    "q_stream_heavy"      -> (HeavyHitters.qStreamHeavy _),
     "q_bloom_join"        -> (Bloom.qBloomJoin _),
     // sequential-pattern funnel over the event stream
     "q_funnel"            -> (Funnel.qFunnel _),
@@ -211,6 +212,7 @@ object SparkEntry {
     "q_cdc_pipeline"      -> Cdc.qCdcPipelineSql,
     "q_scd2"              -> Cdc.qScd2Sql,
     "q_heavy_hitters"     -> HeavyHitters.qHeavyHittersSql,
+    "q_stream_heavy"      -> HeavyHitters.qHeavyHittersSql,
     "q_bloom_join"        -> Bloom.qBloomJoinSql,
     "q_funnel"            -> Funnel.qFunnelSql,
     "q_zorder"            -> ZOrder.qZorderSql,

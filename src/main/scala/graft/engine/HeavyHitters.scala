@@ -133,16 +133,31 @@ object HeavyHitters {
   /** Top-k size for q_heavy_hitters. */
   private val K = 10
 
+  /** The corpus tokenization both the batch query and the streaming twin
+    * share: lowercased whitespace tokens, empties dropped. */
+  private[graft] def tokens(docs: DataFrame): DataFrame =
+    docs.select(explode(split(lower(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+
   /** q_heavy_hitters: exact top-10 most frequent whitespace tokens in the
     * document corpus, via the two-pass MG plan above. The whole result is
     * DuckDB-replayable (plain counting), so unlike the sketch-output
     * queries this one is hash-oracled end to end — the oracle checks the
     * EXACTNESS CLAIM, not just the sketch plumbing. */
   def qHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Tables.documents(spark, sfDir) // loader already rebalances the corpus scan
-      .select(explode(split(lower(col("text")), " ")).as("token"))
-      .filter(col("token") =!= "")
+    // loader already rebalances the corpus scan
+    val toks = tokens(Tables.documents(spark, sfDir))
     topKExact(spark, toks, M, K)
+  }
+
+  /** PASS 1 as a reusable piece: one m-bounded summary row on the driver
+    * (precedent: the ncells-bounded centroid collect in IvfIndex). Also
+    * the per-micro-batch step of the streaming twin. */
+  private[graft] def summarize(spark: SparkSession, toksDf: DataFrame,
+      m: Int): MgBuf = {
+    import spark.implicits._
+    toksDf.select(col("token").as[String])
+      .select(new MgAggregator(m).toColumn).head()
   }
 
   /** The two-pass plan over any single-column `token` relation; `m` and
@@ -150,12 +165,19 @@ object HeavyHitters {
     * fail-fast guard at small scale. */
   private[graft] def topKExact(spark: SparkSession, toksDf: DataFrame,
       m: Int, k: Int): DataFrame = {
-    import spark.implicits._
     val toks = toksDf.select(col("token"))
-    // pass 1: one m-bounded summary row on the driver (precedent: the
-    // ncells-bounded centroid collect in IvfIndex)
-    val mg: MgBuf = toks.select(col("token").as[String])
-      .select(new MgAggregator(m).toColumn).head()
+    recountTopK(spark, toks, summarize(spark, toks, m), m, k)
+  }
+
+  /** PASS 2: exact recount of the summary's candidates plus the runtime
+    * exactness proof — shared by the batch plan (summary from one global
+    * aggregate) and the streaming twin (summary merged across
+    * micro-batches; the MG merge rule makes both summaries carry the same
+    * guarantee, so the proof is batching-invariant even though the
+    * candidate SET may differ). */
+  private[graft] def recountTopK(spark: SparkSession, toksDf: DataFrame,
+      mg: MgBuf, m: Int, k: Int): DataFrame = {
+    val toks = toksDf.select(col("token"))
     val candidates = mg.keys.toSeq
     val maxErr = mg.maxErr
     // pass 2: exact recount of candidates only — the membership filter is
@@ -182,6 +204,40 @@ object HeavyHitters {
       s"q_heavy_hitters: only ${rows.length} candidates for k=$k with " +
       s"nonzero error bound $maxErr; raise m (= $m)")
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq, 1), top.schema)
+  }
+
+  private val streamHeavyRuns = new java.util.concurrent.atomic.AtomicInteger
+
+  /** q_stream_heavy: the heavy-hitters STREAMING twin, declared — the
+    * corpus text arrives as a file-source stream in multiple micro-batches
+    * (staged as 4 parquet files, maxFilesPerTrigger=1), each batch's
+    * distributed MG summary is merged into O(m) driver state
+    * (Streaming.heavyHittersStream), and pass 2 recounts the merged
+    * candidates over the static corpus under the same runtime exactness
+    * proof. The oracle is the SAME SQL as q_heavy_hitters: the exact
+    * top-10 is batching-invariant, so a hash match proves the per-batch
+    * summarize → merge → recount path loses nothing across triggers. */
+  def qStreamHeavy(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory(
+      s"graft_hh_stream_${streamHeavyRuns.incrementAndGet()}").toString
+    Tables.documents(spark, sfDir).select(col("text"))
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val running = new Streaming.RunningMg(M)
+    val q = Streaming.heavyHittersStream(stream, M, running)
+    try {
+      q.awaitTermination(300000)
+      if (q.isActive) throw new IllegalStateException(
+        "q_stream_heavy: AvailableNow drain did not terminate in 300 s")
+    } finally if (q.isActive) q.stop()
+    if (running.batchCount < 2) throw new IllegalStateException(
+      s"q_stream_heavy: expected a multi-batch drain, got ${running.batchCount}")
+    recountTopK(spark, tokens(Tables.documents(spark, sfDir)),
+      running.summary, M, K)
   }
 
   /** The claim in SQL: plain exact top-k with the same tiebreak. */

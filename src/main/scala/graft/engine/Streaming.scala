@@ -583,4 +583,42 @@ object Streaming {
         if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
         OutputMode.Update())
   }
+
+  // --- streaming heavy hitters (MG summary as running stream state) ------
+
+  /** Running Misra–Gries summary: the driver-held stream state of the
+    * heavy-hitters twin. O(m) regardless of stream length — the mergeable-
+    * summaries property (Agarwal et al., PODS '12) is exactly what makes
+    * the batch operator streamable without changing its guarantee: the
+    * merged summary's error weight is the sum of the parts', so pass-2's
+    * runtime exactness proof holds verbatim over a summary built from any
+    * micro-batch split. foreachBatch invokes `absorb` sequentially, but
+    * the sink result is read from another thread — synchronize. */
+  final class RunningMg(m: Int) extends Serializable {
+    private val agg = new HeavyHitters.MgAggregator(m)
+    private var buf: HeavyHitters.MgBuf = agg.zero
+    private var batches: Int = 0
+    def absorb(b: HeavyHitters.MgBuf): Unit =
+      synchronized { buf = agg.merge(buf, b); batches += 1 }
+    def summary: HeavyHitters.MgBuf = synchronized(buf)
+    def batchCount: Int = synchronized(batches)
+  }
+
+  /** Drain a streaming `text` relation into a RunningMg: each micro-batch
+    * computes its own DISTRIBUTED m-bounded summary (map-side partials,
+    * one m-bounded row to the driver — the same pass-1 plan as the batch
+    * query), and foreachBatch merges it into the running state. State is
+    * O(m) on the driver; per-batch work is a full Spark aggregate, so a
+    * 1000-executor stream does exactly what the batch pass does, one
+    * trigger at a time. Caller stops/awaits the returned query, then reads
+    * the summary for the pass-2 recount. */
+  def heavyHittersStream(docTexts: DataFrame, m: Int,
+      running: RunningMg): StreamingQuery = {
+    val spark = docTexts.sparkSession
+    HeavyHitters.tokens(docTexts).writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        running.absorb(HeavyHitters.summarize(spark, batch, m))
+      }
+      .trigger(Trigger.AvailableNow()).start()
+  }
 }

@@ -107,7 +107,6 @@ class HeavyHitterSpec extends SparkSpec {
 
   test("streaming twin: per-micro-batch MG summaries merged across batches " +
       "+ recount == exact top-10 (mergeable-summaries over a real stream)") {
-    import org.apache.spark.sql.streaming.Trigger
     // the production shape for a token stream: each micro-batch reduces to
     // ONE m-bounded summary (the only state carried between batches —
     // O(m), never the token multiset); the mergeable-summaries law makes
@@ -126,24 +125,15 @@ class HeavyHitterSpec extends SparkSpec {
          if f.getName.endsWith(".parquet"))
       java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(s"$in/$s.parquet"))
     val m = 4096
-    val agg = new MgAggregator(m)
-    var state = agg.zero
-    var batches = 0
     val stream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$in/*.parquet")
-    val q = stream.writeStream
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-        import spark.implicits._
-        val buf = b.select(explode(split(lower(col("text")), " ")).as("token"))
-          .filter(col("token") =!= "")
-          .select(col("token").as[String])
-          .select(agg.toColumn).head()
-        state = agg.merge(state, buf)
-        batches += 1
-      }
-      .trigger(Trigger.AvailableNow()).start()
+    assert(stream.isStreaming)
+    val running = new engine.Streaming.RunningMg(m)
+    val q = engine.Streaming.heavyHittersStream(stream, m, running)
     q.awaitTermination(120000)
-    assert(batches >= 3, s"expected one micro-batch per staged file, got $batches")
+    assert(running.batchCount >= 3,
+      s"expected one micro-batch per staged file, got ${running.batchCount}")
+    val state = running.summary
     // pass 2 over the full corpus with the streamed summary's candidates
     val toks = docs
       .select(explode(split(lower(col("text")), " ")).as("token"))
@@ -161,5 +151,14 @@ class HeavyHitterSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(top.toSeq == brute.toSeq,
       "streaming-merged summary + recount must equal the exact batch top-10")
+  }
+
+  test("q_stream_heavy (declared) == q_heavy_hitters: the streaming drain " +
+      "reproduces the exact batch top-10 byte for byte") {
+    val streamed = HeavyHitters.qStreamHeavy(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val batch = HeavyHitters.qHeavyHitters(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(streamed.toSeq == batch.toSeq)
   }
 }
