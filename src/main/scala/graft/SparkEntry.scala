@@ -89,6 +89,7 @@ object SparkEntry {
     // streaming window algebra (batch-checkable)
     "q_stream_tumbling"   -> (Streaming.qStreamTumbling _),
     "q_stream_session"    -> (Streaming.qStreamSession _),
+    "q_stream_upsert"     -> (Streaming.qStreamUpsert _),
     // genuine MicroBatchStream drain of the paged CDC source
     "q_paged_stream"      -> (Streaming.qPagedStream _),
     // the reference's whole production path composed end to end:
@@ -208,6 +209,7 @@ object SparkEntry {
     "q_pack_sequences"    -> Curation.qPackSequencesSql,
     "q_stream_tumbling"   -> Streaming.qStreamTumblingSql,
     "q_stream_session"    -> Streaming.qStreamSessionSql,
+    "q_stream_upsert"     -> Streaming.qStreamUpsertSql,
     "q_paged_stream"      -> Streaming.qPagedStreamSql,
     "q_cdc_pipeline"      -> Cdc.qCdcPipelineSql,
     "q_scd2"              -> Cdc.qScd2Sql,

@@ -584,6 +584,83 @@ object Streaming {
         OutputMode.Update())
   }
 
+  private val streamUpsertRuns = new java.util.concurrent.atomic.AtomicInteger
+
+  /** q_stream_upsert: the `transformWithState` upsert path DECLARED on the
+    * driver differential, the way q_paged_stream declared the source path.
+    * The events table is staged as 4 time-range parquet files
+    * (`repartitionByRange` on ts: equal timestamps can never straddle a
+    * file) and drained as a file-source stream one file per trigger
+    * through `upsertLatestTws` under the RocksDB state-store provider,
+    * update-mode memory sink. Each key's final state is its last emission
+    * (nSeen strictly increases), giving per user: latest event timestamp,
+    * the event_type of that moment (max event_type among the max-ts rows
+    * — the within-batch maxBy tiebreak), and the total events seen.
+    *
+    * Batching-invariance argument (what makes a deterministic oracle
+    * possible): nSeen sums to COUNT(*) however batches split; the final
+    * (ts, event_type) is decided only by rows carrying the user's global
+    * max ts, and the ts-VALUE-based staging keeps all of those in ONE
+    * micro-batch where the maxBy tiebreak is total — so the DuckDB replay
+    * below matches regardless of file order or cut placement. */
+  def qStreamUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+    val dir = java.nio.file.Files.createTempDirectory(
+      s"graft_upsert_stream_${streamUpsertRuns.incrementAndGet()}").toString
+    ev.select(col("user_id"), col("ts"), col("event_type"))
+      .repartitionByRange(4, col("ts"))
+      .write.mode("overwrite").parquet(dir)
+    val staged = spark.read.parquet(dir) // ts already normalized at staging
+    val stream = spark.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val savedProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val sink = s"stream_upsert_q_${streamUpsertRuns.get()}"
+    val q = runToMemoryUpdate(
+      upsertLatestTws(typedEvents(stream)).toDF(), sink)
+    try {
+      q.awaitTermination(300000)
+      if (q.isActive) throw new IllegalStateException(
+        "q_stream_upsert: AvailableNow drain did not terminate in 300 s")
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      if (dataBatches < 2) throw new IllegalStateException(
+        s"q_stream_upsert: expected a multi-batch drain, got $dataBatches")
+      val out = spark.table(sink)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("nSeen"), col("lastTsMicros"), col("eventType"))).as("s"))
+        .select(col("user_id"), col("s.lastTsMicros").as("last_ts_us"),
+          col("s.eventType").as("event_type"), col("s.nSeen").as("n_seen"))
+        .orderBy(col("user_id"))
+      Iterate.cut(out) // detach from the sink view
+    } finally {
+      if (q.isActive) q.stop()
+      spark.catalog.dropTempView(sink)
+      savedProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  /** The state machine's final answer in SQL: per user, the max event
+    * timestamp, the max event_type among rows at that timestamp (the
+    * upsert tiebreak), and the total row count. */
+  val qStreamUpsertSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |agg AS (
+      |  SELECT user_id, MAX(ts_us) AS last_ts_us, COUNT(*) AS n_seen
+      |  FROM ev GROUP BY user_id)
+      |SELECT a.user_id, a.last_ts_us,
+      |  (SELECT MAX(e.event_type) FROM ev e
+      |    WHERE e.user_id = a.user_id AND e.ts_us = a.last_ts_us) AS event_type,
+      |  a.n_seen
+      |FROM agg a ORDER BY a.user_id""".stripMargin
+
   // --- streaming heavy hitters (MG summary as running stream state) ------
 
   /** Running Misra–Gries summary: the driver-held stream state of the

@@ -92,4 +92,22 @@ class TransformWithStateSpec extends SparkSpec {
         "TTL'd state must restart the seen-count on replay")
     }
   }
+
+  test("q_stream_upsert (declared): multi-batch transformWithState drain " +
+      "equals the batch replay of the same state machine") {
+    val got = Streaming.qStreamUpsert(spark, sf)
+    val ev = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    val agg = ev.groupBy("user_id")
+      .agg(max(col("ts_us")).as("last_ts_us"), count(lit(1)).as("n_seen"))
+    val et = ev.groupBy(col("user_id").as("u"), col("ts_us"))
+      .agg(max(col("event_type")).as("event_type"))
+    val batch = agg
+      .join(et, agg("user_id") === et("u") && agg("last_ts_us") === et("ts_us"))
+      .select(col("user_id"), col("last_ts_us"), col("event_type"), col("n_seen"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).count() == 0 && batch.exceptAll(got).count() == 0,
+      "streamed upsert state must equal the batch replay")
+  }
 }
