@@ -121,6 +121,7 @@ object SparkEntry {
     // training-set assembly: stable hash split + weighted source mixing
     "q_split_assign"      -> (Mixture.qSplitAssign _),
     "q_mixture"           -> (Mixture.qMixture _),
+    "q_sample_exact"      -> (Mixture.qSampleExact _),
     // trailing-window anomaly gate, integer-exact decision rule
     "q_anomaly"           -> (Anomaly.qAnomaly _),
     // weekly cohort retention matrix
@@ -226,6 +227,7 @@ object SparkEntry {
     "q_snapshot_diff"     -> Cdc.qSnapshotDiffSql,
     "q_split_assign"      -> Mixture.qSplitAssignSql,
     "q_mixture"           -> Mixture.qMixtureSql,
+    "q_sample_exact"      -> Mixture.qSampleExactSql,
     "q_anomaly"           -> Anomaly.qAnomalySql,
     "q_cohort"            -> Cohort.qCohortSql,
     "q_listagg"           -> Relational.qListaggSql,

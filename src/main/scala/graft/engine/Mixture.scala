@@ -65,6 +65,70 @@ object Mixture {
        |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
        |FROM k GROUP BY 1, 2 ORDER BY source, split""".stripMargin
 
+  /** Stratified deterministic sampling: per stratum, keep exactly
+    * ceil(n·num/den) rows — the prefix of the seeded-hash order. Same
+    * determinism as the split: the order is a pure function of the row
+    * keys, so the same corpus always yields the same sample (across runs,
+    * machines and engines), and growing a stratum only perturbs membership
+    * at the prefix frontier — interior order never reshuffles. Returns the
+    * sampled ROWS (the training-pipeline op: downsample each source to a
+    * recipe fraction); q_sample_exact
+    * audits it.
+    *
+    * Scale: one window shuffle on the stratum (rank + stratum count share
+    * the exchange); no second scan, no driver state. Skewed strata ride
+    * the same chunked-window escape hatch as any other window op. */
+  def sampleStratified(docs: DataFrame, keyCol: String, strataCol: String,
+      num: Int, den: Int): DataFrame = {
+    require(num > 0 && den >= num, s"fraction $num/$den out of (0,1]")
+    val wOrd = Window.partitionBy(col(strataCol))
+      .orderBy(col("graft_mix"), col(keyCol))
+    val wAll = Window.partitionBy(col(strataCol))
+    docs
+      .withColumn("graft_mix", NumExprs.xorshiftMix(col(keyCol)))
+      .withColumn("graft_rn", row_number().over(wOrd))
+      .withColumn("graft_n", count(lit(1)).over(wAll))
+      .filter(col("graft_rn") <= expr(s"(graft_n * $num + ${den - 1}) div $den"))
+      .drop("graft_mix", "graft_rn", "graft_n")
+  }
+
+  /** q_sample_exact: exact 10% per source (ceil), audited per source
+    * as (total, sampled count, sampled character mass, sampled-id sum —
+    * a membership checksum: equal counts with a different SET of chosen
+    * documents cannot hash-match). */
+  def qSampleExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("source")).orderBy(col("mix"), col("doc_id"))
+    val wAll = Window.partitionBy(col("source"))
+    Tables.documents(spark, sfDir)
+      .withColumn("mix", NumExprs.xorshiftMix(col("doc_id")))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n_total", count(lit(1)).over(wAll))
+      .filter(col("rn") <= expr("(n_total + 9) div 10"))
+      .groupBy(col("source"))
+      .agg(max(col("n_total")).as("n_total"),
+        count(lit(1)).as("n_sampled"),
+        sum(col("n_chars")).as("chars_sampled"),
+        sum(col("doc_id")).as("id_checksum"))
+      .orderBy(col("source"))
+  }
+
+  /** Same ladder, same signed reinterpret before ordering as qMixtureSql. */
+  val qSampleExactSql: String =
+    s"""WITH ${ladderSql("doc_id", "doc_id, source, n_chars", "documents")},
+       |sx AS (SELECT doc_id, source, n_chars,
+       |  CAST(CASE WHEN x >= 9223372036854775808::HUGEINT
+       |       THEN x - 18446744073709551616::HUGEINT ELSE x END AS BIGINT) AS xs
+       |  FROM s6),
+       |r AS (SELECT doc_id, source, n_chars,
+       |  row_number() OVER (PARTITION BY source ORDER BY xs, doc_id) AS rn,
+       |  COUNT(*) OVER (PARTITION BY source) AS n_total
+       |  FROM sx)
+       |SELECT source, MAX(n_total) AS n_total, COUNT(*) AS n_sampled,
+       |  CAST(SUM(n_chars) AS BIGINT) AS chars_sampled,
+       |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+       |FROM r WHERE rn <= (n_total + 9) // 10
+       |GROUP BY source ORDER BY source""".stripMargin
+
   /** q_mixture: weighted source mixing under a character budget — every
     * source contributes documents in its deterministic hash order until
     * its budget (4000 chars for even-numbered sources, 2000 for odd — the

@@ -266,4 +266,46 @@ class PipelineOpsSpec extends SparkSpec {
       assert(n <= rows((c, 0L)), s"retention at ($c,$off) exceeds cohort size")
     assert(rows.keys.forall(_._2 >= 0), "no activity before first touch")
   }
+
+  // --- stratified sampling ------------------------------------------------
+
+  test("q_sample_exact: exact ceil(n/10) per source, audit equals the " +
+      "row-level sampleStratified API") {
+    val docs = Tables.documents(spark, sf)
+    val totals = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val audit = Mixture.qSampleExact(spark, sf).collect()
+    assert(audit.map(_.getString(0)).toSet == totals.keySet,
+      "every source must appear in the audit")
+    audit.foreach { r =>
+      val (src, nTotal, nSampled) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(nTotal == totals(src))
+      assert(nSampled == (nTotal + 9) / 10,
+        s"$src: expected ceil($nTotal/10), got $nSampled")
+    }
+    val fromApi = Mixture.sampleStratified(docs, "doc_id", "source", 1, 10)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("chars_sampled"),
+        sum(col("doc_id")).as("id_checksum"))
+      .orderBy(col("source")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val fromAudit = audit
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(fromApi.toSeq == fromAudit.toSeq,
+      "row-level API and declared audit disagree")
+  }
+
+  test("stratified sample is the seeded-hash-order prefix (driver replay)") {
+    val docs = Tables.documents(spark, sf)
+    val src = docs.select(col("source")).limit(1).collect().head.getString(0)
+    val ids = docs.filter(col("source") === src)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val k = (ids.length + 9) / 10
+    val expect = ids
+      .sortBy(id => (graft.engine.XorShiftMix.compute(id), id)).take(k).toSet
+    val got = Mixture.sampleStratified(
+        docs.filter(col("source") === src), "doc_id", "source", 1, 10)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(got == expect, s"sample must be the first-$k prefix of the hash order")
+  }
 }
