@@ -62,6 +62,7 @@ object SparkEntry {
     "q_dedup_minhash"     -> (LlmOps.qDedupMinhash _),
     "q_dedup_simhash"     -> (LlmOps.qDedupSimhash _),
     "q_ngram_jaccard"     -> (LlmOps.qNgramJaccard _),
+    "q_span_dedup"        -> (LlmOps.qSpanDedup _),
     "q_dedup_embedding"   -> (LlmOps.qDedupEmbedding _),
     "q_dedup_groups"      -> (LlmOps.qDedupGroups _),
     "q_sim_topk"          -> (LlmOps.qSimTopk _),
@@ -178,6 +179,7 @@ object SparkEntry {
     "q_multimodal_embed"  -> Multimodal.qMultimodalEmbedSql,
     "q_expand_nested"     -> Relational.qExpandNestedSql,
     "q_ngram_jaccard"     -> LlmOps.qNgramJaccardSql,
+    "q_span_dedup"        -> LlmOps.qSpanDedupSql,
     "q_lang_id"           -> LlmOps.qLangIdSql,
     "q_topk_group"        -> Aggregators.qTopkGroupSql,
     "q_dedup_groups"      -> LlmOps.qDedupGroupsSql,

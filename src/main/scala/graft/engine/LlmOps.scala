@@ -334,6 +334,102 @@ object LlmOps {
     """SELECT sha256(text) AS digest, COUNT(*) AS n_copies, min(doc_id) AS keeper_doc_id
       |FROM documents GROUP BY sha256(text) ORDER BY keeper_doc_id""".stripMargin
 
+  /** Span length for substring-level dedup: 8 tokens — the boilerplate/
+    * memorization unit (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL '22 uses 50-token substrings; 8 keeps
+    * the small-SF corpus expressive while exercising the same algebra). */
+  private val SpanN = 8
+
+  /** q_span_dedup: SUBSTRING-level dedup — the report of 8-token spans
+    * repeated across distinct documents (doc-level dedup misses shared
+    * boilerplate inside otherwise-different pages; this is the operator
+    * that finds it). Two bounded passes, the heavy-hitters discipline
+    * applied to spans:
+    *
+    *  PASS 1 — every span folds to a 64-bit FNV/rotl key (codegen'd
+    *  SpanHashes; wrapping mod-2⁶⁴, so DuckDB replays it in HUGEINT);
+    *  the corpus-sized shuffle carries only DISTINCT (hash, doc_id)
+    *  pairs — 16 B per span instead of the span text — and the top-100
+    *  cross-document hashes by (distinct-doc count desc, hash asc)
+    *  become the candidate set.
+    *  PASS 2 — rescan, keep candidate hashes only (broadcast semi-join),
+    *  recount by span TEXT exactly: hash collisions can only add a
+    *  stowaway text to a candidate bucket, never corrupt a count, and
+    *  the n_docs >= 2 refilter evicts any singleton stowaway. The
+    *  candidate margin (100 kept for a top-20 report) absorbs boundary
+    *  ties.
+    *
+    * Both passes and both tiebreaks are replayed verbatim by the oracle,
+    * so the hash function is declared semantics, not an implementation
+    * detail — the differential checks the exact candidate algebra. */
+  def qSpanDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .withColumn("_tk", tokens(col("text")))
+      .filter(size(col("_tk")) >= SpanN)
+    val spansH = base.select(col("doc_id"),
+      explode(TextExprs.spanHashes(col("_tk"), SpanN)).as("h"))
+    val cand = spansH.distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .orderBy(col("nd").desc, col("h").asc)
+      .limit(100)
+    base.select(col("doc_id"), col("_tk"),
+        posexplode(TextExprs.spanHashes(col("_tk"), SpanN)).as(Seq("pos", "h")))
+      .join(broadcast(cand.select(col("h"))), "h")
+      .select(col("doc_id"),
+        array_join(slice(col("_tk"), col("pos") + 1, lit(SpanN)), " ").as("span"))
+      .groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("span").asc)
+      .limit(20)
+  }
+
+  /** Both passes replayed: per-token FNV-1a (the qFingerprintSql inner
+    * fold), span key = list_reduce of rotl5-xor-FNV-multiply over each
+    * 8-token window, candidates top-100 by (nd, signed hash), exact text
+    * recount of candidates only. */
+  val qSpanDedupSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(lower(text), ' '), s -> s <> '') AS tk
+      |  FROM documents),
+      |f AS (SELECT doc_id, tk FROM t WHERE len(tk) >= 8),
+      |th AS (
+      |  SELECT doc_id, tk,
+      |    [list_reduce(
+      |       list_prepend(14695981039346656037::HUGEINT,
+      |         [CAST(ord(substr(tok, CAST(i AS INT), 1)) AS HUGEINT)
+      |          for i in range(1, length(tok) + 1)]),
+      |       (a, b) -> (xor(a, b) * 1099511628211::HUGEINT)
+      |                   % 18446744073709551616::HUGEINT)
+      |     for tok in tk] AS hh
+      |  FROM f),
+      |sp AS (
+      |  SELECT doc_id,
+      |    unnest([array_to_string(tk[i:i+7], ' ')
+      |            for i in range(1, len(tk) - 6)]) AS span,
+      |    unnest([CAST(CASE WHEN sh >= 9223372036854775808::HUGEINT
+      |                 THEN sh - 18446744073709551616::HUGEINT
+      |                 ELSE sh END AS BIGINT)
+      |            for sh in [list_reduce(hh[i:i+7],
+      |              (a, b) -> (xor((a * 32) % 18446744073709551616::HUGEINT
+      |                               + a // 576460752303423488::HUGEINT, b)
+      |                         * 1099511628211::HUGEINT)
+      |                          % 18446744073709551616::HUGEINT)
+      |              for i in range(1, len(hh) - 6)]]) AS h
+      |  FROM th),
+      |cand AS (
+      |  SELECT h FROM (
+      |    SELECT h, COUNT(DISTINCT doc_id) AS nd FROM sp GROUP BY h
+      |    HAVING COUNT(DISTINCT doc_id) >= 2)
+      |  ORDER BY nd DESC, h ASC LIMIT 100),
+      |hit AS (SELECT sp.doc_id, sp.span FROM sp JOIN cand ON sp.h = cand.h)
+      |SELECT span, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+      |FROM hit GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+      |ORDER BY n_docs DESC, n_occurrences DESC, span ASC LIMIT 20""".stripMargin
+
   /** documents + `shl` (distinct shingle-hash longs) column, computed by
     * the native codegen'd ShingleHashes expression (TextExprs) — FNV
     * family, bit-exact against a plain-Scala fold by spec AND replayed by

@@ -147,6 +147,65 @@ object ShingleHashes {
   }
 }
 
+/** Native n-token span hashes over a token array — the shingle family
+  * generalized to the SPAN length substring-dedup cares about (8–16
+  * tokens: the unit of cross-document boilerplate/memorized text, vs the
+  * 3-token shingles the similarity family uses). Output i is the left
+  * fold of ShingleHashes.mix over the FNV hashes of tokens[i, i+n):
+  * acc₀ = fnv64(t_i), acc_j = mix(acc, fnv64(t_{i+j})) — every step
+  * wrapping mod-2⁶⁴, so DuckDB replays it in HUGEINT (list_reduce over
+  * the same rotl5-xor-multiply). Fewer than n tokens → empty array (a
+  * short document has no n-span). Pinned against a plain-Scala reference
+  * by SpanDedupSpec. */
+case class SpanHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"span_hashes needs array<string>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SpanHashes.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.engine.SpanHashes.compute($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): SpanHashes =
+    copy(child = newChild)
+
+  override def prettyName: String = "span_hashes"
+}
+
+object SpanHashes {
+  /** Static entry shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val m = arr.numElements()
+    if (m < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](m)
+    var k = 0
+    while (k < m) {
+      th(k) =
+        if (arr.isNullAt(k)) RollingFingerprint.FnvBasis
+        else RollingFingerprint.fnv64(arr.getUTF8String(k))
+      k += 1
+    }
+    val out = new Array[Long](m - n + 1)
+    var i = 0
+    while (i <= m - n) {
+      var acc = th(i)
+      var j = 1
+      while (j < n) { acc = ShingleHashes.mix(acc, th(i + j)); j += 1 }
+      out(i) = acc
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Native MinHash LSH band keys over a shingle-hash array — 16
   * multiply-add signature mins folded into 4 FNV band keys, all in one
   * narrow codegen'd pass (the column formulation ran 16 `transform` +
@@ -695,6 +754,10 @@ object TextExprs {
   /** Column-level shingle hashes backed by the codegen'd expression. */
   def shingleHashes(tokens: Column): Column =
     GraftColumnBridge.column(ShingleHashes(GraftColumnBridge.expression(tokens)))
+
+  /** Column-level n-token span hashes backed by the codegen'd expression. */
+  def spanHashes(tokens: Column, n: Int): Column =
+    GraftColumnBridge.column(SpanHashes(GraftColumnBridge.expression(tokens), n))
 
   /** Column-level MinHash LSH band keys backed by the codegen'd expression. */
   def minhashBands(shingleHashes: Column): Column =
