@@ -618,9 +618,21 @@ object Streaming {
     val savedProvider = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Right-size the stateful operator's partitioning for the drain: the
+    // state partition count is fixed at first batch from
+    // spark.sql.shuffle.partitions, and every partition opens its own
+    // RocksDB instance PER BATCH — at the session default (32) that is
+    // 32 stores × 5 batches of per-batch open/commit overhead for a
+    // key space of a few hundred users. 8 partitions is the honest
+    // sizing for this key cardinality (at production scale you size
+    // this to the live-key count, not the session default).
+    val partsKey = "spark.sql.shuffle.partitions"
+    val savedParts = spark.conf.get(partsKey)
+    spark.conf.set(partsKey, "8")
     val sink = s"stream_upsert_q_${streamUpsertRuns.get()}"
-    val q = runToMemoryUpdate(
-      upsertLatestTws(typedEvents(stream)).toDF(), sink)
+    val q =
+      try runToMemoryUpdate(upsertLatestTws(typedEvents(stream)).toDF(), sink)
+      finally spark.conf.set(partsKey, savedParts) // captured at start
     try {
       q.awaitTermination(300000)
       if (q.isActive) throw new IllegalStateException(
