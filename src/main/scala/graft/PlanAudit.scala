@@ -94,10 +94,15 @@ object PlanAudit {
     override def onJobStart(
         e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
       // Spark 4 carries the broadcast-exchange marker as a job TAG
-      // (spark.job.tags), not the job description
+      // (spark.job.tags), not the job description. Matched on the bare
+      // word "broadcast" (case-insensitive) so a minor rewording in a
+      // Spark upgrade doesn't silently zero the counter; the wording
+      // contract itself is pinned by PlanSpec's tight broadcast self-check
+      // (rtBcast == structural > 0 on a known broadcast join), which trips
+      // if the tag disappears entirely.
       val marked = Option(e.properties).exists { p =>
         Seq("spark.job.tags", "spark.job.description").exists(k =>
-          Option(p.getProperty(k)).exists(_.contains("broadcast exchange (runId")))
+          Option(p.getProperty(k)).exists(_.toLowerCase.contains("broadcast")))
       }
       if (marked) bcastJobs.incrementAndGet()
       stampCtr.incrementAndGet()

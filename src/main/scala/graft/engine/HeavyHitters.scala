@@ -220,24 +220,26 @@ object HeavyHitters {
   def qStreamHeavy(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory(
       s"graft_hh_stream_${streamHeavyRuns.incrementAndGet()}").toString
-    Tables.documents(spark, sfDir).select(col("text"))
-      .repartition(4).write.mode("overwrite").parquet(dir)
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("text",
-        org.apache.spark.sql.types.StringType)))
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(dir)
-    val running = new Streaming.RunningMg(M)
-    val q = Streaming.heavyHittersStream(stream, M, running)
     try {
-      q.awaitTermination(300000)
-      if (q.isActive) throw new IllegalStateException(
-        "q_stream_heavy: AvailableNow drain did not terminate in 300 s")
-    } finally if (q.isActive) q.stop()
-    if (running.batchCount < 2) throw new IllegalStateException(
-      s"q_stream_heavy: expected a multi-batch drain, got ${running.batchCount}")
-    recountTopK(spark, tokens(Tables.documents(spark, sfDir)),
-      running.summary, M, K)
+      Tables.documents(spark, sfDir).select(col("text"))
+        .repartition(4).write.mode("overwrite").parquet(dir)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val running = new Streaming.RunningMg(M)
+      val q = Streaming.heavyHittersStream(stream, M, running)
+      try {
+        q.awaitTermination(300000)
+        if (q.isActive) throw new IllegalStateException(
+          "q_stream_heavy: AvailableNow drain did not terminate in 300 s")
+      } finally if (q.isActive) q.stop()
+      if (running.batchCount < 2) throw new IllegalStateException(
+        s"q_stream_heavy: expected a multi-batch drain, got ${running.batchCount}")
+      recountTopK(spark, tokens(Tables.documents(spark, sfDir)),
+        running.summary, M, K)
+    } finally Streaming.deleteDirTree(dir) // recountTopK collects — dir is dead
   }
 
   /** The claim in SQL: plain exact top-k with the same tiebreak. */

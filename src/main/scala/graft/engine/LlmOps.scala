@@ -176,8 +176,9 @@ object LlmOps {
         TextExprs.rollingFingerprint(tokens(col("text"))).as("fingerprint"))
 
   /** The fingerprint replayed in DuckDB: inner fold = FNV-1a over each
-    * token's codepoints (ASCII corpus: codepoint == UTF-8 byte, same
-    * convention as the q_multimodal_frames oracle), outer fold =
+    * token's UTF-8 BYTES (decoded from hex(encode(tok)) — exactly the
+    * bytes RollingFingerprint.fnv64 folds, so the replay holds for
+    * non-ASCII tokens too, not just where codepoint == byte), outer fold =
     * rotl5 ⊕ — both in HUGEINT mod-2⁶⁴ (FNV products < 2¹⁰⁴, no
     * overflow), signed back to BIGINT at the end. */
   val qFingerprintSql: String =
@@ -189,8 +190,10 @@ object LlmOps {
       |  SELECT doc_id,
       |    [list_reduce(
       |       list_prepend(14695981039346656037::HUGEINT,
-      |         [CAST(ord(substr(tok, CAST(i AS INT), 1)) AS HUGEINT)
-      |          for i in range(1, length(tok) + 1)]),
+      |         [[CAST(16 * (strpos('0123456789abcdef', substr(hx, 2*CAST(i AS INT)-1, 1)) - 1)
+      |               + (strpos('0123456789abcdef', substr(hx, 2*CAST(i AS INT), 1)) - 1) AS HUGEINT)
+      |           for i in range(1, CAST(length(hx) // 2 AS BIGINT) + 1)]
+      |          for hx in [lower(hex(encode(tok)))]][1]),
       |       (a, b) -> (xor(a, b) * 1099511628211::HUGEINT)
       |                   % 18446744073709551616::HUGEINT)
       |     for tok in toks] AS th
@@ -352,12 +355,22 @@ object LlmOps {
     *  pairs — 16 B per span instead of the span text — and the top-100
     *  cross-document hashes by (distinct-doc count desc, hash asc)
     *  become the candidate set.
-    *  PASS 2 — rescan, keep candidate hashes only (broadcast semi-join),
-    *  recount by span TEXT exactly: hash collisions can only add a
-    *  stowaway text to a candidate bucket, never corrupt a count, and
-    *  the n_docs >= 2 refilter evicts any singleton stowaway. The
-    *  candidate margin (100 kept for a top-20 report) absorbs boundary
-    *  ties.
+    *  PASS 2 — rescan, keep candidate hashes only (a 100-literal In
+    *  filter pushed below the span aggregate), recount by span TEXT
+    *  exactly: hash collisions can only add a stowaway text to a
+    *  candidate bucket, never corrupt a count, and the n_docs >= 2
+    *  refilter evicts any singleton stowaway. The candidate margin
+    *  (100 kept for a top-20 report) absorbs boundary ties.
+    *
+    * RUNTIME EXACTNESS PROOF (the heavy-hitters discipline — fail fast
+    * instead of returning a silently unverifiable answer): a span excluded
+    * by the 100-hash cut has n_docs bounded by its hash's distinct-doc
+    * count nd, and the cut is ordered nd-first — so if every hash with
+    * nd >= the 20th reported n_docs made the candidate set (equivalently:
+    * the COUNT of such hashes is <= 100, checked against an nd-class
+    * histogram of pass 1), no excluded span can reach the report and the
+    * top-20 is provably the global exact top-20, ties included. Otherwise
+    * the margin straddles the boundary class and the query throws.
     *
     * Both passes and both tiebreaks are replayed verbatim by the oracle,
     * so the hash function is declared semantics, not an implementation
@@ -368,28 +381,51 @@ object LlmOps {
       .filter(size(col("_tk")) >= SpanN)
     val spansH = base.select(col("doc_id"),
       explode(TextExprs.spanHashes(col("_tk"), SpanN)).as("h"))
-    val cand = spansH.distinct()
+    // pass-1 aggregate is consumed twice (top-100 candidates + nd-class
+    // histogram for the proof) — persist spares the corpus rescan; the
+    // persisted set is (hash, nd) pairs, 16 B per distinct cross-doc span
+    val ndAgg = spansH.distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2)
-      .orderBy(col("nd").desc, col("h").asc)
-      .limit(100)
-    base.select(col("doc_id"), col("_tk"),
-        posexplode(TextExprs.spanHashes(col("_tk"), SpanN)).as(Seq("pos", "h")))
-      .join(broadcast(cand.select(col("h"))), "h")
-      .select(col("doc_id"),
-        array_join(slice(col("_tk"), col("pos") + 1, lit(SpanN)), " ").as("span"))
-      .groupBy(col("span"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_occurrences"))
-      .filter(col("n_docs") >= 2)
-      .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("span").asc)
-      .limit(20)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val candRows = ndAgg.orderBy(col("nd").desc, col("h").asc).limit(100).collect()
+      // collect is bounded by the number of DISTINCT nd values (<= max
+      // cross-doc multiplicity), not by corpus size
+      val hist = ndAgg.groupBy(col("nd")).agg(count(lit(1)).as("nh")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val crossDocHashes = hist.map(_._2).sum
+      val candHashes = candRows.map(_.getLong(0)).toSeq
+      val top = base.select(col("doc_id"), col("_tk"),
+          posexplode(TextExprs.spanHashes(col("_tk"), SpanN)).as(Seq("pos", "h")))
+        .filter(col("h").isin(candHashes: _*))
+        .select(col("doc_id"),
+          array_join(slice(col("_tk"), col("pos") + 1, lit(SpanN)), " ").as("span"))
+        .groupBy(col("span"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("span").asc)
+        .limit(20)
+      val rows = top.collect()
+      if (crossDocHashes > 100) { // the cut bound: excluded hashes exist
+        val n20 = if (rows.length == 20) rows.last.getLong(1) else 2L
+        val atRisk = hist.filter(_._1 >= n20).map(_._2).sum
+        if (atRisk > 100) throw new IllegalStateException(
+          s"q_span_dedup: top-20 exactness unprovable — $atRisk cross-document " +
+          s"span hashes carry nd >= the boundary n_docs ($n20) but only 100 were " +
+          "recounted; widen the candidate margin for this corpus")
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), top.schema)
+    } finally { ndAgg.unpersist(); () }
   }
 
-  /** Both passes replayed: per-token FNV-1a (the qFingerprintSql inner
-    * fold), span key = list_reduce of rotl5-xor-FNV-multiply over each
-    * 8-token window, candidates top-100 by (nd, signed hash), exact text
-    * recount of candidates only. */
+  /** Both passes replayed: per-token FNV-1a over UTF-8 BYTES (the
+    * qFingerprintSql inner fold — hex-decoded so non-ASCII tokens hash
+    * identically to the engine's byte fold), span key = list_reduce of
+    * rotl5-xor-FNV-multiply over each 8-token window, candidates top-100
+    * by (nd, signed hash), exact text recount of candidates only. */
   val qSpanDedupSql: String =
     """WITH t AS (
       |  SELECT doc_id,
@@ -400,8 +436,10 @@ object LlmOps {
       |  SELECT doc_id, tk,
       |    [list_reduce(
       |       list_prepend(14695981039346656037::HUGEINT,
-      |         [CAST(ord(substr(tok, CAST(i AS INT), 1)) AS HUGEINT)
-      |          for i in range(1, length(tok) + 1)]),
+      |         [[CAST(16 * (strpos('0123456789abcdef', substr(hx, 2*CAST(i AS INT)-1, 1)) - 1)
+      |               + (strpos('0123456789abcdef', substr(hx, 2*CAST(i AS INT), 1)) - 1) AS HUGEINT)
+      |           for i in range(1, CAST(length(hx) // 2 AS BIGINT) + 1)]
+      |          for hx in [lower(hex(encode(tok)))]][1]),
       |       (a, b) -> (xor(a, b) * 1099511628211::HUGEINT)
       |                   % 18446744073709551616::HUGEINT)
       |     for tok in tk] AS hh
@@ -586,10 +624,15 @@ object LlmOps {
   private def mixSql(a: String, b: String): String =
     s"((xor(${rotl5Sql(a)}, $b) * $P) % $M)"
 
-  /** FNV-1a over a string expression's characters, in HUGEINT. */
+  /** FNV-1a over a string expression's UTF-8 BYTES, in HUGEINT — the
+    * bytes come from hex(encode(..)) pairs, so the fold matches the
+    * engine's RollingFingerprint.fnv64 for non-ASCII input too. */
   private def fnvSql(tok: String): String =
-    s"list_reduce(list_prepend($FB, [CAST(ord(substr($tok, CAST(i AS INT), 1)) AS HUGEINT) " +
-      s"for i in range(1, length($tok) + 1)]), (a, b) -> (xor(a, b) * $P) % $M)"
+    s"list_reduce(list_prepend($FB, " +
+      "[[CAST(16 * (strpos('0123456789abcdef', substr(hx, 2*CAST(i AS INT)-1, 1)) - 1) " +
+      "+ (strpos('0123456789abcdef', substr(hx, 2*CAST(i AS INT), 1)) - 1) AS HUGEINT) " +
+      "for i in range(1, CAST(length(hx) // 2 AS BIGINT) + 1)] " +
+      s"for hx in [lower(hex(encode($tok)))]][1]), (a, b) -> (xor(a, b) * $P) % $M)"
 
   /** Shared tokenize + per-token-FNV prologue (t, h CTE bodies). */
   private def tokenHashCtes: String =

@@ -50,13 +50,14 @@ object Multimodal {
       .toDF()
   }
 
-  /** The stub's arithmetic replayed in SQL (text is ASCII so byte length ==
-    * char length; checked by the differential itself). */
+  /** The stub's arithmetic replayed in SQL over the UTF-8 BYTE length
+    * (octet_length of the encoded text — the engine's payload.length),
+    * exact for non-ASCII text too. */
   val qMultimodalMetaSql: String =
     """SELECT doc_id, 'img' AS fmt,
-      |  CAST(length(text) AS BIGINT) AS n_bytes,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
       |  CAST(32 + doc_id % 640 AS BIGINT) AS width,
-      |  CAST(32 + length(text) % 480 AS BIGINT) AS height,
+      |  CAST(32 + octet_length(encode(text)) % 480 AS BIGINT) AS height,
       |  CAST(1 + doc_id % 8 AS BIGINT) AS frames
       |FROM documents ORDER BY doc_id""".stripMargin
 
@@ -96,7 +97,7 @@ object Multimodal {
       |FROM (
       |  SELECT doc_id,
       |    CAST(32 + doc_id % 640 AS BIGINT) AS width,
-      |    CAST(32 + length(text) % 480 AS BIGINT) AS height
+      |    CAST(32 + octet_length(encode(text)) % 480 AS BIGINT) AS height
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
@@ -153,12 +154,14 @@ object Multimodal {
           x => round(x * n).cast("long")), ",").as("histogram"))
   }
 
-  /** Byte-class histogram replayed per character in DuckDB. LEFT JOIN +
+  /** Byte-class histogram replayed per UTF-8 BYTE in DuckDB (each byte
+    * hex-decoded from hex(encode(text)) — the engine bins payload bytes,
+    * so the replay is exact for non-ASCII text too). LEFT JOIN +
     * COALESCE: an empty document produces no rows from `unnest(range(...))`
     * but the Spark side always emits one zero-histogram row (its divisor
     * is `max(1, n_bytes)`) — an inner join would silently drop it. */
   val qMultimodalEmbedSql: String =
-    """SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_bytes,
+    """SELECT d.doc_id, CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
       |  concat_ws(',',
       |    COALESCE(b0, 0), COALESCE(b1, 0), COALESCE(b2, 0), COALESCE(b3, 0),
       |    COALESCE(b4, 0), COALESCE(b5, 0), COALESCE(b6, 0), COALESCE(b7, 0)
@@ -175,9 +178,12 @@ object Multimodal {
       |    count(*) FILTER (WHERE bin = 6) AS b6,
       |    count(*) FILTER (WHERE bin = 7) AS b7
       |  FROM (
-      |    SELECT doc_id, ord(substr(text, CAST(i AS INT), 1)) >> 5 AS bin
-      |    FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
-      |          FROM documents))
+      |    SELECT doc_id,
+      |      (16 * (strpos('0123456789abcdef', substr(hx, 2*CAST(i AS INT)-1, 1)) - 1)
+      |         + (strpos('0123456789abcdef', substr(hx, 2*CAST(i AS INT), 1)) - 1)) // 32 AS bin
+      |    FROM (SELECT doc_id, hx,
+      |            unnest(range(1, CAST(length(hx) // 2 AS BIGINT) + 1)) AS i
+      |          FROM (SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents)))
       |  GROUP BY doc_id) h ON d.doc_id = h.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
@@ -214,26 +220,30 @@ object Multimodal {
 
   /** The rotate-XOR frame hash replayed in DuckDB: 64-bit two's-complement
     * arithmetic emulated in HUGEINT — rotl5(h) = (h·32 mod 2⁶⁴) + (h ÷ 2⁵⁹)
-    * (low 5 bits of the product are 0, so + == |), per-byte fold via
-    * list_reduce over the sampled window's codepoints (text is ASCII, so
-    * codepoint == payload byte), signed back at the end. */
+    * (low 5 bits of the product are 0, so + == |), per-byte fold over the
+    * sampled window's UTF-8 BYTES hex-decoded from hex(encode(text)) —
+    * the engine folds payload bytes, so offsets, window bounds, and byte
+    * values all replay exactly for non-ASCII text too — signed back at
+    * the end. The payload byte at 1-based offset j sits at hex chars
+    * (2j-1, 2j). */
   val qMultimodalFramesSql: String =
     """WITH f AS (
-      |  SELECT doc_id, text,
-      |    CAST(length(text) AS BIGINT) AS n,
+      |  SELECT doc_id, lower(hex(encode(text))) AS hx,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n,
       |    CAST(1 + doc_id % 8 AS BIGINT) AS frames
       |  FROM documents
       |), fr AS (
-      |  SELECT doc_id, text, n, frames, unnest(range(frames)) AS frame_idx FROM f
+      |  SELECT doc_id, hx, n, frames, unnest(range(frames)) AS frame_idx FROM f
       |), off AS (
-      |  SELECT doc_id, text, n, frame_idx,
+      |  SELECT doc_id, hx, n, frame_idx,
       |    CASE WHEN frames = 1 THEN 0 ELSE frame_idx * (n // frames) END AS byte_offset
       |  FROM fr
       |), hashed AS (
       |  SELECT doc_id, frame_idx, byte_offset,
       |    list_reduce(
       |      list_prepend(CAST(1125899906842597 AS HUGEINT),
-      |        [CAST(ord(substr(text, CAST(j AS INT), 1)) AS HUGEINT)
+      |        [CAST(16 * (strpos('0123456789abcdef', substr(hx, 2*CAST(j AS INT)-1, 1)) - 1)
+      |             + (strpos('0123456789abcdef', substr(hx, 2*CAST(j AS INT), 1)) - 1) AS HUGEINT)
       |         for j in range(byte_offset + 1, least(n, byte_offset + 16) + 1)]),
       |      (acc, b) -> xor((acc * 32) % 18446744073709551616::HUGEINT
       |                        + acc // 576460752303423488::HUGEINT, b)

@@ -608,32 +608,36 @@ object Streaming {
       .filter(col("user_id").isNotNull && col("ts").isNotNull)
     val dir = java.nio.file.Files.createTempDirectory(
       s"graft_upsert_stream_${streamUpsertRuns.incrementAndGet()}").toString
-    ev.select(col("user_id"), col("ts"), col("event_type"))
-      .repartitionByRange(4, col("ts"))
-      .write.mode("overwrite").parquet(dir)
-    val staged = spark.read.parquet(dir) // ts already normalized at staging
-    val stream = spark.readStream.schema(staged.schema)
-      .option("maxFilesPerTrigger", "1").parquet(dir)
+    // ONE try/finally spans everything from the first conf.set: a failure
+    // anywhere (including query START) must not leak the RocksDB provider
+    // or the drain-sized partition count into the rest of the session, and
+    // the staged parquet must not accumulate across bench/test repeats.
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val savedProvider = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    // Right-size the stateful operator's partitioning for the drain: the
-    // state partition count is fixed at first batch from
-    // spark.sql.shuffle.partitions, and every partition opens its own
-    // RocksDB instance PER BATCH — at the session default (32) that is
-    // 32 stores × 5 batches of per-batch open/commit overhead for a
-    // key space of a few hundred users. 8 partitions is the honest
-    // sizing for this key cardinality (at production scale you size
-    // this to the live-key count, not the session default).
     val partsKey = "spark.sql.shuffle.partitions"
+    val savedProvider = spark.conf.getOption(providerKey)
     val savedParts = spark.conf.get(partsKey)
-    spark.conf.set(partsKey, "8")
     val sink = s"stream_upsert_q_${streamUpsertRuns.get()}"
-    val q =
-      try runToMemoryUpdate(upsertLatestTws(typedEvents(stream)).toDF(), sink)
-      finally spark.conf.set(partsKey, savedParts) // captured at start
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
     try {
+      ev.select(col("user_id"), col("ts"), col("event_type"))
+        .repartitionByRange(4, col("ts"))
+        .write.mode("overwrite").parquet(dir)
+      val staged = spark.read.parquet(dir) // ts already normalized at staging
+      val stream = spark.readStream.schema(staged.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // Right-size the stateful operator's partitioning for the drain: the
+      // state partition count is fixed at first batch from
+      // spark.sql.shuffle.partitions, and every partition opens its own
+      // RocksDB instance PER BATCH — at the session default (32) that is
+      // 32 stores × 5 batches of per-batch open/commit overhead for a
+      // key space of a few hundred users. 8 partitions is the honest
+      // sizing for this key cardinality (at production scale you size
+      // this to the live-key count, not the session default).
+      spark.conf.set(partsKey, "8")
+      q = runToMemoryUpdate(upsertLatestTws(typedEvents(stream)).toDF(), sink)
+      spark.conf.set(partsKey, savedParts) // captured at query start
       q.awaitTermination(300000)
       if (q.isActive) throw new IllegalStateException(
         "q_stream_upsert: AvailableNow drain did not terminate in 300 s")
@@ -648,12 +652,27 @@ object Streaming {
         .orderBy(col("user_id"))
       Iterate.cut(out) // detach from the sink view
     } finally {
-      if (q.isActive) q.stop()
-      spark.catalog.dropTempView(sink)
+      if (q != null && q.isActive) q.stop()
+      spark.catalog.dropTempView(sink) // no-op (returns false) if never created
+      spark.conf.set(partsKey, savedParts) // idempotent re-restore
       savedProvider match {
         case Some(v) => spark.conf.set(providerKey, v)
         case None    => spark.conf.unset(providerKey)
       }
+      deleteDirTree(dir)
+    }
+  }
+
+  /** Best-effort recursive delete of a staged temp dir (drain inputs are
+    * dead once the query result is materialized). */
+  private[engine] def deleteDirTree(dir: String): Unit = {
+    import java.nio.file.{Files, Path, Paths}
+    val root = Paths.get(dir)
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => try Files.delete(p) catch { case _: java.io.IOException => () })
+      finally walk.close()
     }
   }
 

@@ -1,6 +1,9 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{broadcast, count, lit}
+
+import graft.engine.Tables
 
 /** Physical-plan shape assertions — the 100 TB posture, locked in as tests
   * so a refactor can't silently regress scan pruning, broadcast choice, or
@@ -208,6 +211,34 @@ class PlanSpec extends SparkSpec {
         else Some(s"$name: expected rtShfl in [$lo,$hi] rtBcast>=$bcLo, got rtShfl=$rs rtBcast=$rb")
       }
       assert(bad.isEmpty, bad.mkString("\n"))
+    } finally spark.sparkContext.removeSparkListener(counter)
+  }
+
+  /** Tight self-check of the RUNTIME broadcast counter (ADVICE r7): the
+    * counter recognizes broadcast-exchange jobs by their job tag, which is
+    * Spark-internal wording — if an upgrade rewords it, rtBcast silently
+    * reads 0 everywhere and the loose `>= 1` pins above are the only trip
+    * wire. This pin is exact: a query whose ONLY plan-level jobs are two
+    * forced broadcast joins must report rtBcast == structural broadcasts
+    * and both must be nonzero, so a silent-zero (or double-count)
+    * regression fails loudly here before it corrupts PLANS.md. */
+  test("runtime broadcast counter: tight parity with the structural walk") {
+    val counter = new PlanAudit.RuntimeCounter
+    spark.sparkContext.addSparkListener(counter)
+    try {
+      val (t, _, rb) = PlanAudit.auditRuntime(counter) {
+        val o = Tables.orders(spark, sf)
+        val c = broadcast(Tables.customer(spark, sf))
+        val n = broadcast(Tables.nation(spark, sf))
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .join(n, c("c_nationkey") === n("n_nationkey"))
+          .groupBy(n("n_name")).agg(count(lit(1)).as("n"))
+      }
+      assert(t.broadcasts == 2,
+        s"structural: expected exactly 2 broadcast exchanges, got ${t.broadcasts}")
+      assert(rb == t.broadcasts,
+        s"runtime broadcast counter out of parity: structural=${t.broadcasts} runtime=$rb " +
+        "— the Spark job-tag wording the counter matches on has likely changed")
     } finally spark.sparkContext.removeSparkListener(counter)
   }
 }

@@ -39,9 +39,12 @@ def main(sf_dir, out_dir, only=None):
             # HUGEINT (int128) — value-equal to Spark's int64 after pandas
             # coercion but hash-DIFFERENT on the driver (the round-6 red-row
             # cause). Fail here, before pandas hides it.
+            # Substring match, not prefix: a widened type nested inside a
+            # LIST/STRUCT column (e.g. BIGINT[] that widened to HUGEINT[])
+            # stringifies with the widened name in the middle of the type.
             widened = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
-                       if str(t).upper().startswith(("HUGEINT", "UHUGEINT",
-                                                     "DECIMAL", "UBIGINT"))]
+                       if any(w in str(t).upper()
+                              for w in ("HUGEINT", "DECIMAL", "UBIGINT"))]
             if widened:
                 print(f"{name:22s} ORACLE DTYPE {widened} — cast to BIGINT/DOUBLE in the oracle SQL")
                 fails.append(name); continue
