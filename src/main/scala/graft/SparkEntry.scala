@@ -63,6 +63,8 @@ object SparkEntry {
     "q_dedup_simhash"     -> (LlmOps.qDedupSimhash _),
     "q_ngram_jaccard"     -> (LlmOps.qNgramJaccard _),
     "q_span_dedup"        -> (LlmOps.qSpanDedup _),
+    "q_span_scrub"        -> (LlmOps.qSpanScrub _),
+    "q_corpus_delta"      -> (LlmOps.qCorpusDelta _),
     "q_dedup_embedding"   -> (LlmOps.qDedupEmbedding _),
     "q_dedup_groups"      -> (LlmOps.qDedupGroups _),
     "q_sim_topk"          -> (LlmOps.qSimTopk _),
@@ -180,6 +182,8 @@ object SparkEntry {
     "q_expand_nested"     -> Relational.qExpandNestedSql,
     "q_ngram_jaccard"     -> LlmOps.qNgramJaccardSql,
     "q_span_dedup"        -> LlmOps.qSpanDedupSql,
+    "q_span_scrub"        -> LlmOps.qSpanScrubSql,
+    "q_corpus_delta"      -> LlmOps.qCorpusDeltaSql,
     "q_lang_id"           -> LlmOps.qLangIdSql,
     "q_topk_group"        -> Aggregators.qTopkGroupSql,
     "q_dedup_groups"      -> LlmOps.qDedupGroupsSql,

@@ -468,6 +468,84 @@ object LlmOps {
       |FROM hit GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
       |ORDER BY n_docs DESC, n_occurrences DESC, span ASC LIMIT 20""".stripMargin
 
+  /** Row-level span SCRUB: the cleaning transformation the span-dedup
+    * report implies (Lee et al., ACL '22 — removing repeated substrings,
+    * not just finding them). Every token covered by ANY occurrence of a
+    * span in `scrubSpans` is dropped; the rest of the document survives in
+    * order. Output per doc: token count before, tokens removed, and the
+    * sha256 of the scrubbed text (the driver-comparable witness of the
+    * full reconstruction).
+    *
+    * Plan shape: one narrow pass builds (doc_id, pos, span-text) rows, a
+    * 20-literal In filter keeps boilerplate occurrences, covered token
+    * positions expand 8-fold and aggregate to one per-doc sorted position
+    * list (bounded by the doc's own token count — per-doc state, never
+    * corpus-sized), and an index-aware `filter` rebuilds the text. One
+    * shuffle on doc_id; everything else is narrow. */
+  private[graft] def spanScrub(docs: DataFrame, scrubSpans: Seq[String]): DataFrame = {
+    val base = docs.withColumn("_tk", tokens(col("text")))
+    val occ = base.filter(size(col("_tk")) >= SpanN)
+      .select(col("doc_id"), col("_tk"),
+        posexplode(TextExprs.spanHashes(col("_tk"), SpanN)).as(Seq("pos", "h")))
+      .select(col("doc_id"), col("pos"),
+        array_join(slice(col("_tk"), col("pos") + 1, lit(SpanN)), " ").as("span"))
+      .filter(col("span").isin(scrubSpans: _*))
+    val covAgg = occ
+      .select(col("doc_id"),
+        explode(sequence(col("pos") + 1, col("pos") + SpanN)).as("p"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("p"))).as("cps"))
+    base.join(covAgg, Seq("doc_id"), "left")
+      .withColumn("cps", coalesce(col("cps"), typedLit(Seq.empty[Int])))
+      .select(col("doc_id"),
+        size(col("_tk")).cast("long").as("n_tokens"),
+        size(col("cps")).cast("long").as("n_removed"),
+        sha2(array_join(
+          filter(col("_tk"), (_, i) => !array_contains(col("cps"), i + 1)),
+          " "), 256).as("scrubbed_sha"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q_span_scrub: scrub the EXACT top-20 cross-document spans reported by
+    * q_span_dedup (the collect is k-bounded and carries that query's
+    * runtime exactness proof — an unprovable top-20 fails here too, never
+    * silently scrubs the wrong set). */
+  def qSpanScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val scrub = qSpanDedup(spark, sfDir).select(col("span"))
+      .collect().map(_.getString(0)).toSeq
+    spanScrub(Tables.documents(spark, sfDir), scrub)
+  }
+
+  /** Full replay: the top-20 spans re-derived by qSpanDedupSql (nested
+    * CTE), coverage expanded per occurrence, reconstruction replayed
+    * token-by-token, sha256 over the identical rebuilt string. */
+  val qSpanScrubSql: String =
+    s"""WITH top20 AS (
+       |${qSpanDedupSql}
+       |),
+       |dt AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(lower(text), ' '), s -> s <> '') AS tk
+       |  FROM documents),
+       |pos AS (
+       |  SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i
+       |  FROM dt WHERE len(tk) >= 8),
+       |covl AS (
+       |  SELECT doc_id, list(p ORDER BY p) AS cps FROM (
+       |    SELECT DISTINCT doc_id, p FROM (
+       |      SELECT doc_id, unnest(range(i, i + 8)) AS p FROM pos
+       |      WHERE array_to_string(tk[i:i+7], ' ') IN (SELECT span FROM top20)))
+       |  GROUP BY doc_id)
+       |SELECT dt.doc_id,
+       |  CAST(len(dt.tk) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(len(c.cps), 0) AS BIGINT) AS n_removed,
+       |  sha256(array_to_string(
+       |    [dt.tk[CAST(i AS INT)] for i in range(1, len(dt.tk) + 1)
+       |     if NOT list_contains(COALESCE(c.cps, []), i)], ' ')) AS scrubbed_sha
+       |FROM dt LEFT JOIN covl c ON dt.doc_id = c.doc_id
+       |ORDER BY dt.doc_id""".stripMargin
+
   /** documents + `shl` (distinct shingle-hash longs) column, computed by
     * the native codegen'd ShingleHashes expression (TextExprs) — FNV
     * family, bit-exact against a plain-Scala fold by spec AND replayed by
@@ -489,7 +567,7 @@ object LlmOps {
   /** doc_id + exploded (band, band_key) rows from the native MinHashBands
     * expression — one narrow pass, everything before the explode is
     * shuffle-free. */
-  private def bandKeys(docs: DataFrame): DataFrame =
+  private[graft] def bandKeys(docs: DataFrame): DataFrame =
     withShingleHashes(docs)
       .select(col("doc_id"),
         posexplode(TextExprs.minhashBands(col("shl"))).as(Seq("band", "band_key")))
@@ -695,6 +773,71 @@ object LlmOps {
        |FROM m, (VALUES (0), (1), (2), (3)) AS b(band)
        |ORDER BY doc_id, band""".stripMargin
   }
+
+  // --- incremental (cross-snapshot) dedup --------------------------------
+
+  /** Row-level incremental dedup: classify each `batch` document against a
+    * standing `corpus` — `exact_dup` (content digest already present in the
+    * corpus), `near_dup` (shares a MinHash LSH band bucket with some corpus
+    * doc — the qDedupMinhash candidate test), else `new`.
+    *
+    * This is the 100 TB INGEST posture the whole-corpus dedup queries
+    * deliberately don't model: in production you never re-deduplicate the
+    * accumulated corpus per arriving batch — you maintain a corpus INDEX
+    * (distinct digest set + distinct band-bucket set, both tiny relative
+    * to the text) and probe it with shuffle semi-joins that are LINEAR in
+    * |batch| + |index|. No pairwise comparison anywhere: band-bucket
+    * membership is the near-dup candidate test, exactly as in the batch
+    * LSH plan. Both inputs are (doc_id, text) frames. */
+  def corpusDelta(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    val corpusDig = corpus.select(sha2(col("text"), 256).as("dg")).distinct()
+    val batchDig = batch.select(col("doc_id"), sha2(col("text"), 256).as("dg"))
+    val corpusBands = bandKeys(corpus).select(col("band"), col("band_key")).distinct()
+    val batchBands = bandKeys(batch)
+    val exactIds = batchDig.join(corpusDig, Seq("dg"), "left_semi")
+      .select(col("doc_id")).withColumn("is_exact", lit(true))
+    val nearIds = batchBands.join(corpusBands, Seq("band", "band_key"), "left_semi")
+      .select(col("doc_id")).distinct().withColumn("is_near", lit(true))
+    batch.select(col("doc_id"))
+      .join(exactIds, Seq("doc_id"), "left")
+      .join(nearIds, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_exact"), lit("exact_dup"))
+          .when(col("is_near"), lit("near_dup"))
+          .otherwise(lit("new")).as("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q_corpus_delta: the declared fixture split — doc_id % 10 < 8 plays
+    * the standing corpus ("yesterday's snapshot"), % 10 >= 8 the incoming
+    * batch. Exercises both membership probes end to end under the oracle. */
+  def qCorpusDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    corpusDelta(docs.filter(col("doc_id") % 10 < 8),
+      docs.filter(col("doc_id") % 10 >= 8))
+  }
+
+  /** Exact replay: digest membership via sha256, near-dup membership via
+    * the qDedupMinhashSql band buckets (same hash algebra, nested as a
+    * CTE), with the same exact-before-near precedence. */
+  val qCorpusDeltaSql: String =
+    s"""WITH bands AS (
+       |${qDedupMinhashSql}
+       |),
+       |dig AS (SELECT doc_id, sha256(text) AS dg FROM documents),
+       |a_dig AS (SELECT DISTINCT dg FROM dig WHERE doc_id % 10 < 8),
+       |b AS (SELECT doc_id, dg FROM dig WHERE doc_id % 10 >= 8),
+       |a_bands AS (
+       |  SELECT DISTINCT band, band_key FROM bands WHERE doc_id % 10 < 8),
+       |near AS (
+       |  SELECT DISTINCT x.doc_id FROM bands x
+       |  JOIN a_bands a ON x.band = a.band AND x.band_key = a.band_key
+       |  WHERE x.doc_id % 10 >= 8)
+       |SELECT b.doc_id,
+       |  CASE WHEN b.dg IN (SELECT dg FROM a_dig) THEN 'exact_dup'
+       |       WHEN b.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+       |       ELSE 'new' END AS status
+       |FROM b ORDER BY b.doc_id""".stripMargin
 
   /** q_ngram_jaccard: top-100 token-3-gram Jaccard pairs, DEDUP-FIRST —
     * exact-duplicate clusters collapse to one representative before the
