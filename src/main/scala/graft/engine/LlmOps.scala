@@ -789,14 +789,29 @@ object LlmOps {
     * |batch| + |index|. No pairwise comparison anywhere: band-bucket
     * membership is the near-dup candidate test, exactly as in the batch
     * LSH plan. Both inputs are (doc_id, text) frames. */
-  def corpusDelta(corpus: DataFrame, batch: DataFrame): DataFrame = {
-    val corpusDig = corpus.select(sha2(col("text"), 256).as("dg")).distinct()
+  def corpusDelta(corpus: DataFrame, batch: DataFrame): DataFrame =
+    probeDelta(buildCorpusIndex(corpus), batch)
+
+  /** The maintained corpus index: distinct content digests + distinct LSH
+    * band buckets. Both frames are tiny relative to the corpus text (a
+    * 32 B digest / 12 B bucket key per distinct doc) — at production scale
+    * this pair lives as tables that each ingest run appends to; here the
+    * caller decides whether to persist (the streaming twin does, once,
+    * instead of recomputing per micro-batch). */
+  final case class CorpusIndex(digests: DataFrame, buckets: DataFrame)
+
+  def buildCorpusIndex(corpus: DataFrame): CorpusIndex = CorpusIndex(
+    corpus.select(sha2(col("text"), 256).as("dg")).distinct(),
+    bandKeys(corpus).select(col("band"), col("band_key")).distinct())
+
+  /** Classify one batch against a prebuilt index — linear probe-by-
+    * semi-join, shared by the batch query and the streaming twin. */
+  def probeDelta(index: CorpusIndex, batch: DataFrame): DataFrame = {
     val batchDig = batch.select(col("doc_id"), sha2(col("text"), 256).as("dg"))
-    val corpusBands = bandKeys(corpus).select(col("band"), col("band_key")).distinct()
     val batchBands = bandKeys(batch)
-    val exactIds = batchDig.join(corpusDig, Seq("dg"), "left_semi")
+    val exactIds = batchDig.join(index.digests, Seq("dg"), "left_semi")
       .select(col("doc_id")).withColumn("is_exact", lit(true))
-    val nearIds = batchBands.join(corpusBands, Seq("band", "band_key"), "left_semi")
+    val nearIds = batchBands.join(index.buckets, Seq("band", "band_key"), "left_semi")
       .select(col("doc_id")).distinct().withColumn("is_near", lit(true))
     batch.select(col("doc_id"))
       .join(exactIds, Seq("doc_id"), "left")

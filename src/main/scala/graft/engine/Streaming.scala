@@ -663,6 +663,54 @@ object Streaming {
     }
   }
 
+  private val streamDeltaRuns = new java.util.concurrent.atomic.AtomicInteger
+
+  /** q_stream_delta: the incremental-ingest twin of q_corpus_delta,
+    * DECLARED on the driver differential — the incoming batch arrives as
+    * a 4-file parquet stream (one file per trigger) and every micro-batch
+    * is classified against the STANDING corpus index, built and persisted
+    * ONCE before the drain (the production contract: ingest maintains an
+    * index table, it never recomputes the corpus), via foreachBatch
+    * probe-by-semi-join. Per-batch results land in an appended parquet
+    * sink — the scale-honest sink: nothing corpus-sized ever collects on
+    * the driver. Classification is a pure per-doc function of
+    * (doc, index), so the result is batching-invariant and the oracle is
+    * EXACTLY qCorpusDeltaSql. */
+  def qStreamDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val n = streamDeltaRuns.incrementAndGet()
+    val inDir = java.nio.file.Files.createTempDirectory(s"graft_delta_in_$n").toString
+    val outDir = java.nio.file.Files.createTempDirectory(s"graft_delta_out_$n").toString
+    val idx = LlmOps.buildCorpusIndex(docs.filter(col("doc_id") % 10 < 8))
+    idx.digests.persist(); idx.buckets.persist()
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      docs.filter(col("doc_id") % 10 >= 8).select(col("doc_id"), col("text"))
+        .repartition(4).write.mode("overwrite").parquet(inDir)
+      val schema = spark.read.parquet(inDir).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      q = stream.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          LlmOps.probeDelta(idx, b).write.mode("append").parquet(outDir)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      if (q.isActive) throw new IllegalStateException(
+        "q_stream_delta: AvailableNow drain did not terminate in 300 s")
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      if (dataBatches < 2) throw new IllegalStateException(
+        s"q_stream_delta: expected a multi-batch drain, got $dataBatches")
+      Iterate.cut(spark.read.parquet(outDir).orderBy(col("doc_id")))
+    } finally {
+      if (q != null && q.isActive) q.stop()
+      idx.digests.unpersist(); idx.buckets.unpersist()
+      deleteDirTree(inDir); deleteDirTree(outDir)
+    }
+  }
+
   /** Best-effort recursive delete of a staged temp dir (drain inputs are
     * dead once the query result is materialized). */
   private[engine] def deleteDirTree(dir: String): Unit = {

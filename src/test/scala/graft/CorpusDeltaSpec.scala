@@ -46,6 +46,15 @@ class CorpusDeltaSpec extends SparkSpec {
     assert(got.keySet == Set(101L, 102L, 103L), "one row per batch doc")
   }
 
+  test("q_stream_delta == q_corpus_delta: per-batch index probe loses nothing") {
+    val batch = LlmOps.qCorpusDelta(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val stream = graft.engine.Streaming.qStreamDelta(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(stream == batch,
+      s"stream/batch divergence: ${stream.diff(batch).take(5)} vs ${batch.diff(stream).take(5)}")
+  }
+
   test("spanScrub: exact token removal, empty/overlapping/untouched docs") {
     import spark.implicits._
     val span = "a b c d e f g h"
