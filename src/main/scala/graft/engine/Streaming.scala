@@ -691,8 +691,11 @@ object Streaming {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(inDir)
       q = stream.writeStream
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          LlmOps.probeDelta(idx, b).write.mode("append").parquet(outDir)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          // one OVERWRITTEN subdir per batch id: a retried micro-batch
+          // replaces its own output instead of appending a duplicate —
+          // the idempotent foreachBatch file-sink contract
+          LlmOps.probeDelta(idx, b).write.mode("overwrite").parquet(s"$outDir/b$id")
           ()
         }
         .trigger(Trigger.AvailableNow())
@@ -703,7 +706,8 @@ object Streaming {
       val dataBatches = q.recentProgress.count(_.numInputRows > 0)
       if (dataBatches < 2) throw new IllegalStateException(
         s"q_stream_delta: expected a multi-batch drain, got $dataBatches")
-      Iterate.cut(spark.read.parquet(outDir).orderBy(col("doc_id")))
+      Iterate.cut(spark.read.option("recursiveFileLookup", "true")
+        .parquet(outDir).orderBy(col("doc_id")))
     } finally {
       if (q != null && q.isActive) q.stop()
       idx.digests.unpersist(); idx.buckets.unpersist()
