@@ -94,15 +94,20 @@ object PlanAudit {
     override def onJobStart(
         e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
       // Spark 4 carries the broadcast-exchange marker as a job TAG
-      // (spark.job.tags), not the job description. Matched on the bare
-      // word "broadcast" (case-insensitive) so a minor rewording in a
-      // Spark upgrade doesn't silently zero the counter; the wording
-      // contract itself is pinned by PlanSpec's tight broadcast self-check
-      // (rtBcast == structural > 0 on a known broadcast join), which trips
-      // if the tag disappears entirely.
+      // (spark.job.tags), not the job description. The TAG channel matches
+      // the bare word "broadcast" (case-insensitive) so a minor rewording
+      // in a Spark upgrade doesn't silently zero the counter; the
+      // DESCRIPTION channel is free text (setJobDescription, SQL text — a
+      // /*+ BROADCAST */ hint or a *broadcast*-named call site would
+      // overcount), so it requires the full "broadcast exchange" phrase.
+      // The wording contract itself is pinned by PlanSpec's tight broadcast
+      // self-check (rtBcast == structural > 0 on a known broadcast join),
+      // which trips if the tag disappears entirely.
       val marked = Option(e.properties).exists { p =>
-        Seq("spark.job.tags", "spark.job.description").exists(k =>
-          Option(p.getProperty(k)).exists(_.toLowerCase.contains("broadcast")))
+        Option(p.getProperty("spark.job.tags"))
+          .exists(_.toLowerCase.contains("broadcast")) ||
+        Option(p.getProperty("spark.job.description"))
+          .exists(_.toLowerCase.contains("broadcast exchange"))
       }
       if (marked) bcastJobs.incrementAndGet()
       stampCtr.incrementAndGet()

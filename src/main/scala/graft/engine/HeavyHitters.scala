@@ -239,7 +239,9 @@ object HeavyHitters {
         s"q_stream_heavy: expected a multi-batch drain, got ${running.batchCount}")
       recountTopK(spark, tokens(Tables.documents(spark, sfDir)),
         running.summary, M, K)
-    } finally Streaming.deleteDirTree(dir) // recountTopK collects — dir is dead
+      // safe to delete here: the returned frame reads sfDir + the driver-
+      // held summary, never the staged stream dir — keep it that way
+    } finally Streaming.deleteDirTree(dir)
   }
 
   /** The claim in SQL: plain exact top-k with the same tiebreak. */

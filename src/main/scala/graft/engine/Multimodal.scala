@@ -211,7 +211,10 @@ object Multimodal {
           val end = Math.min(meta.n_bytes, off + 16).toInt
           var h = 1125899906842597L // deterministic FNV-ish over sampled bytes
           var j = off.toInt
-          while (j < end) { h = (h << 5) | (h >>> 59); h ^= r.payload(j); j += 1 }
+          // & 0xFFL: fold the UNSIGNED byte (fnv64's convention) — a signed
+          // Byte >= 0x80 would sign-extend to 64 bits and diverge from the
+          // oracle's hex-decoded 0..255 value on non-ASCII payloads
+          while (j < end) { h = (h << 5) | (h >>> 59); h ^= (r.payload(j) & 0xFFL); j += 1 }
           Frame(r.doc_id, i, off, h)
         }
       }
@@ -222,10 +225,11 @@ object Multimodal {
     * arithmetic emulated in HUGEINT — rotl5(h) = (h·32 mod 2⁶⁴) + (h ÷ 2⁵⁹)
     * (low 5 bits of the product are 0, so + == |), per-byte fold over the
     * sampled window's UTF-8 BYTES hex-decoded from hex(encode(text)) —
-    * the engine folds payload bytes, so offsets, window bounds, and byte
-    * values all replay exactly for non-ASCII text too — signed back at
-    * the end. The payload byte at 1-based offset j sits at hex chars
-    * (2j-1, 2j). */
+    * the engine folds payload bytes MASKED UNSIGNED (`& 0xFFL`), matching
+    * this fold's hex-decoded 0..255 values, so offsets, window bounds, and
+    * byte values all replay exactly for non-ASCII text too (pinned by the
+    * non-ASCII fixture spec in EnvelopeSpec) — signed back at the end. The
+    * payload byte at 1-based offset j sits at hex chars (2j-1, 2j). */
   val qMultimodalFramesSql: String =
     """WITH f AS (
       |  SELECT doc_id, lower(hex(encode(text))) AS hx,

@@ -78,6 +78,42 @@ class EnvelopeSpec extends SparkSpec {
     assert(empty.getString(empty.fieldIndex("histogram")) == "0,0,0,0,0,0,0,0")
   }
 
+  test("frame hash: engine fold equals the oracle's unsigned byte algebra on non-ASCII payloads") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mmf").toString
+    // multi-byte UTF-8 throughout: 2-byte (ü), 3-byte (— / 漢), 4-byte (🎬)
+    // chars land >= 0x80 payload bytes at varied frame offsets
+    val texts = Seq(
+      (1L, "héllo wörld — ünïcode płayload ß¢€ 漢字テスト"),
+      (2L, "ASCII only control row for signed/unsigned parity"),
+      (3L, "züm 🎬 emoji ünd ü bytes über àll ôffsets wrapped " * 3))
+    texts.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = Multimodal.qMultimodalFrames(spark, dir).collect()
+    assert(out.nonEmpty)
+    // the oracle's HUGEINT algebra replayed bit-exactly: unsigned bytes,
+    // rotl5 as (acc*32 mod 2^64) + acc/2^59, signed back at the end
+    val M = BigInt(1) << 64
+    val byId = texts.toMap
+    out.foreach { r =>
+      val id = r.getLong(0); val idx = r.getLong(1)
+      val off = r.getLong(2); val got = r.getLong(3)
+      val bytes = byId(id).getBytes("UTF-8")
+      val n = bytes.length.toLong
+      val frames = 1L + id % 8L
+      assert(off == (if (frames == 1L) 0L else idx * (n / frames)))
+      val end = math.min(n, off + 16).toInt
+      var acc = BigInt(1125899906842597L)
+      var j = off.toInt
+      while (j < end) {
+        acc = ((acc * 32).mod(M) + acc / (BigInt(1) << 59)) ^ BigInt(bytes(j) & 0xFF)
+        j += 1
+      }
+      val signed = if (acc >= (BigInt(1) << 63)) acc - M else acc
+      assert(signed.toLong == got, s"doc $id frame $idx: engine/oracle fold diverged")
+    }
+  }
+
   test("resize stub: target dims fit the 224 box and preserve aspect ordering") {
     val out = Multimodal.qMultimodalResize(spark, sf)
     val bad = out.filter(
