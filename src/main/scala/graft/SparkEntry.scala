@@ -65,6 +65,7 @@ object SparkEntry {
     "q_span_dedup"        -> (LlmOps.qSpanDedup _),
     "q_span_scrub"        -> (LlmOps.qSpanScrub _),
     "q_corpus_delta"      -> (LlmOps.qCorpusDelta _),
+    "q_corpus_absorb"     -> (LlmOps.qCorpusAbsorb _),
     "q_stream_delta"      -> (Streaming.qStreamDelta _),
     "q_dedup_embedding"   -> (LlmOps.qDedupEmbedding _),
     "q_dedup_groups"      -> (LlmOps.qDedupGroups _),
@@ -185,6 +186,7 @@ object SparkEntry {
     "q_span_dedup"        -> LlmOps.qSpanDedupSql,
     "q_span_scrub"        -> LlmOps.qSpanScrubSql,
     "q_corpus_delta"      -> LlmOps.qCorpusDeltaSql,
+    "q_corpus_absorb"     -> LlmOps.qCorpusAbsorbSql,
     // the streaming drain is batching-invariant — same oracle as the batch query
     "q_stream_delta"      -> LlmOps.qCorpusDeltaSql,
     "q_lang_id"           -> LlmOps.qLangIdSql,

@@ -792,6 +792,24 @@ object LlmOps {
   def corpusDelta(corpus: DataFrame, batch: DataFrame): DataFrame =
     probeDelta(buildCorpusIndex(corpus), batch)
 
+  /** Re-sent doc_id offset for the delta fixtures: a batch row whose
+    * content already shipped under another id (the classic exact-dup case
+    * in ingest — same bytes, new identity) is modeled by re-keying a prior
+    * doc as `doc_id + Resend`. Far above any real doc_id at every tested
+    * scale (sf1 tops out near 5e4, the 100x dir near 5e5). */
+  private[graft] val Resend = 100000000L
+
+  /** The declared incoming batch for the delta queries: the %10 >= 8 slice
+    * PLUS a re-sent copy of every corpus doc with doc_id % 40 == 0. The
+    * re-sent rows guarantee the `exact_dup` status is non-empty at EVERY
+    * scale — the synthetic corpus has no cross-split exact duplicates at
+    * the driver's sf0.01 gate, so without them one of the three statuses
+    * would go unexercised there. */
+  private[graft] def deltaBatch(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 10 >= 8).select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + Resend).as("doc_id"), col("text")))
+
   /** The maintained corpus index: distinct content digests + distinct LSH
     * band buckets. Both frames are tiny relative to the corpus text (a
     * 32 B digest / 12 B bucket key per distinct doc) — at production scale
@@ -803,6 +821,69 @@ object LlmOps {
   def buildCorpusIndex(corpus: DataFrame): CorpusIndex = CorpusIndex(
     corpus.select(sha2(col("text"), 256).as("dg")).distinct(),
     bandKeys(corpus).select(col("band"), col("band_key")).distinct())
+
+  /** The maintenance half of the ingest contract: after a batch is
+    * classified, its digests and band buckets join the index, so the NEXT
+    * batch is classified against corpus ∪ batch — the dedup analog of the
+    * CDC watermark advance (reference ChargeOverSourceTask.java:267-291,
+    * INITIAL→INCREMENTAL). Absorbing ALL batch rows (dup or not) makes the
+    * invariant algebraic: absorb(index(C), B) == buildCorpusIndex(C ∪ B),
+    * because both sides are the distinct union of per-doc digests/buckets
+    * (CorpusDeltaSpec pins probe-equality of the two). Linear in
+    * |batch| + |index|, like the probe. */
+  def absorb(index: CorpusIndex, batch: DataFrame): CorpusIndex = CorpusIndex(
+    index.digests.unionByName(
+      batch.select(sha2(col("text"), 256).as("dg"))).distinct(),
+    index.buckets.unionByName(
+      bandKeys(batch).select(col("band"), col("band_key"))).distinct())
+
+  /** Buckets for the ON-DISK index tables: the probe side shuffles to this
+    * count, the index side never reshuffles (that is the point). 8 suits
+    * the test scales; at 100 TB this is thousands — the contract (bucket on
+    * the join key, sort within buckets) is scale-independent. */
+  private val IndexBuckets = 8
+
+  /** Persist the index as BUCKETED tables (bucketBy on the probe join
+    * keys, external data under `dir`): repeated ingests read the index
+    * back with its layout intact — zero exchange on the index side of
+    * every probe semi-join (PlanSpec pins the no-shuffle property) —
+    * instead of reshuffling a recomputed frame per run. */
+  def saveBucketedIndex(spark: SparkSession, idx: CorpusIndex,
+      dir: String, name: String): Unit = {
+    idx.digests.write.format("parquet").mode("overwrite")
+      .bucketBy(IndexBuckets, "dg").sortBy("dg")
+      .option("path", s"$dir/digests").saveAsTable(s"${name}_digests")
+    idx.buckets.write.format("parquet").mode("overwrite")
+      .bucketBy(IndexBuckets, "band", "band_key").sortBy("band", "band_key")
+      .option("path", s"$dir/buckets").saveAsTable(s"${name}_buckets")
+  }
+
+  def loadBucketedIndex(spark: SparkSession, name: String): CorpusIndex =
+    CorpusIndex(spark.table(s"${name}_digests"), spark.table(s"${name}_buckets"))
+
+  /** `absorb` against the on-disk tables: append the batch's NEW digests
+    * and buckets (anti-join keeps the index tight — duplicates would be
+    * harmless to the semi-join probes but waste index bytes). Appends
+    * carry the same bucket spec, so the table layout survives
+    * maintenance. */
+  def absorbInto(spark: SparkSession, name: String, batch: DataFrame): Unit = {
+    batch.select(sha2(col("text"), 256).as("dg")).distinct()
+      .join(spark.table(s"${name}_digests"), Seq("dg"), "left_anti")
+      .write.format("parquet").mode("append")
+      .bucketBy(IndexBuckets, "dg").sortBy("dg")
+      .saveAsTable(s"${name}_digests")
+    bandKeys(batch).select(col("band"), col("band_key")).distinct()
+      .join(spark.table(s"${name}_buckets"), Seq("band", "band_key"), "left_anti")
+      .write.format("parquet").mode("append")
+      .bucketBy(IndexBuckets, "band", "band_key").sortBy("band", "band_key")
+      .saveAsTable(s"${name}_buckets")
+  }
+
+  def dropBucketedIndex(spark: SparkSession, name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_digests")
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_buckets")
+    ()
+  }
 
   /** Classify one batch against a prebuilt index — linear probe-by-
     * semi-join, shared by the batch query and the streaming twin. */
@@ -824,35 +905,112 @@ object LlmOps {
   }
 
   /** q_corpus_delta: the declared fixture split — doc_id % 10 < 8 plays
-    * the standing corpus ("yesterday's snapshot"), % 10 >= 8 the incoming
-    * batch. Exercises both membership probes end to end under the oracle. */
+    * the standing corpus ("yesterday's snapshot"), `deltaBatch` (the
+    * %10 >= 8 slice plus re-sent %40 == 0 copies) the incoming batch.
+    * All three statuses are non-empty from sf0.01 up: re-sent rows are
+    * exact_dup by construction, and the %10 >= 8 slice supplies near/new. */
   def qCorpusDelta(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    corpusDelta(docs.filter(col("doc_id") % 10 < 8),
-      docs.filter(col("doc_id") % 10 >= 8))
+    corpusDelta(docs.filter(col("doc_id") % 10 < 8), deltaBatch(docs))
   }
 
   /** Exact replay: digest membership via sha256, near-dup membership via
     * the qDedupMinhashSql band buckets (same hash algebra, nested as a
-    * CTE), with the same exact-before-near precedence. */
+    * CTE), with the same exact-before-near precedence. A re-sent row's
+    * text is byte-identical to its original, so the oracle reads its
+    * digest and band keys off the original doc_id (`orig`) — the engine
+    * computes them honestly from the batch text. */
   val qCorpusDeltaSql: String =
     s"""WITH bands AS (
        |${qDedupMinhashSql}
        |),
        |dig AS (SELECT doc_id, sha256(text) AS dg FROM documents),
        |a_dig AS (SELECT DISTINCT dg FROM dig WHERE doc_id % 10 < 8),
-       |b AS (SELECT doc_id, dg FROM dig WHERE doc_id % 10 >= 8),
+       |b AS (SELECT doc_id, dg FROM dig WHERE doc_id % 10 >= 8
+       |      UNION ALL
+       |      SELECT doc_id + 100000000, dg FROM dig WHERE doc_id % 40 = 0),
        |a_bands AS (
        |  SELECT DISTINCT band, band_key FROM bands WHERE doc_id % 10 < 8),
+       |b_bands AS (
+       |  SELECT p.doc_id, x.band, x.band_key
+       |  FROM (SELECT doc_id,
+       |          CASE WHEN doc_id >= 100000000
+       |               THEN doc_id - 100000000 ELSE doc_id END AS orig
+       |        FROM b) p
+       |  JOIN bands x ON x.doc_id = p.orig),
        |near AS (
-       |  SELECT DISTINCT x.doc_id FROM bands x
-       |  JOIN a_bands a ON x.band = a.band AND x.band_key = a.band_key
-       |  WHERE x.doc_id % 10 >= 8)
+       |  SELECT DISTINCT y.doc_id FROM b_bands y
+       |  JOIN a_bands a ON y.band = a.band AND y.band_key = a.band_key)
        |SELECT b.doc_id,
        |  CASE WHEN b.dg IN (SELECT dg FROM a_dig) THEN 'exact_dup'
        |       WHEN b.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
        |       ELSE 'new' END AS status
        |FROM b ORDER BY b.doc_id""".stripMargin
+
+  private val corpusAbsorbRuns = new java.util.concurrent.atomic.AtomicInteger
+
+  /** q_corpus_absorb: the full two-generation ingest loop on the ON-DISK
+    * bucketed index — the production posture q_corpus_delta's single probe
+    * doesn't cover. Generation 0 builds the index over the %10 < 6 corpus
+    * and persists it as bucketed tables; generation 1 absorbs batch₁
+    * (%10 in (6,7)) by appending its new digests/buckets; generation 2
+    * classifies batch₂ (%10 >= 8 plus re-sent copies of %20 == 6 docs —
+    * docs that entered ONLY via batch₁, so their exact_dup status is
+    * observable proof the absorb happened). Invariant under oracle:
+    * classify(batch₂, absorb(index(C), B₁)) == classify against
+    * index(C ∪ B₁) — the oracle replays the right-hand side. */
+  def qCorpusAbsorb(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 10 < 6)
+    val batch1 = docs.filter(col("doc_id") % 10 >= 6 && col("doc_id") % 10 < 8)
+      .select(col("doc_id"), col("text"))
+    val batch2 = docs.filter(col("doc_id") % 10 >= 8)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 20 === 6)
+        .select((col("doc_id") + Resend).as("doc_id"), col("text")))
+    val n = corpusAbsorbRuns.incrementAndGet()
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_absorb_$n").toString
+    val name = s"graft_absorb_idx_$n"
+    try {
+      saveBucketedIndex(spark, buildCorpusIndex(corpus), dir, name)
+      absorbInto(spark, name, batch1)
+      Iterate.cut(probeDelta(loadBucketedIndex(spark, name), batch2))
+    } finally {
+      dropBucketedIndex(spark, name)
+      Streaming.deleteDirTree(dir)
+    }
+  }
+
+  /** The two-generation replay: the index after absorb is definitionally
+    * the index over %10 < 8 (corpus ∪ batch₁), so the oracle classifies
+    * batch₂ against that union — any engine absorb defect (missed append,
+    * lost bucket, truncated digest set) diverges here. */
+  val qCorpusAbsorbSql: String =
+    s"""WITH bands AS (
+       |${qDedupMinhashSql}
+       |),
+       |dig AS (SELECT doc_id, sha256(text) AS dg FROM documents),
+       |idx_dig AS (SELECT DISTINCT dg FROM dig WHERE doc_id % 10 < 8),
+       |b2 AS (SELECT doc_id, dg FROM dig WHERE doc_id % 10 >= 8
+       |       UNION ALL
+       |       SELECT doc_id + 100000000, dg FROM dig WHERE doc_id % 20 = 6),
+       |idx_bands AS (
+       |  SELECT DISTINCT band, band_key FROM bands WHERE doc_id % 10 < 8),
+       |b2_bands AS (
+       |  SELECT p.doc_id, x.band, x.band_key
+       |  FROM (SELECT doc_id,
+       |          CASE WHEN doc_id >= 100000000
+       |               THEN doc_id - 100000000 ELSE doc_id END AS orig
+       |        FROM b2) p
+       |  JOIN bands x ON x.doc_id = p.orig),
+       |near AS (
+       |  SELECT DISTINCT y.doc_id FROM b2_bands y
+       |  JOIN idx_bands a ON y.band = a.band AND y.band_key = a.band_key)
+       |SELECT b2.doc_id,
+       |  CASE WHEN b2.dg IN (SELECT dg FROM idx_dig) THEN 'exact_dup'
+       |       WHEN b2.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+       |       ELSE 'new' END AS status
+       |FROM b2 ORDER BY b2.doc_id""".stripMargin
 
   /** q_ngram_jaccard: top-100 token-3-gram Jaccard pairs, DEDUP-FIRST —
     * exact-duplicate clusters collapse to one representative before the

@@ -668,24 +668,29 @@ object Streaming {
   /** q_stream_delta: the incremental-ingest twin of q_corpus_delta,
     * DECLARED on the driver differential — the incoming batch arrives as
     * a 4-file parquet stream (one file per trigger) and every micro-batch
-    * is classified against the STANDING corpus index, built and persisted
-    * ONCE before the drain (the production contract: ingest maintains an
-    * index table, it never recomputes the corpus), via foreachBatch
-    * probe-by-semi-join. Per-batch results land in an appended parquet
-    * sink — the scale-honest sink: nothing corpus-sized ever collects on
-    * the driver. Classification is a pure per-doc function of
-    * (doc, index), so the result is batching-invariant and the oracle is
-    * EXACTLY qCorpusDeltaSql. */
+    * is classified against the STANDING corpus index, built ONCE before
+    * the drain and persisted as BUCKETED tables on the probe join keys
+    * (the production contract: ingest maintains an index TABLE, it never
+    * recomputes — or reshuffles — the corpus; the bucketed layout means
+    * every per-batch probe semi-join reads the index exchange-free, see
+    * PlanSpec), via foreachBatch probe-by-semi-join. Per-batch results
+    * land in an appended parquet sink — the scale-honest sink: nothing
+    * corpus-sized ever collects on the driver. Classification is a pure
+    * per-doc function of (doc, index), so the result is batching-
+    * invariant and the oracle is EXACTLY qCorpusDeltaSql. */
   def qStreamDelta(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val n = streamDeltaRuns.incrementAndGet()
     val inDir = java.nio.file.Files.createTempDirectory(s"graft_delta_in_$n").toString
     val outDir = java.nio.file.Files.createTempDirectory(s"graft_delta_out_$n").toString
-    val idx = LlmOps.buildCorpusIndex(docs.filter(col("doc_id") % 10 < 8))
-    idx.digests.persist(); idx.buckets.persist()
+    val idxDir = java.nio.file.Files.createTempDirectory(s"graft_delta_idx_$n").toString
+    val idxName = s"graft_delta_idx_$n"
+    LlmOps.saveBucketedIndex(spark,
+      LlmOps.buildCorpusIndex(docs.filter(col("doc_id") % 10 < 8)), idxDir, idxName)
+    val idx = LlmOps.loadBucketedIndex(spark, idxName)
     var q: org.apache.spark.sql.streaming.StreamingQuery = null
     try {
-      docs.filter(col("doc_id") % 10 >= 8).select(col("doc_id"), col("text"))
+      LlmOps.deltaBatch(docs)
         .repartition(4).write.mode("overwrite").parquet(inDir)
       val schema = spark.read.parquet(inDir).schema
       val stream = spark.readStream.schema(schema)
@@ -710,8 +715,8 @@ object Streaming {
         .parquet(outDir).orderBy(col("doc_id")))
     } finally {
       if (q != null && q.isActive) q.stop()
-      idx.digests.unpersist(); idx.buckets.unpersist()
-      deleteDirTree(inDir); deleteDirTree(outDir)
+      LlmOps.dropBucketedIndex(spark, idxName)
+      deleteDirTree(inDir); deleteDirTree(outDir); deleteDirTree(idxDir)
     }
   }
 

@@ -55,6 +55,100 @@ class CorpusDeltaSpec extends SparkSpec {
       s"stream/batch divergence: ${stream.diff(batch).take(5)} vs ${batch.diff(stream).take(5)}")
   }
 
+  test("absorb invariant: classify after absorb == classify against the union index") {
+    import spark.implicits._
+    val boiler = (1 to 40).map(i => s"base$i").mkString(" ")
+    val fresh = (1 to 40).map(i => s"gen$i").mkString(" ")
+    val corpus = Seq((1L, boiler), (2L, "plain corpus prose nothing shared"))
+      .toDF("doc_id", "text")
+    val batch1 = Seq((11L, fresh), (12L, s"$fresh with a twist"))
+      .toDF("doc_id", "text")
+    val batch2 = Seq(
+      (21L, fresh),                       // batch1-only content, re-sent
+      (22L, boiler),                      // corpus content, re-sent
+      (23L, s"$fresh slightly changed"),  // near batch1 iff buckets collide
+      (24L, "never seen anywhere content entirely novel")
+    ).toDF("doc_id", "text")
+    val absorbed = LlmOps.absorb(LlmOps.buildCorpusIndex(corpus), batch1)
+    val viaAbsorb = LlmOps.probeDelta(absorbed, batch2).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val viaUnion = LlmOps.probeDelta(
+      LlmOps.buildCorpusIndex(corpus.unionByName(batch1)), batch2).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(viaAbsorb == viaUnion, "absorb(index, b1) must be probe-equal to index(C ∪ b1)")
+    // the absorb is OBSERVABLE: batch1-only content is exact_dup only
+    // because generation 1 happened — the un-absorbed index calls it new
+    val got = viaAbsorb.toMap
+    assert(got(21L) == "exact_dup" && got(22L) == "exact_dup")
+    val unabsorbed = LlmOps.probeDelta(LlmOps.buildCorpusIndex(corpus), batch2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(unabsorbed(21L) == "new",
+      s"without absorb, batch1-only content must read new, got ${unabsorbed(21L)}")
+    assert(unabsorbed(22L) == "exact_dup")
+  }
+
+  test("bucketed index: absorbInto == DataFrame absorb; probe reads the index exchange-free") {
+    import spark.implicits._
+    val docs = graft.engine.Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 10 < 6)
+    val batch1 = docs.filter(col("doc_id") % 10 >= 6 && col("doc_id") % 10 < 8)
+      .select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bidx").toString
+    val name = "graft_spec_bidx"
+    try {
+      LlmOps.saveBucketedIndex(spark, LlmOps.buildCorpusIndex(corpus), dir, name)
+      LlmOps.absorbInto(spark, name, batch1)
+      val onDisk = LlmOps.loadBucketedIndex(spark, name)
+      val inMem = LlmOps.absorb(LlmOps.buildCorpusIndex(corpus), batch1)
+      assert(onDisk.digests.collect().map(_.getString(0)).toSet ==
+        inMem.digests.collect().map(_.getString(0)).toSet)
+      assert(onDisk.buckets.collect().map(r => (r.getInt(0), r.getLong(1))).toSet ==
+        inMem.buckets.collect().map(r => (r.getInt(0), r.getLong(1))).toSet)
+      // the scale contract: the probe semi-join must NOT reshuffle the
+      // index side — its bucketBy layout satisfies the join distribution,
+      // so the only exchange in the plan is the probe side's
+      val savedBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val probe = docs.filter(col("doc_id") % 10 >= 8)
+          .select(col("doc_id"), sha2(col("text"), 256).as("dg"))
+          .join(onDisk.digests, Seq("dg"), "left_semi")
+        val smjs = probe.queryExecution.executedPlan.collect {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        }
+        assert(smjs.nonEmpty, "expected SMJ with broadcast off")
+        val idxSide = smjs.head.right
+        assert(idxSide.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }.isEmpty, s"index side must not reshuffle:\n$idxSide")
+        assert(idxSide.toString.contains("Bucketed: true"),
+          s"index side must scan the bucketed table:\n$idxSide")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+        spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+      }
+    } finally {
+      LlmOps.dropBucketedIndex(spark, name)
+      val root = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        finally walk.close()
+      }
+    }
+  }
+
+  test("q_corpus_delta at the sf0.01 gate exercises all three statuses") {
+    val statuses = LlmOps.qCorpusDelta(spark, "/root/testdata/sf0.01")
+      .groupBy(col("status")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(Set("exact_dup", "near_dup", "new").subsetOf(statuses.keySet),
+      s"driver-gate fixture must be three-status-complete, got $statuses")
+  }
+
   test("spanScrub: exact token removal, empty/overlapping/untouched docs") {
     import spark.implicits._
     val span = "a b c d e f g h"
