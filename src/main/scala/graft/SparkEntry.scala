@@ -66,6 +66,7 @@ object SparkEntry {
     "q_span_scrub"        -> (LlmOps.qSpanScrub _),
     "q_corpus_delta"      -> (LlmOps.qCorpusDelta _),
     "q_corpus_absorb"     -> (LlmOps.qCorpusAbsorb _),
+    "q_corpus_bloom"      -> (LlmOps.qCorpusBloom _),
     "q_stream_delta"      -> (Streaming.qStreamDelta _),
     "q_dedup_embedding"   -> (LlmOps.qDedupEmbedding _),
     "q_dedup_groups"      -> (LlmOps.qDedupGroups _),
@@ -187,6 +188,7 @@ object SparkEntry {
     "q_span_scrub"        -> LlmOps.qSpanScrubSql,
     "q_corpus_delta"      -> LlmOps.qCorpusDeltaSql,
     "q_corpus_absorb"     -> LlmOps.qCorpusAbsorbSql,
+    "q_corpus_bloom"      -> LlmOps.qCorpusDeltaSql,
     // the streaming drain is batching-invariant — same oracle as the batch query
     "q_stream_delta"      -> LlmOps.qCorpusDeltaSql,
     "q_lang_id"           -> LlmOps.qLangIdSql,

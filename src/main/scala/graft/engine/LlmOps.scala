@@ -908,11 +908,15 @@ object LlmOps {
   }
 
   /** Classify one batch against a prebuilt index — linear probe-by-
-    * semi-join, shared by the batch query and the streaming twin. */
-  def probeDelta(index: CorpusIndex, batch: DataFrame): DataFrame = {
+    * semi-join, shared by the batch query and the streaming twin.
+    * `digestPrefilter` optionally narrows the digest-probe input BEFORE
+    * its shuffle (the bloom path); it must never drop a true member. */
+  private def probeDeltaImpl(index: CorpusIndex, batch: DataFrame,
+      digestPrefilter: DataFrame => DataFrame): DataFrame = {
     val batchDig = batch.select(col("doc_id"), sha2(col("text"), 256).as("dg"))
     val batchBands = bandKeys(batch)
-    val exactIds = batchDig.join(index.digests, Seq("dg"), "left_semi")
+    val exactIds = digestPrefilter(batchDig)
+      .join(index.digests, Seq("dg"), "left_semi")
       .select(col("doc_id")).withColumn("is_exact", lit(true))
     val nearIds = batchBands.join(index.buckets, Seq("band", "band_key"), "left_semi")
       .select(col("doc_id")).distinct().withColumn("is_near", lit(true))
@@ -924,6 +928,29 @@ object LlmOps {
           .when(col("is_near"), lit("near_dup"))
           .otherwise(lit("new")).as("status"))
       .orderBy(col("doc_id"))
+  }
+
+  def probeDelta(index: CorpusIndex, batch: DataFrame): DataFrame =
+    probeDeltaImpl(index, batch, identity)
+
+  /** The probe's scale optimization (the q_bloom_join discipline applied
+    * to the ingest path): a 128 KiB bloom over the digest index — always
+    * broadcastable, whatever the index cardinality — prunes the batch's
+    * digest-probe input BELOW its shuffle, so the exact semi-join ships
+    * only likely-duplicate rows (on a mostly-novel ingest batch, almost
+    * none). Keys are xxhash64 folds of the hex digest; the bloom has no
+    * false negatives (ScalaCheck-spec'd in BloomSpec), and the exact
+    * semi-join scrubs its false positives — the rewrite is semantically
+    * INVISIBLE, which is why the declared query's oracle is the plain
+    * qCorpusDeltaSql. */
+  def probeDeltaBloom(index: CorpusIndex, batch: DataFrame): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val bits: Array[Long] = index.digests
+      .select(xxhash64(col("dg")).as[Long])
+      .select(new Bloom.BloomAggregator().toColumn).head()
+    probeDeltaImpl(index, batch,
+      dig => dig.filter(Bloom.mightContain(xxhash64(col("dg")), bits)))
   }
 
   /** q_corpus_delta: the declared fixture split — doc_id % 10 < 8 plays
@@ -968,6 +995,16 @@ object LlmOps {
        |       WHEN b.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
        |       ELSE 'new' END AS status
        |FROM b ORDER BY b.doc_id""".stripMargin
+
+  /** q_corpus_bloom: q_corpus_delta with the bloom-prefiltered digest
+    * probe — identical declared output (same oracle), cheaper plan on a
+    * mostly-novel batch. CorpusDeltaSpec pins row-for-row equality with
+    * the exact probe and the presence of the pruning filter in the plan. */
+  def qCorpusBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    probeDeltaBloom(buildCorpusIndex(docs.filter(col("doc_id") % 10 < 8)),
+      deltaBatch(docs))
+  }
 
   private val corpusAbsorbRuns = new java.util.concurrent.atomic.AtomicInteger
 

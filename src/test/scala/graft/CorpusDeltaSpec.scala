@@ -141,6 +141,18 @@ class CorpusDeltaSpec extends SparkSpec {
     }
   }
 
+  test("bloom probe: row-for-row equal to the exact probe; pruning filter in the plan") {
+    val exact = LlmOps.qCorpusDelta(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val bloomed = LlmOps.qCorpusBloom(spark, sf)
+    val got = bloomed.collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got == exact, "the bloom prefilter must be semantically invisible")
+    assert(bloomed.queryExecution.executedPlan.toString
+      .contains("bloom_might_contain"),
+      "the digest probe must carry the bloom pruning filter")
+  }
+
   test("q_corpus_delta at the sf0.01 gate exercises all three statuses") {
     val statuses = LlmOps.qCorpusDelta(spark, "/root/testdata/sf0.01")
       .groupBy(col("status")).count().collect()

@@ -164,7 +164,12 @@ class PlanSpec extends SparkSpec {
       "q_listagg"         -> ((1, 1, true)),
       "q_cosine_pairs"    -> ((7, 0, false)),
       "q_pagerank"        -> ((0, 0, false)), // cut leaves; see Graph.scala
-      "q_ann_recall"      -> ((9, 1, true)))
+      "q_ann_recall"      -> ((9, 1, true)),
+      // round-9: the incremental-ingest probe — index-side distincts +
+      // batch digest/band aggs + the three status joins; ZERO broadcasts
+      // pinned deliberately (at 100 TB neither the index nor the batch is
+      // small; the probes must stay shuffle semi-joins)
+      "q_corpus_delta"    -> ((17, 0, true)))
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -202,7 +207,15 @@ class PlanSpec extends SparkSpec {
       "q_heavy_hitters" -> ((2, 8, 0)),  // MG summary + exact recount
       "q_sim_ivf_quant" -> ((8, 30, 1)), // k-means sweeps + centroid broadcasts
       "q_cdc_pipeline"  -> ((1, 6, 0)),  // drain + compaction
-      "q_paged_stream"  -> ((1, 6, 0)))
+      "q_paged_stream"  -> ((1, 6, 0)),
+      // round-9: absorb writes two bucketed tables (one exchange each to
+      // the bucket layout), anti-joins the appends, probes gen-2; stream
+      // delta stages input + builds/saves the index + probes per batch;
+      // span scrub's bounds span memo-warm (scrub pass only) and
+      // memo-cold (full two-pass span dedup first) construction
+      "q_corpus_absorb" -> ((10, 24, 0)),
+      "q_stream_delta"  -> ((10, 24, 0)),
+      "q_span_scrub"    -> ((1, 16, 0)))
     try {
       val bad = pins.flatMap { case (name, (lo, hi, bcLo)) =>
         val (_, rs, rb) = PlanAudit.auditRuntime(counter)(
