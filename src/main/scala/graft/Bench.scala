@@ -62,6 +62,11 @@ object Bench {
     // noise-robust estimator for wall-clock microbenchmarks
     def once(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // session-lifetime caches would let min-of-N read a prior sample's
+      // result at ~0 s — evict before every timed sample of the query
+      // that OWNS the cache (its consumers keep the warm read: that IS
+      // their declared composed cost)
+      if (name == "q_span_dedup") graft.engine.LlmOps.evictSpanMemo(sfDir)
       val t0 = System.nanoTime()
       // Materialize through the query's OWN physical plan (toRdd), not
       // df.count(): count() stacks an Aggregate on top and ColumnPruning
