@@ -74,6 +74,7 @@ object SparkEntry {
     "q_sim_ivf"           -> (LlmOps.qSimIvf _),
     "q_quantize_embed"    -> (Quantize.qQuantizeEmbed _),
     "q_sim_ivf_quant"     -> (Quantize.qSimIvfQuant _),
+    "q_ivf_absorb"        -> (Quantize.qIvfAbsorb _),
     "q_ann_recall"        -> (Quantize.qAnnRecall _),
     "q_text_analysis"     -> (LlmOps.qTextAnalysis _),
     "q_token_count"       -> (LlmOps.qTokenCount _),
@@ -263,6 +264,7 @@ object SparkEntry {
     "q_agg_kmv"           -> Sketches.qAggKmvSql,
     "q_quantize_embed"    -> Quantize.qQuantizeEmbedSql,
     "q_sim_ivf_quant"     -> Quantize.qSimIvfQuantSql,
+    "q_ivf_absorb"        -> Quantize.qIvfAbsorbSql,
     "q_ann_recall"        -> Quantize.qAnnRecallSql,
     "q_chunk_docs"        -> Curation.qChunkDocsSql,
     "q_curation_pipeline" -> Curation.qCurationPipelineSql,

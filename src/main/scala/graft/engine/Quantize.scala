@@ -88,15 +88,34 @@ object Quantize {
     * centroid update's posexplode collapses map-side to ≤ cells×dims
     * rows per task before the shuffle; probing scans only the 2 matched
     * cells' postings. */
-  def qSimIvfQuant(spark: SparkSession, sfDir: String): DataFrame = {
+  def qSimIvfQuant(spark: SparkSession, sfDir: String): DataFrame =
+    ivfQuant(spark, sfDir, corpusTrain = false)
+
+  /** q_ivf_absorb: the vector-index INGEST contract (the ANN analog of
+    * q_corpus_absorb). The coarse quantizer trains on the standing corpus
+    * ONLY (vec_id % 10 < 8; init = the NCells smallest corpus ids; same
+    * 2 integer-exact Lloyd rounds) and is then FROZEN; the incoming batch
+    * (% 10 >= 8) is absorbed ASSIGN-ONLY into the postings — the
+    * production cadence: assignment runs per ingest (a narrow broadcast
+    * pass, linear in |batch|), retraining runs rarely and offline.
+    * Queries (vec_id < 10 — spanning both generations) probe the union
+    * postings. Assignment is per-vector independent, so absorb-then-probe
+    * equals assign-everything-then-probe — the invariant the oracle
+    * replays; the two-generation structure is the declared plan shape. */
+  def qIvfAbsorb(spark: SparkSession, sfDir: String): DataFrame =
+    ivfQuant(spark, sfDir, corpusTrain = true)
+
+  private def ivfQuant(spark: SparkSession, sfDir: String,
+      corpusTrain: Boolean): DataFrame = {
     val q8 = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), VectorExprs.quantizeU8(col("embedding")).getField("q").as("qv"))
       .persist()
     try {
+      val train = if (corpusTrain) q8.filter(col("vec_id") % 10 < 8) else q8
       // nearest-centroid assignment: argmin over the broadcast cell set,
       // min_by on the (distance, cid) struct = deterministic tiebreak
-      def assign(cents: DataFrame): DataFrame =
-        q8.join(broadcast(cents))
+      def assign(cents: DataFrame, vecs: DataFrame): DataFrame =
+        vecs.join(broadcast(cents))
           .select(col("vec_id"), col("cid"), sqd(col("qv"), col("cv")).as("d"))
           .groupBy(col("vec_id"))
           .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("cid"))
@@ -113,12 +132,24 @@ object Quantize {
           .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv_i")))),
             x => x.getField("cv_i")).as("cv"))
 
-      var cents = q8.filter(col("vec_id") < NCells)
-        .select(col("vec_id").as("cid"), col("qv").as("cv"))
-      for (_ <- 1 to Rounds) cents = update(assign(cents))
+      var cents =
+        if (corpusTrain)
+          // init from the train generation only — the NCells smallest
+          // corpus ids (a k-bounded TakeOrdered, deterministic)
+          train.orderBy(col("vec_id")).limit(NCells)
+            .select(col("vec_id").as("cid"), col("qv").as("cv"))
+        else q8.filter(col("vec_id") < NCells)
+          .select(col("vec_id").as("cid"), col("qv").as("cv"))
+      for (_ <- 1 to Rounds) cents = update(assign(cents, train))
       cents = cents.persist()
 
-      val posting = assign(cents).join(q8, "vec_id")
+      // postings per generation: gen 0 = the train corpus; absorb = the
+      // frozen-quantizer assignment of the batch (empty when !corpusTrain)
+      val posting =
+        if (corpusTrain)
+          assign(cents, train).join(q8, "vec_id").unionByName(
+            assign(cents, q8.filter(col("vec_id") % 10 >= 8)).join(q8, "vec_id"))
+        else assign(cents, q8).join(q8, "vec_id")
       val queries = q8.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("qv").as("qq"))
       val wProbe = Window.partitionBy(col("qid")).orderBy(col("pd"), col("cid"))
@@ -226,14 +257,21 @@ object Quantize {
        |ORDER BY q.qid""".stripMargin
   }
 
-  val qSimIvfQuantSql: String = {
+  /** The quantized-IVF replay, parameterized by training scope: when
+    * `corpusTrain`, the Lloyd rounds and init run over the %10 < 8 corpus
+    * subset (`q8t`, init = NCells smallest corpus ids) while the final
+    * assignment (`af` — the union postings after the assign-only absorb)
+    * still covers every vector; otherwise everything runs over all
+    * vectors, the original q_sim_ivf_quant shape. */
+  private def ivfQuantSql(corpusTrain: Boolean): String = {
     val dist = (a: String, b: String) =>
       s"list_sum([CAST(($a[i] - $b[i]) * ($a[i] - $b[i]) AS BIGINT) " +
         s"for i in range(1, len($a) + 1)])"
+    val trainRel = if (corpusTrain) "q8t" else "q8"
     def lloyd(prev: String, n: Int): String =
       s"""d$n AS (
          |  SELECT a.vec_id, a.qv, c.cid, ${dist("a.qv", "c.cv")} AS d
-         |  FROM q8 a CROSS JOIN $prev c),
+         |  FROM $trainRel a CROSS JOIN $prev c),
          |a$n AS (
          |  SELECT vec_id, qv, cid FROM (
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
@@ -245,6 +283,12 @@ object Quantize {
          |             unnest(range(1, len(qv) + 1)) AS pos FROM a$n)
          |    GROUP BY cid, pos)
          |  GROUP BY cid)""".stripMargin
+    val init =
+      if (corpusTrain)
+        s"""q8t AS (SELECT vec_id, qv FROM q8 WHERE vec_id % 10 < 8),
+           |c0 AS (SELECT vec_id AS cid, qv AS cv FROM q8t
+           |       ORDER BY vec_id LIMIT $NCells)""".stripMargin
+      else s"c0 AS (SELECT vec_id AS cid, qv AS cv FROM q8 WHERE vec_id < $NCells)"
     s"""WITH v AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
        |m AS (
@@ -256,7 +300,7 @@ object Quantize {
        |               for x in ve]
        |    END AS qv
        |  FROM m),
-       |c0 AS (SELECT vec_id AS cid, qv AS cv FROM q8 WHERE vec_id < $NCells),
+       |$init,
        |${lloyd("c0", 1)},
        |${lloyd("c1", 2)},
        |df AS (
@@ -284,4 +328,7 @@ object Quantize {
        |  FROM cand) WHERE rn <= $TopK
        |ORDER BY qid, rank""".stripMargin
   }
+
+  val qSimIvfQuantSql: String = ivfQuantSql(corpusTrain = false)
+  val qIvfAbsorbSql: String = ivfQuantSql(corpusTrain = true)
 }

@@ -109,6 +109,28 @@ class SketchQuantChunkSpec extends SparkSpec {
     assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
 
+  test("q_ivf_absorb: frozen-quantizer absorb is observable and query-complete") {
+    import org.apache.spark.sql.functions._
+    val out = graft.engine.Quantize.qIvfAbsorb(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // absorbed-generation vectors must be REACHABLE as neighbors — an
+    // absorb that silently dropped the batch postings would still produce
+    // well-formed output from the corpus generation alone
+    assert(rows.exists(_.getAs[Long]("neighbor_id") % 10 >= 8),
+      "no batch-generation (vec_id % 10 >= 8) neighbor anywhere in the " +
+      "output — the assign-only absorb lost the batch postings")
+    // queries span both generations (vec_id < 10 includes 8 and 9), and
+    // every query must answer
+    val qids = rows.map(_.getAs[Long]("qid")).toSet
+    assert(qids.exists(_ % 10 >= 8), "batch-generation queries missing")
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length).toSeq)
+      assert(!rs.exists(_.getAs[Long]("neighbor_id") == qid))
+    }
+  }
+
   test("embeddings corpus holds the qSimIvfQuant oracle precondition: no degenerate vectors") {
     import org.apache.spark.sql.functions._
     // qSimIvfQuantSql does NOT mirror QuantizeU8's degenerate→NULL rule
