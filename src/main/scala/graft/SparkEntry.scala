@@ -68,6 +68,7 @@ object SparkEntry {
     "q_corpus_absorb"     -> (LlmOps.qCorpusAbsorb _),
     "q_corpus_bloom"      -> (LlmOps.qCorpusBloom _),
     "q_stream_delta"      -> (Streaming.qStreamDelta _),
+    "q_stream_absorb"     -> (Streaming.qStreamAbsorb _),
     "q_dedup_embedding"   -> (LlmOps.qDedupEmbedding _),
     "q_dedup_groups"      -> (LlmOps.qDedupGroups _),
     "q_sim_topk"          -> (LlmOps.qSimTopk _),
@@ -192,6 +193,7 @@ object SparkEntry {
     "q_corpus_bloom"      -> LlmOps.qCorpusDeltaSql,
     // the streaming drain is batching-invariant — same oracle as the batch query
     "q_stream_delta"      -> LlmOps.qCorpusDeltaSql,
+    "q_stream_absorb"     -> LlmOps.qStreamAbsorbSql,
     "q_lang_id"           -> LlmOps.qLangIdSql,
     "q_topk_group"        -> Aggregators.qTopkGroupSql,
     "q_dedup_groups"      -> LlmOps.qDedupGroupsSql,

@@ -878,36 +878,67 @@ object LlmOps {
     * keys, external data under `dir`): repeated ingests read the index
     * back with its layout intact — zero exchange on the index side of
     * every probe semi-join (PlanSpec pins the no-shuffle property) —
-    * instead of reshuffling a recomputed frame per run. */
+    * instead of reshuffling a recomputed frame per run. Every row carries
+    * a `gen` column (the ingest generation that contributed it; the
+    * initial corpus is the caller's `gen`): a probe that filters
+    * `gen < g` sees exactly the index as of generation g, which is what
+    * makes a retried classify-then-absorb micro-batch DETERMINISTIC —
+    * re-classifying batch g never sees its own absorbed rows. */
   def saveBucketedIndex(spark: SparkSession, idx: CorpusIndex,
-      dir: String, name: String): Unit = {
-    idx.digests.write.format("parquet").mode("overwrite")
+      dir: String, name: String, gen: Long = 0L): Unit = {
+    idx.digests.withColumn("gen", lit(gen))
+      .write.format("parquet").mode("overwrite")
       .bucketBy(IndexBuckets, "dg").sortBy("dg")
       .option("path", s"$dir/digests").saveAsTable(s"${name}_digests")
-    idx.buckets.write.format("parquet").mode("overwrite")
+    idx.buckets.withColumn("gen", lit(gen))
+      .write.format("parquet").mode("overwrite")
       .bucketBy(IndexBuckets, "band", "band_key").sortBy("band", "band_key")
       .option("path", s"$dir/buckets").saveAsTable(s"${name}_buckets")
   }
 
-  def loadBucketedIndex(spark: SparkSession, name: String): CorpusIndex =
-    CorpusIndex(spark.table(s"${name}_digests"), spark.table(s"${name}_buckets"))
+  /** Read the index back; `maxGenExclusive` restricts to generations
+    * `gen < g` (the as-of view). The gen filter composes with the
+    * bucketed layout — filters don't disturb output partitioning, so the
+    * probe's exchange-free property holds for any as-of view. */
+  def loadBucketedIndex(spark: SparkSession, name: String,
+      maxGenExclusive: Option[Long] = None): CorpusIndex = {
+    def view(t: String) = maxGenExclusive match {
+      case Some(g) => spark.table(t).filter(col("gen") < g).drop("gen")
+      case None    => spark.table(t).drop("gen")
+    }
+    CorpusIndex(view(s"${name}_digests"), view(s"${name}_buckets"))
+  }
 
   /** `absorb` against the on-disk tables: append the batch's NEW digests
-    * and buckets (anti-join keeps the index tight — duplicates would be
-    * harmless to the semi-join probes but waste index bytes). Appends
+    * and buckets under generation `gen` (anti-join keeps the index tight —
+    * duplicates would be harmless to the semi-join probes but waste index
+    * bytes — and makes a RE-absorb of the same batch a no-op). Appends
     * carry the same bucket spec, so the table layout survives
-    * maintenance. */
-  def absorbInto(spark: SparkSession, name: String, batch: DataFrame): Unit = {
+    * maintenance. NOTE the two appends are not atomic as a pair; a real
+    * deployment stages them in a transactional table format — the
+    * gen-scoped probe keeps even a torn retry deterministic for every
+    * LATER generation once the retry completes. */
+  def absorbInto(spark: SparkSession, name: String, batch: DataFrame,
+      gen: Long = 1L): Unit = {
     batch.select(sha2(col("text"), 256).as("dg")).distinct()
       .join(spark.table(s"${name}_digests"), Seq("dg"), "left_anti")
+      .withColumn("gen", lit(gen))
       .write.format("parquet").mode("append")
       .bucketBy(IndexBuckets, "dg").sortBy("dg")
       .saveAsTable(s"${name}_digests")
     bandKeys(batch).select(col("band"), col("band_key")).distinct()
       .join(spark.table(s"${name}_buckets"), Seq("band", "band_key"), "left_anti")
+      .withColumn("gen", lit(gen))
       .write.format("parquet").mode("append")
       .bucketBy(IndexBuckets, "band", "band_key").sortBy("band", "band_key")
       .saveAsTable(s"${name}_buckets")
+    // the session caches each table's file listing in its relation cache;
+    // an append through saveAsTable does not reliably invalidate it, so a
+    // LATER probe in the same session would silently read the pre-append
+    // snapshot (observed: stream-absorb batch 3 missing batch 0's
+    // digests). Refresh makes the maintenance visible to the next reader.
+    spark.catalog.refreshTable(s"${name}_digests")
+    spark.catalog.refreshTable(s"${name}_buckets")
   }
 
   def dropBucketedIndex(spark: SparkSession, name: String): Unit = {
@@ -1014,6 +1045,64 @@ object LlmOps {
     probeDeltaBloom(buildCorpusIndex(docs.filter(col("doc_id") % 10 < 8)),
       deltaBatch(docs))
   }
+
+  /** Re-sent offset for the SECOND resend class in the stream-absorb
+    * fixture: copies of %20 == 8 docs (batch members, landing in stream
+    * file 0 since their doc_id ≡ 0 mod 4). The offset is ≡ 3 mod 4, so
+    * the copy lands in stream file 3 — its exact_dup status is
+    * observable proof that file 0 was ABSORBED before file 3 classified
+    * (the copy's text exists nowhere in the corpus). */
+  private[graft] val ResendLate = 200000003L
+
+  /** The declared incoming stream for q_stream_absorb: `deltaBatch` plus
+    * re-sent copies of %20 == 8 batch docs under `ResendLate`. Stream
+    * file assignment is doc_id % 4 (part of the declared semantics — the
+    * oracle replays it). */
+  private[graft] def streamAbsorbBatch(docs: DataFrame): DataFrame =
+    deltaBatch(docs)
+      .unionByName(docs.filter(col("doc_id") % 20 === 8)
+        .select((col("doc_id") + ResendLate).as("doc_id"), col("text")))
+
+  /** The classify-then-absorb drain replayed in SQL: a doc in stream file
+    * f (= doc_id % 4) is classified against corpus ∪ files < f — exact if
+    * its digest is a corpus digest OR an earlier file carries it; near if
+    * any of its band buckets is a corpus bucket OR an earlier file's.
+    * Same-file duplicates are NOT visible (absorb runs after the whole
+    * micro-batch classifies) — `y.f < x.f` is strict. Re-sent rows read
+    * digests/bands off the original doc_id (byte-identical text). */
+  val qStreamAbsorbSql: String =
+    s"""WITH bands AS (
+       |${qDedupMinhashSql}
+       |),
+       |dig AS (SELECT doc_id, sha256(text) AS dg FROM documents),
+       |b AS (SELECT doc_id, doc_id AS orig, dg FROM dig WHERE doc_id % 10 >= 8
+       |      UNION ALL
+       |      SELECT doc_id + 100000000, doc_id, dg FROM dig WHERE doc_id % 40 = 0
+       |      UNION ALL
+       |      SELECT doc_id + 200000003, doc_id, dg FROM dig WHERE doc_id % 20 = 8),
+       |bf AS (SELECT doc_id, orig, dg, doc_id % 4 AS f FROM b),
+       |a_dig AS (SELECT DISTINCT dg FROM dig WHERE doc_id % 10 < 8),
+       |a_bands AS (
+       |  SELECT DISTINCT band, band_key FROM bands WHERE doc_id % 10 < 8),
+       |bb AS (
+       |  SELECT x.doc_id, x.f, y.band, y.band_key
+       |  FROM bf x JOIN bands y ON y.doc_id = x.orig),
+       |ex AS (
+       |  SELECT x.doc_id FROM bf x
+       |  WHERE x.dg IN (SELECT dg FROM a_dig)
+       |     OR EXISTS (SELECT 1 FROM bf y WHERE y.f < x.f AND y.dg = x.dg)),
+       |nr AS (
+       |  SELECT DISTINCT x.doc_id FROM bb x
+       |  WHERE EXISTS (SELECT 1 FROM a_bands a
+       |                WHERE a.band = x.band AND a.band_key = x.band_key)
+       |     OR EXISTS (SELECT 1 FROM bb y
+       |                WHERE y.f < x.f AND y.band = x.band
+       |                  AND y.band_key = x.band_key))
+       |SELECT bf.doc_id,
+       |  CASE WHEN bf.doc_id IN (SELECT doc_id FROM ex) THEN 'exact_dup'
+       |       WHEN bf.doc_id IN (SELECT doc_id FROM nr) THEN 'near_dup'
+       |       ELSE 'new' END AS status
+       |FROM bf ORDER BY bf.doc_id""".stripMargin
 
   private val corpusAbsorbRuns = new java.util.concurrent.atomic.AtomicInteger
 

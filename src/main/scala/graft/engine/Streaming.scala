@@ -720,6 +720,86 @@ object Streaming {
     }
   }
 
+  private val streamAbsorbRuns = new java.util.concurrent.atomic.AtomicInteger
+
+  /** q_stream_absorb: the FULL production ingest loop under streaming —
+    * every micro-batch CLASSIFIES against the as-of view of the bucketed
+    * index (generations < its own batch id) and then ABSORBS its new
+    * digests/buckets under its batch id, so later batches classify
+    * against corpus ∪ everything already ingested. The gen-scoped probe
+    * makes the loop deterministic even under micro-batch retry: a batch
+    * re-classifying never sees its own absorbed rows.
+    *
+    * Determinism of the DRAIN (what makes a DuckDB oracle possible): the
+    * stream file a doc lands in is DECLARED (doc_id % 4), the four files
+    * are staged with strictly ascending modification times so the file
+    * source processes them in that order one per trigger, and a
+    * post-drain guard THROWS unless batch b's output is exactly the
+    * doc_id % 4 == b slice — an order-dependent answer can never ship
+    * silently. The oracle replays file membership and the strict
+    * earlier-file visibility rule. */
+  def qStreamAbsorb(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val n = streamAbsorbRuns.incrementAndGet()
+    val stageDir = java.nio.file.Files.createTempDirectory(s"graft_sabs_stage_$n").toString
+    val inDir = java.nio.file.Files.createTempDirectory(s"graft_sabs_in_$n").toString
+    val outDir = java.nio.file.Files.createTempDirectory(s"graft_sabs_out_$n").toString
+    val idxDir = java.nio.file.Files.createTempDirectory(s"graft_sabs_idx_$n").toString
+    val idxName = s"graft_sabs_idx_$n"
+    LlmOps.saveBucketedIndex(spark,
+      LlmOps.buildCorpusIndex(docs.filter(col("doc_id") % 10 < 8)),
+      idxDir, idxName, gen = -1L)
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      val batch = LlmOps.streamAbsorbBatch(docs)
+      val base = System.currentTimeMillis() - 3600000L
+      for (i <- 0 until 4) {
+        val fdir = s"$stageDir/f$i"
+        batch.filter(pmod(col("doc_id"), lit(4)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(fdir)
+        val part = new java.io.File(fdir).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.toPath
+        val dst = java.nio.file.Paths.get(inDir, s"f$i.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+      }
+      val schema = spark.read.parquet(inDir).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      q = stream.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          val asOf = LlmOps.loadBucketedIndex(spark, idxName,
+            maxGenExclusive = Some(id))
+          LlmOps.probeDelta(asOf, b).write.mode("overwrite").parquet(s"$outDir/b$id")
+          LlmOps.absorbInto(spark, idxName, b, gen = id)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      if (q.isActive) throw new IllegalStateException(
+        "q_stream_absorb: AvailableNow drain did not terminate in 300 s")
+      // order guard: batch b's output must be exactly the doc_id % 4 == b
+      // slice — anything else means the file source broke the declared
+      // order and the gen-scoped classification no longer matches the
+      // oracle's earlier-file rule
+      for (b <- 0 until 4) {
+        val off = spark.read.parquet(s"$outDir/b$b")
+          .filter(pmod(col("doc_id"), lit(4)) =!= b).count()
+        if (off > 0) throw new IllegalStateException(
+          s"q_stream_absorb: batch $b holds $off rows outside its declared file slice")
+      }
+      Iterate.cut(spark.read.option("recursiveFileLookup", "true")
+        .parquet(outDir).orderBy(col("doc_id")))
+    } finally {
+      if (q != null && q.isActive) q.stop()
+      LlmOps.dropBucketedIndex(spark, idxName)
+      deleteDirTree(stageDir); deleteDirTree(inDir)
+      deleteDirTree(outDir); deleteDirTree(idxDir)
+    }
+  }
+
   /** Best-effort recursive delete of a staged temp dir (drain inputs are
     * dead once the query result is materialized). */
   private[engine] def deleteDirTree(dir: String): Unit = {

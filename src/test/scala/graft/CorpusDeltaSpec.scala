@@ -153,6 +153,28 @@ class CorpusDeltaSpec extends SparkSpec {
       "the digest probe must carry the bloom pruning filter")
   }
 
+  test("q_stream_absorb: late re-sent docs are exact_dup ONLY via the per-batch absorb") {
+    val out = graft.engine.Streaming.qStreamAbsorb(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // ResendLate copies (doc_id >= 2e8) duplicate file-0 batch docs whose
+    // text exists nowhere in the corpus — exact_dup proves file 0 was
+    // absorbed before file 3 classified
+    val late = out.filter(_._1 >= LlmOps.ResendLate)
+    assert(late.nonEmpty, "fixture must stage late re-sent docs")
+    assert(late.forall(_._2 == "exact_dup"),
+      s"late re-sends must read exact_dup via the absorb loop, got ${late.take(5).toSeq}")
+    // and the un-absorbed classifier (standing corpus only) calls the
+    // SAME docs near/new — the loop is observable, not vacuously true
+    val docs = graft.engine.Tables.documents(spark, sf)
+    val probe = LlmOps.probeDelta(
+      LlmOps.buildCorpusIndex(docs.filter(col("doc_id") % 10 < 8)),
+      LlmOps.streamAbsorbBatch(docs)).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._1 >= LlmOps.ResendLate)
+    assert(probe.exists(_._2 != "exact_dup"),
+      "every late re-send is already a corpus dup — fixture can't witness the absorb")
+  }
+
   test("q_corpus_delta at the sf0.01 gate exercises all three statuses") {
     val statuses = LlmOps.qCorpusDelta(spark, "/root/testdata/sf0.01")
       .groupBy(col("status")).count().collect()

@@ -215,6 +215,11 @@ class PlanSpec extends SparkSpec {
       // memo-cold (full two-pass span dedup first) construction
       "q_corpus_absorb" -> ((10, 24, 0)),
       "q_stream_delta"  -> ((10, 24, 0)),
+      // classify+absorb per drained file: 4 probes + 8 maintenance
+      // appends/anti-joins dominate; ivf-absorb is the lloyd sweeps +
+      // the two-generation assign
+      "q_stream_absorb" -> ((24, 56, 0)),
+      "q_ivf_absorb"    -> ((8, 30, 1)),
       "q_span_scrub"    -> ((1, 16, 0)))
     try {
       val bad = pins.flatMap { case (name, (lo, hi, bcLo)) =>
