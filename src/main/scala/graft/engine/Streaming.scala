@@ -769,11 +769,17 @@ object Streaming {
         .option("maxFilesPerTrigger", "1").parquet(inDir)
       q = stream.writeStream
         .foreachBatch { (b: DataFrame, id: Long) =>
-          val asOf = LlmOps.loadBucketedIndex(spark, idxName,
-            maxGenExclusive = Some(id))
-          LlmOps.probeDelta(asOf, b).write.mode("overwrite").parquet(s"$outDir/b$id")
-          LlmOps.absorbInto(spark, idxName, b, gen = id)
-          ()
+          // classify + absorb drive 5 actions over this micro-batch
+          // (digest probe, band probe, status join, two maintenance
+          // appends) — persist spares 4 re-reads of the staged file and
+          // 4 recomputes of the batch minhash bands
+          val batch = b.persist()
+          try {
+            val asOf = LlmOps.loadBucketedIndex(spark, idxName,
+              maxGenExclusive = Some(id))
+            LlmOps.probeDelta(asOf, batch).write.mode("overwrite").parquet(s"$outDir/b$id")
+            LlmOps.absorbInto(spark, idxName, batch, gen = id)
+          } finally { batch.unpersist(); () }
         }
         .trigger(Trigger.AvailableNow())
         .start()

@@ -160,6 +160,46 @@ class PropertySpec extends SparkSpec {
     }, "kmv merge")
   }
 
+  test("classify-then-absorb loop == earlier-file closed form (pure model of q_stream_absorb)") {
+    // the sequential ingest loop (classify batch f against the index,
+    // then absorb batch f) must equal the closed form the DuckDB oracle
+    // evaluates (membership in corpus ∪ strictly-earlier files) — for ANY
+    // doc/file/digest/bucket assignment, including same-file duplicates
+    // (invisible by the strict rule) and docs duplicating corpus content
+    val genCase = for {
+      n <- Gen.choose(0, 60)
+      docs <- Gen.listOfN(n, for {
+        f <- Gen.choose(0, 3)
+        d <- Gen.choose(0, 12)         // small alphabet forces collisions
+        ks <- Gen.someOf(0 to 8)       // band-bucket set
+      } yield (f, d, ks.toSet))
+      corpusD <- Gen.someOf(0 to 12)
+      corpusK <- Gen.someOf(0 to 8)
+    } yield (docs, corpusD.toSet, corpusK.toSet)
+    check(Prop.forAll(genCase) { case (docs, corpusD, corpusK) =>
+      def status(exact: Boolean, near: Boolean): String =
+        if (exact) "exact" else if (near) "near" else "new"
+      // the loop
+      var idxD = corpusD; var idxK = corpusK
+      val loop = (0 to 3).flatMap { f =>
+        val batch = docs.zipWithIndex.filter(_._1._1 == f)
+        val out = batch.map { case ((_, d, ks), i) =>
+          i -> status(idxD(d), ks.exists(idxK))
+        }
+        idxD ++= batch.map(_._1._2); idxK ++= batch.flatMap(_._1._3)
+        out
+      }.toMap
+      // the closed form (the oracle's rule)
+      val closed = docs.zipWithIndex.map { case ((f, d, ks), i) =>
+        val earlier = docs.filter(_._1 < f)
+        i -> status(
+          corpusD(d) || earlier.exists(_._2 == d),
+          ks.exists(k => corpusK(k) || earlier.exists(_._3(k))))
+      }.toMap
+      loop == closed
+    }, "classify-then-absorb")
+  }
+
   test("Spark page() agrees with the pure model on a generated table") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
