@@ -886,11 +886,18 @@ object LlmOps {
     * re-classifying batch g never sees its own absorbed rows. */
   def saveBucketedIndex(spark: SparkSession, idx: CorpusIndex,
       dir: String, name: String, gen: Long = 0L): Unit = {
-    idx.digests.withColumn("gen", lit(gen))
+    // repartition ON THE BUCKET KEYS first: repartition's HashPartitioning
+    // is the same murmur3 routing the bucketed writer uses, so each write
+    // task holds exactly one bucket's rows → ONE file per bucket. Without
+    // it, every input split writes its own per-bucket files (a fresh save
+    // of a 16-file table would emit 16 files again — no compaction).
+    idx.digests.repartition(IndexBuckets, col("dg"))
+      .withColumn("gen", lit(gen))
       .write.format("parquet").mode("overwrite")
       .bucketBy(IndexBuckets, "dg").sortBy("dg")
       .option("path", s"$dir/digests").saveAsTable(s"${name}_digests")
-    idx.buckets.withColumn("gen", lit(gen))
+    idx.buckets.repartition(IndexBuckets, col("band"), col("band_key"))
+      .withColumn("gen", lit(gen))
       .write.format("parquet").mode("overwrite")
       .bucketBy(IndexBuckets, "band", "band_key").sortBy("band", "band_key")
       .option("path", s"$dir/buckets").saveAsTable(s"${name}_buckets")
@@ -945,6 +952,61 @@ object LlmOps {
     spark.sql(s"DROP TABLE IF EXISTS ${name}_digests")
     spark.sql(s"DROP TABLE IF EXISTS ${name}_buckets")
     ()
+  }
+
+  /** Index COMPACTION — the maintenance step that completes the table
+    * lifecycle (build → absorb* → compact → probe …): fold every
+    * generation into a single-generation snapshot under a fresh dir/name.
+    * Each absorb appends one small file per bucket, so after many ingests
+    * a bucket is a pile of tiny files (the classic small-files problem);
+    * the rewrite restores one-file-per-bucket (and with it the sortBy
+    * metadata a bucketed SMJ can exploit). Probe answers are UNCHANGED by
+    * construction — rows are preserved exactly, only gen collapses — the
+    * invariant q_corpus_compact declares under the exact probe's oracle. */
+  def compactIndex(spark: SparkSession, from: String, dir: String,
+      name: String, gen: Long = 0L): Unit = {
+    // distinct() is load-bearing beyond defensive dedup: re-writing the
+    // bare bucketed scan elides saveBucketedIndex's repartition (the
+    // scan's claimed HashPartitioning satisfies it) and the planner then
+    // DISABLES the unconsumed bucketed scan — packed multi-bucket tasks,
+    // multi-file buckets, no compaction (observed: 16 files stayed 16).
+    // The aggregate is a real bucketing consumer, so rows reach the
+    // writer genuinely clustered by the bucket key.
+    val idx = loadBucketedIndex(spark, from)
+    saveBucketedIndex(spark,
+      CorpusIndex(idx.digests.distinct(), idx.buckets.distinct()),
+      dir, name, gen)
+  }
+
+  private val corpusCompactRuns = new java.util.concurrent.atomic.AtomicInteger
+
+  /** q_corpus_compact: build gen 0 over %10 < 6, absorb %10 in (6,7) as
+    * gen 1, COMPACT the two-generation index to a fresh single-generation
+    * table pair, drop the original, probe `deltaBatch` against the
+    * compacted index. The index content equals the %10 < 8 index either
+    * way, so the oracle is EXACTLY qCorpusDeltaSql — compaction must be
+    * semantically invisible, the q_skew_join rewrite-invisibility
+    * contract applied to index maintenance. */
+  def qCorpusCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val n = corpusCompactRuns.incrementAndGet()
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_compact_$n").toString
+    val name = s"graft_compact_idx_$n"
+    try {
+      saveBucketedIndex(spark,
+        buildCorpusIndex(docs.filter(col("doc_id") % 10 < 6)),
+        s"$dir/g", name, gen = 0L)
+      absorbInto(spark, name,
+        docs.filter(col("doc_id") % 10 >= 6 && col("doc_id") % 10 < 8)
+          .select(col("doc_id"), col("text")), gen = 1L)
+      compactIndex(spark, name, s"$dir/c", s"${name}_c")
+      dropBucketedIndex(spark, name)
+      Iterate.cut(probeDelta(loadBucketedIndex(spark, s"${name}_c"), deltaBatch(docs)))
+    } finally {
+      dropBucketedIndex(spark, s"${name}_c")
+      dropBucketedIndex(spark, name)
+      Streaming.deleteDirTree(dir)
+    }
   }
 
   /** Classify one batch against a prebuilt index — linear probe-by-

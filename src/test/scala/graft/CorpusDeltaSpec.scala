@@ -175,6 +175,50 @@ class CorpusDeltaSpec extends SparkSpec {
       "every late re-send is already a corpus dup — fixture can't witness the absorb")
   }
 
+  test("compaction: collapses generations and small files, probe-invisible") {
+    val docs = graft.engine.Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cidx").toString
+    val name = "graft_spec_cidx"
+    def parquetFiles(d: String): Int =
+      Option(new java.io.File(d).listFiles()).map(
+        _.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+    try {
+      LlmOps.saveBucketedIndex(spark,
+        LlmOps.buildCorpusIndex(docs.filter(col("doc_id") % 10 < 6)),
+        s"$dir/g", name, gen = 0L)
+      LlmOps.absorbInto(spark, name,
+        docs.filter(col("doc_id") % 10 >= 6 && col("doc_id") % 10 < 8)
+          .select(col("doc_id"), col("text")), gen = 1L)
+      val batch = LlmOps.deltaBatch(docs)
+      val before = LlmOps.probeDelta(LlmOps.loadBucketedIndex(spark, name), batch)
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      val filesBefore = parquetFiles(s"$dir/g/digests")
+      LlmOps.compactIndex(spark, name, s"$dir/c", s"${name}_c")
+      val after = LlmOps.probeDelta(LlmOps.loadBucketedIndex(spark, s"${name}_c"), batch)
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      assert(after == before, "compaction must be probe-invisible")
+      // the small-files problem is actually fixed: the absorb left >1
+      // file in at least one bucket; the rewrite is one file per bucket
+      val filesAfter = parquetFiles(s"$dir/c/digests")
+      assert(filesBefore > 8, s"fixture must show multi-file buckets, got $filesBefore")
+      assert(filesAfter <= 8, s"compacted table must be one file per bucket, got $filesAfter")
+      // and the generation column collapsed
+      val gens = spark.table(s"${name}_c_digests").select(col("gen")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(gens == Set(0L), s"compacted index must be single-generation, got $gens")
+    } finally {
+      LlmOps.dropBucketedIndex(spark, name)
+      LlmOps.dropBucketedIndex(spark, s"${name}_c")
+      val root = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        finally walk.close()
+      }
+    }
+  }
+
   test("q_corpus_delta at the sf0.01 gate exercises all three statuses") {
     val statuses = LlmOps.qCorpusDelta(spark, "/root/testdata/sf0.01")
       .groupBy(col("status")).count().collect()
