@@ -214,6 +214,7 @@ class PlanSpec extends SparkSpec {
       // span scrub's bounds span memo-warm (scrub pass only) and
       // memo-cold (full two-pass span dedup first) construction
       "q_corpus_absorb" -> ((10, 24, 0)),
+      "q_corpus_compact" -> ((12, 28, 0)), // absorb cost + the compact rewrite
       "q_stream_delta"  -> ((10, 24, 0)),
       // classify+absorb per drained file: 4 probes + 8 maintenance
       // appends/anti-joins dominate; ivf-absorb is the lloyd sweeps +
