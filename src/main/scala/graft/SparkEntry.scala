@@ -68,6 +68,7 @@ object SparkEntry {
     "q_corpus_absorb"     -> (LlmOps.qCorpusAbsorb _),
     "q_corpus_bloom"      -> (LlmOps.qCorpusBloom _),
     "q_corpus_compact"    -> (LlmOps.qCorpusCompact _),
+    "q_corpus_gc"         -> (LlmOps.qCorpusGc _),
     "q_stream_delta"      -> (Streaming.qStreamDelta _),
     "q_stream_absorb"     -> (Streaming.qStreamAbsorb _),
     "q_dedup_embedding"   -> (LlmOps.qDedupEmbedding _),
@@ -193,6 +194,7 @@ object SparkEntry {
     "q_corpus_absorb"     -> LlmOps.qCorpusAbsorbSql,
     "q_corpus_bloom"      -> LlmOps.qCorpusDeltaSql,
     "q_corpus_compact"    -> LlmOps.qCorpusDeltaSql,
+    "q_corpus_gc"         -> LlmOps.qCorpusGcSql,
     // the streaming drain is batching-invariant — same oracle as the batch query
     "q_stream_delta"      -> LlmOps.qCorpusDeltaSql,
     "q_stream_absorb"     -> LlmOps.qStreamAbsorbSql,

@@ -1231,6 +1231,132 @@ object LlmOps {
        |       ELSE 'new' END AS status
        |FROM b2 ORDER BY b2.doc_id""".stripMargin
 
+  // --- index GC (takedown / deletion) ------------------------------------
+
+  /** REFCOUNTED corpus index: same keys as `buildCorpusIndex` plus a
+    * per-key contributor count (docs per digest / docs per band bucket).
+    * The probe ignores `cnt` — the semi-joins touch keys only — so a
+    * refcounted index answers every `probeDelta` exactly like the
+    * distinct-set index over the same corpus (CorpusGcSpec pins it).
+    * The counts exist for the DELETE half of the lifecycle: dropping a
+    * forgotten doc's keys outright would be wrong whenever a RETAINED
+    * doc still claims the same key (two docs with identical text share
+    * one digest row; band buckets are shared by construction — that
+    * sharing IS the near-dup test). The refcount is what makes deletion
+    * index-local — the counting-Bloom trade applied to the index
+    * tables. */
+  def buildRefIndex(corpus: DataFrame): CorpusIndex = CorpusIndex(
+    corpus.select(sha2(col("text"), 256).as("dg"))
+      .groupBy("dg").agg(count(lit(1)).as("cnt")),
+    bandKeys(corpus).groupBy("band", "band_key").agg(count(lit(1)).as("cnt")))
+
+  /** GC — remove a forget set of documents (takedown / retention
+    * expiry) from a refcounted index WITHOUT touching the retained
+    * corpus: decrement each forgotten doc's digest and bucket keys,
+    * drop keys whose count reaches zero. Algebraic invariant
+    * (CorpusGcSpec pins probe-equality): gc(refIndex(C), F) ==
+    * refIndex(C ∖ F) for F ⊆ C — per-key counts are additive over
+    * docs, so subtracting F's counts IS counting C ∖ F. Declared
+    * precondition: each forgotten doc is submitted once per corpus
+    * occurrence — a re-forget would over-decrement a shared key (a
+    * deployment tracks applied takedown ids, the gen-filter discipline
+    * of `absorbInto` applied to deletes).
+    *
+    * Scale: the forget side is takedown-sized (thousands of docs
+    * against a 100 TB corpus), aggregated then BROADCAST; the index
+    * side scans once and filters in place — linear in |index|, zero
+    * corpus I/O. The alternative (rebuild from the retained corpus)
+    * rescans everything, which is exactly what an index exists to
+    * avoid. */
+  def gcIndex(index: CorpusIndex, forget: DataFrame): CorpusIndex = {
+    def prune(side: DataFrame, dec: DataFrame, keys: Seq[String]) =
+      side.join(broadcast(dec), keys, "left")
+        .withColumn("cnt", col("cnt") - coalesce(col("dec"), lit(0L)))
+        .drop("dec").filter(col("cnt") > 0)
+    CorpusIndex(
+      prune(index.digests,
+        forget.select(sha2(col("text"), 256).as("dg"))
+          .groupBy("dg").agg(count(lit(1)).as("dec")), Seq("dg")),
+      prune(index.buckets,
+        bandKeys(forget).groupBy("band", "band_key")
+          .agg(count(lit(1)).as("dec")), Seq("band", "band_key")))
+  }
+
+  private val corpusGcRuns = new java.util.concurrent.atomic.AtomicInteger
+
+  /** q_corpus_gc: the DELETE step that completes the index lifecycle
+    * (build → absorb* → compact → gc → probe …): persist the REFCOUNTED
+    * index over the %10 < 8 corpus as bucketed tables, GC the takedown
+    * set (doc_id % 30 == 0 — every one a corpus member), rewrite the
+    * surviving index under a fresh bucketed table pair (one file per
+    * bucket restored, as in compaction), drop the original, and probe
+    * `deltaBatch` against the survivor. The statuses must equal a
+    * from-scratch index over the RETAINED corpus — the oracle is
+    * qCorpusDeltaSql with the forget predicate applied to the
+    * index-building side only. The %120 == 0 docs are both forgotten
+    * here AND re-sent by `deltaBatch` (%40 == 0), so deletion has a
+    * visible witness at every scale: their re-sent rows flip off
+    * `exact_dup` (to whatever the retained corpus implies — the oracle
+    * decides). */
+  def qCorpusGc(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 10 < 8)
+    val forget = corpus.filter(col("doc_id") % 30 === 0)
+      .select(col("doc_id"), col("text"))
+    val n = corpusGcRuns.incrementAndGet()
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_gc_$n").toString
+    val name = s"graft_gc_idx_$n"
+    try {
+      saveBucketedIndex(spark, buildRefIndex(corpus), s"$dir/g", name)
+      saveBucketedIndex(spark, gcIndex(loadBucketedIndex(spark, name), forget),
+        s"$dir/gc", s"${name}_gc")
+      dropBucketedIndex(spark, name)
+      Iterate.cut(
+        probeDelta(loadBucketedIndex(spark, s"${name}_gc"), deltaBatch(docs)))
+    } finally {
+      dropBucketedIndex(spark, s"${name}_gc")
+      dropBucketedIndex(spark, name)
+      Streaming.deleteDirTree(dir)
+    }
+  }
+
+  /** The retained-corpus replay: a GC'd index must be probe-equal to an
+    * index built from scratch over corpus ∖ forget, so the oracle is
+    * qCorpusDeltaSql with `doc_id % 30 <> 0` on the index side — the
+    * batch side is untouched (forgotten content is still a legal
+    * re-submission; it just must no longer match). Any GC defect has a
+    * distinct signature here: an over-delete of a shared key flips a
+    * retained dup to new; an under-delete leaves a forgotten digest
+    * matching `exact_dup`. */
+  val qCorpusGcSql: String =
+    s"""WITH bands AS (
+       |${qDedupMinhashSql}
+       |),
+       |dig AS (SELECT doc_id, sha256(text) AS dg FROM documents),
+       |a_dig AS (SELECT DISTINCT dg FROM dig
+       |          WHERE doc_id % 10 < 8 AND doc_id % 30 <> 0),
+       |b AS (SELECT doc_id, dg FROM dig WHERE doc_id % 10 >= 8
+       |      UNION ALL
+       |      SELECT doc_id + 100000000, dg FROM dig WHERE doc_id % 40 = 0),
+       |a_bands AS (
+       |  SELECT DISTINCT band, band_key FROM bands
+       |  WHERE doc_id % 10 < 8 AND doc_id % 30 <> 0),
+       |b_bands AS (
+       |  SELECT p.doc_id, x.band, x.band_key
+       |  FROM (SELECT doc_id,
+       |          CASE WHEN doc_id >= 100000000
+       |               THEN doc_id - 100000000 ELSE doc_id END AS orig
+       |        FROM b) p
+       |  JOIN bands x ON x.doc_id = p.orig),
+       |near AS (
+       |  SELECT DISTINCT y.doc_id FROM b_bands y
+       |  JOIN a_bands a ON y.band = a.band AND y.band_key = a.band_key)
+       |SELECT b.doc_id,
+       |  CASE WHEN b.dg IN (SELECT dg FROM a_dig) THEN 'exact_dup'
+       |       WHEN b.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+       |       ELSE 'new' END AS status
+       |FROM b ORDER BY b.doc_id""".stripMargin
+
   /** q_ngram_jaccard: top-100 token-3-gram Jaccard pairs, DEDUP-FIRST —
     * exact-duplicate clusters collapse to one representative before the
     * sparse posting-list Jaccard (`sparseJaccardPairs`), and the top-100

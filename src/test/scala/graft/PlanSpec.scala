@@ -215,6 +215,10 @@ class PlanSpec extends SparkSpec {
       // memo-cold (full two-pass span dedup first) construction
       "q_corpus_absorb" -> ((10, 24, 0)),
       "q_corpus_compact" -> ((12, 28, 0)), // absorb cost + the compact rewrite
+      // two bucketed saves (refcounted build + gc rewrite) + the probe;
+      // rtBcast ≥ 2 pins the broadcast decrement joins — the forget side
+      // must never shuffle the index
+      "q_corpus_gc"     -> ((12, 30, 2)),
       "q_stream_delta"  -> ((10, 24, 0)),
       // classify+absorb per drained file: 4 probes + 8 maintenance
       // appends/anti-joins dominate; ivf-absorb is the lloyd sweeps +
