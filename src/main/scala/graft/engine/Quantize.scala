@@ -105,8 +105,26 @@ object Quantize {
   def qIvfAbsorb(spark: SparkSession, sfDir: String): DataFrame =
     ivfQuant(spark, sfDir, corpusTrain = true)
 
+  /** q_ivf_gc: vector-index DELETION (the ANN analog of q_corpus_gc).
+    * Takedown removes vectors from SERVING, not from the model: the
+    * coarse quantizer stays FROZEN (it trained before the takedown
+    * arrived; retraining is the rare offline cycle, exactly as in
+    * q_ivf_absorb), and the forget set (vec_id % 30 == 0, takedown-sized)
+    * is anti-joined out of the postings via BROADCAST — linear in
+    * |postings|, zero retraining, zero corpus rescan. Unlike the text
+    * index, postings carry vec_id, so no refcount is needed — deletion
+    * is direct. Invariant the oracle replays: postings ∖ F under a
+    * frozen quantizer == assign-everything-then-filter, because
+    * assignment is per-vector independent. Forgotten vectors may still
+    * QUERY (the query set is external input); they must simply never be
+    * RETURNED — the oracle's candidate set excludes them, so any
+    * under-delete (a forgotten vec surviving as a neighbor) or
+    * over-delete (a retained neighbor displaced) hash-diverges. */
+  def qIvfGc(spark: SparkSession, sfDir: String): DataFrame =
+    ivfQuant(spark, sfDir, corpusTrain = true, gc = true)
+
   private def ivfQuant(spark: SparkSession, sfDir: String,
-      corpusTrain: Boolean): DataFrame = {
+      corpusTrain: Boolean, gc: Boolean = false): DataFrame = {
     val q8 = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), VectorExprs.quantizeU8(col("embedding")).getField("q").as("qv"))
       .persist()
@@ -145,11 +163,18 @@ object Quantize {
 
       // postings per generation: gen 0 = the train corpus; absorb = the
       // frozen-quantizer assignment of the batch (empty when !corpusTrain)
-      val posting =
+      val posting0 =
         if (corpusTrain)
           assign(cents, train).join(q8, "vec_id").unionByName(
             assign(cents, q8.filter(col("vec_id") % 10 >= 8)).join(q8, "vec_id"))
         else assign(cents, q8).join(q8, "vec_id")
+      // GC: anti-join the takedown list out of the postings — broadcast,
+      // the forget side never shuffles the index (mirrors gcIndex)
+      val posting =
+        if (gc) posting0.join(
+          broadcast(q8.filter(col("vec_id") % 30 === 0).select(col("vec_id"))),
+          Seq("vec_id"), "left_anti")
+        else posting0
       val queries = q8.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("qv").as("qq"))
       val wProbe = Window.partitionBy(col("qid")).orderBy(col("pd"), col("cid"))
@@ -263,7 +288,7 @@ object Quantize {
     * assignment (`af` — the union postings after the assign-only absorb)
     * still covers every vector; otherwise everything runs over all
     * vectors, the original q_sim_ivf_quant shape. */
-  private def ivfQuantSql(corpusTrain: Boolean): String = {
+  private def ivfQuantSql(corpusTrain: Boolean, gc: Boolean = false): String = {
     val dist = (a: String, b: String) =>
       s"list_sum([CAST(($a[i] - $b[i]) * ($a[i] - $b[i]) AS BIGINT) " +
         s"for i in range(1, len($a) + 1)])"
@@ -309,7 +334,7 @@ object Quantize {
        |af AS (
        |  SELECT vec_id, qv, cid FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-       |    FROM df) WHERE rn = 1),
+       |    FROM df) WHERE rn = 1${if (gc) " AND vec_id % 30 <> 0" else ""}),
        |qs AS (SELECT vec_id AS qid, qv AS qq FROM q8 WHERE vec_id < 10),
        |pr AS (
        |  SELECT qid, qq, cid FROM (
@@ -331,4 +356,7 @@ object Quantize {
 
   val qSimIvfQuantSql: String = ivfQuantSql(corpusTrain = false)
   val qIvfAbsorbSql: String = ivfQuantSql(corpusTrain = true)
+  /** Same frozen-quantizer replay with the takedown filter on the
+    * assignment CTE — postings ∖ F, training untouched. */
+  val qIvfGcSql: String = ivfQuantSql(corpusTrain = true, gc = true)
 }

@@ -225,6 +225,9 @@ class PlanSpec extends SparkSpec {
       // the two-generation assign
       "q_stream_absorb" -> ((24, 56, 0)),
       "q_ivf_absorb"    -> ((8, 30, 1)),
+      // rtBcast ≥ 2: centroid broadcasts + the takedown anti-join must
+      // both stay broadcast — the forget side never shuffles postings
+      "q_ivf_gc"        -> ((8, 30, 2)),
       "q_span_scrub"    -> ((1, 16, 0)))
     try {
       val bad = pins.flatMap { case (name, (lo, hi, bcLo)) =>

@@ -131,6 +131,31 @@ class SketchQuantChunkSpec extends SparkSpec {
     }
   }
 
+  test("q_ivf_gc: takedown vectors never returned; retained answers match the filtered absorb") {
+    val rows = graft.engine.Quantize.qIvfGc(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // under-delete witness: no forgotten vector may appear as a neighbor
+    assert(!rows.exists(_.getAs[Long]("neighbor_id") % 30 == 0),
+      "a takedown vector survived GC as a neighbor")
+    // over-delete witness: result == absorb output with forgotten
+    // neighbors filtered and ranks recomputed (per-vector-independent
+    // assignment means GC must change NOTHING else)
+    val absorb = graft.engine.Quantize.qIvfAbsorb(spark, sf).collect()
+      .filter(_.getAs[Long]("neighbor_id") % 30 != 0)
+      .groupBy(_.getAs[Long]("qid")).toSeq
+      .flatMap { case (qid, rs) =>
+        rs.sortBy(r => (r.getAs[Long]("sqdist"), r.getAs[Long]("neighbor_id")))
+          .take(3).zipWithIndex.map { case (r, i) =>
+            (qid, r.getAs[Long]("neighbor_id"), r.getAs[Long]("sqdist"), i + 1L) }
+      }.toSet
+    // absorb emits top-3 pre-filter, so a qid with >0 forgotten neighbors
+    // in its top-3 has <3 survivors here — compare only the shared prefix
+    val got = rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor_id"),
+      r.getAs[Long]("sqdist"), r.getAs[Long]("rank"))).toSet
+    assert(absorb.subsetOf(got),
+      s"retained prefix diverged: missing ${absorb.diff(got).take(3)}")
+  }
+
   test("embeddings corpus holds the qSimIvfQuant oracle precondition: no degenerate vectors") {
     import org.apache.spark.sql.functions._
     // qSimIvfQuantSql does NOT mirror QuantizeU8's degenerate→NULL rule
