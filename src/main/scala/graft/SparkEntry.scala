@@ -79,6 +79,7 @@ object SparkEntry {
     "q_sim_ivf_quant"     -> (Quantize.qSimIvfQuant _),
     "q_ivf_absorb"        -> (Quantize.qIvfAbsorb _),
     "q_ivf_gc"            -> (Quantize.qIvfGc _),
+    "q_ivf_serve"         -> (Quantize.qIvfServe _),
     "q_ann_recall"        -> (Quantize.qAnnRecall _),
     "q_text_analysis"     -> (LlmOps.qTextAnalysis _),
     "q_token_count"       -> (LlmOps.qTokenCount _),
@@ -273,6 +274,7 @@ object SparkEntry {
     "q_sim_ivf_quant"     -> Quantize.qSimIvfQuantSql,
     "q_ivf_absorb"        -> Quantize.qIvfAbsorbSql,
     "q_ivf_gc"            -> Quantize.qIvfGcSql,
+    "q_ivf_serve"         -> Quantize.qIvfServeSql,
     "q_ann_recall"        -> Quantize.qAnnRecallSql,
     "q_chunk_docs"        -> Curation.qChunkDocsSql,
     "q_curation_pipeline" -> Curation.qCurationPipelineSql,

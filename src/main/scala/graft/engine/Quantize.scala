@@ -123,8 +123,40 @@ object Quantize {
   def qIvfGc(spark: SparkSession, sfDir: String): DataFrame =
     ivfQuant(spark, sfDir, corpusTrain = true, gc = true)
 
+  /** q_ivf_serve: the ON-DISK ANN serving posture — the absorb-state
+    * postings persisted as a cid-BUCKETED table, probed through Spark's
+    * bucket pruning. The probe's matched cells (≤ |queries| × NProbe
+    * ids, the same k-bound as the broadcast query set) become a LITERAL
+    * IN on the bucket column, so the scan opens ONLY the probed cells'
+    * buckets (`SelectedBucketsCount m out of n` in the plan, pinned by
+    * spec). That is what makes disk-resident IVF work at 100 TB: a
+    * query batch reads nprobe cells' files; the other thousands of
+    * buckets are never opened. Storage and pruning are semantically
+    * INVISIBLE — output equals q_ivf_absorb row for row, so the oracle
+    * is exactly qIvfAbsorbSql (the q_skew_join rewrite-invisibility
+    * contract applied to ANN serving). */
+  def qIvfServe(spark: SparkSession, sfDir: String): DataFrame =
+    ivfQuant(spark, sfDir, corpusTrain = true, serve = true)
+
+  private val ServeBuckets = 8
+  private val ivfServeRuns = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Persist postings bucketed by cell id and return the bucket-pruned
+    * scan for the probed cells (literal IN on the bucket column →
+    * FileSourceScan prunes unprobed buckets at plan time). Exposed for
+    * the spec that pins SelectedBucketsCount < total. */
+  private[graft] def servePruned(spark: SparkSession, posting: DataFrame,
+      probedCids: Seq[Long], dir: String, name: String): DataFrame = {
+    posting.repartition(ServeBuckets, col("cid"))
+      .write.format("parquet").mode("overwrite")
+      .bucketBy(ServeBuckets, "cid").sortBy("cid")
+      .option("path", s"$dir/postings").saveAsTable(name)
+    spark.table(name).filter(col("cid").isin(probedCids: _*))
+  }
+
   private def ivfQuant(spark: SparkSession, sfDir: String,
-      corpusTrain: Boolean, gc: Boolean = false): DataFrame = {
+      corpusTrain: Boolean, gc: Boolean = false,
+      serve: Boolean = false): DataFrame = {
     val q8 = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), VectorExprs.quantizeU8(col("embedding")).getField("q").as("qv"))
       .persist()
@@ -182,18 +214,50 @@ object Quantize {
         .select(col("qid"), col("qq"), col("cid"), sqd(col("qq"), col("cv")).as("pd"))
         .withColumn("prn", row_number().over(wProbe)).filter(col("prn") <= NProbe)
         .select(col("qid"), col("qq"), col("cid"))
-      val wRank = Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))
-      val out = probes.join(posting, "cid")
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"), sqd(col("qq"), col("qv")).as("d"))
-        .withColumn("rank", row_number().over(wRank).cast("long"))
-        .filter(col("rank") <= TopK)
-        .select(col("qid"), col("vec_id").as("neighbor_id"), col("d").as("sqdist"),
-          col("rank"))
-        .orderBy(col("qid"), col("rank"))
-      val cut = Iterate.cut(out)
-      cents.unpersist(blocking = false)
-      cut
+      // serving: postings live in a cid-bucketed table; the probed cells
+      // (k-bounded: ≤ |queries| × NProbe) prune the scan to their buckets
+      var serveName: String = null
+      var serveDir: String = null
+      var servePrevConf: Option[String] = None
+      val autoBucketedScan = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val postingJoin =
+        if (serve) {
+          val n = ivfServeRuns.incrementAndGet()
+          serveDir = java.nio.file.Files
+            .createTempDirectory(s"graft_ivfserve_$n").toString
+          serveName = s"graft_ivf_serve_$n"
+          val cids = probes.select(col("cid")).distinct()
+            .collect().map(_.getLong(0)).sorted.toSeq
+          // the probe side is broadcast-tiny, so no operator "consumes"
+          // the table's bucketing and DisableUnnecessaryBucketedScan
+          // would strip the bucketed scan — taking BUCKET PRUNING (the
+          // point of the layout) with it. Pin the scan on for the serve
+          // read; restored in the finally below.
+          servePrevConf = spark.conf.getOption(autoBucketedScan)
+          spark.conf.set(autoBucketedScan, "false")
+          servePruned(spark, posting, cids, serveDir, serveName)
+        } else posting
+      try {
+        val wRank = Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))
+        val out = probes.join(postingJoin, "cid")
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), sqd(col("qq"), col("qv")).as("d"))
+          .withColumn("rank", row_number().over(wRank).cast("long"))
+          .filter(col("rank") <= TopK)
+          .select(col("qid"), col("vec_id").as("neighbor_id"), col("d").as("sqdist"),
+            col("rank"))
+          .orderBy(col("qid"), col("rank"))
+        val cut = Iterate.cut(out)
+        cents.unpersist(blocking = false)
+        cut
+      } finally if (serveName != null) {
+        servePrevConf match {
+          case Some(v) => spark.conf.set(autoBucketedScan, v)
+          case None    => spark.conf.unset(autoBucketedScan)
+        }
+        spark.sql(s"DROP TABLE IF EXISTS $serveName")
+        Streaming.deleteDirTree(serveDir)
+      }
     } finally q8.unpersist(blocking = false)
   }
 
@@ -359,4 +423,7 @@ object Quantize {
   /** Same frozen-quantizer replay with the takedown filter on the
     * assignment CTE — postings ∖ F, training untouched. */
   val qIvfGcSql: String = ivfQuantSql(corpusTrain = true, gc = true)
+  /** Bucketed storage + bucket pruning are rewrite-invisible: the serve
+    * path must answer exactly like the in-memory absorb state. */
+  val qIvfServeSql: String = qIvfAbsorbSql
 }

@@ -228,6 +228,9 @@ class PlanSpec extends SparkSpec {
       // rtBcast ≥ 2: centroid broadcasts + the takedown anti-join must
       // both stay broadcast — the forget side never shuffles postings
       "q_ivf_gc"        -> ((8, 30, 2)),
+      // the bucketed-table write adds its layout exchange; probes stay
+      // broadcast — the serving table itself must never reshuffle
+      "q_ivf_serve"     -> ((8, 32, 1)),
       "q_span_scrub"    -> ((1, 16, 0)))
     try {
       val bad = pins.flatMap { case (name, (lo, hi, bcLo)) =>

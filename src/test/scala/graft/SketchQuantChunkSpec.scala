@@ -156,6 +156,39 @@ class SketchQuantChunkSpec extends SparkSpec {
       s"retained prefix diverged: missing ${absorb.diff(got).take(3)}")
   }
 
+  test("q_ivf_serve: bucketed storage + pruning are invisible — output == q_ivf_absorb") {
+    val serve = graft.engine.Quantize.qIvfServe(spark, sf).collect().map(_.toString).sorted.toSeq
+    val absorb = graft.engine.Quantize.qIvfAbsorb(spark, sf).collect().map(_.toString).sorted.toSeq
+    assert(serve == absorb, "serving table changed an answer")
+  }
+
+  test("servePruned: the literal cell filter prunes unprobed buckets at plan time") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val posting = (0L until 64L).map(i => (i % 8, i, Array.fill(4)((i % 100).toInt)))
+      .toDF("cid", "vec_id", "qv")
+    val dir = java.nio.file.Files.createTempDirectory("graft_serve_spec").toString
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val pruned = graft.engine.Quantize.servePruned(
+        spark, posting, Seq(1L, 3L), dir, "graft_serve_spec_t")
+      assert(pruned.count() == 16, "filter must keep exactly cells 1 and 3")
+      val scan = pruned.queryExecution.executedPlan.toString
+      val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(scan)
+      assert(m.isDefined, s"no bucket pruning in plan:\n$scan")
+      val (sel, tot) = (m.get.group(1).toInt, m.get.group(2).toInt)
+      assert(tot == 8 && sel <= 2,
+        s"expected <=2 of 8 buckets read, got $sel of $tot")
+    } finally {
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.sql("DROP TABLE IF EXISTS graft_serve_spec_t")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("embeddings corpus holds the qSimIvfQuant oracle precondition: no degenerate vectors") {
     import org.apache.spark.sql.functions._
     // qSimIvfQuantSql does NOT mirror QuantizeU8's degenerate→NULL rule
