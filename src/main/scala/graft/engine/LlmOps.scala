@@ -220,6 +220,122 @@ object LlmOps {
     3L -> Seq("scan", "vector"),
     4L -> Seq("fast", "query", "spark"))
 
+  // --- tokenizer training: BPE merges -------------------------------------
+
+  private val BpeRounds = 4
+  private[graft] val BpeSep = "\u0001"
+
+  /** q_bpe_merges: the first `BpeRounds` byte-pair-encoding merges over
+    * the corpus — the inner loop of tokenizer TRAINING, the LLM-pipeline
+    * stage the rest of the text surface doesn't cover. Declared
+    * semantics: words = whitespace tokens (lowercased, empties dropped);
+    * pair frequency = adjacent symbol positions (overlaps counted)
+    * weighted by word count; each round's argmax (count DESC, then
+    * lexicographic on the pair) is applied LEFT-TO-RIGHT NON-OVERLAPPING
+    * to every word and the loop repeats on the merged symbols.
+    *
+    * Merge application encodes a word's symbols as a U+0001-joined
+    * string and applies `replace(cur, "a␁b", "ab")`: replace scans
+    * forward past each replacement in BOTH Spark and DuckDB, which IS
+    * the left-to-right non-overlap rule ("aaa" under (a,a) → [aa, a]),
+    * so engine and oracle merge identically with no list fold anywhere.
+    *
+    * Scale: ONE corpus-linear shuffle builds the word-frequency table
+    * (the dedup-first shape — BPE trainers operate on vocab × count,
+    * never the raw corpus); each round is VOCAB-linear (narrow pair
+    * explode + one groupBy on pair keys) and the driver collects exactly
+    * ONE row per round. Production BPE runs ~30k rounds of this same
+    * shape; the corpus is never re-scanned after the vocab aggregate.
+    * PRECONDITION (spec-pinned): no token contains U+0001 — the shipped
+    * corpus is printable ASCII. */
+  def qBpeMerges(spark: SparkSession, sfDir: String): DataFrame =
+    bpeMerges(Tables.documents(spark, sfDir))
+
+  private[graft] def bpeMerges(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    // split-at-every-boundary also matches the END position, and Spark's
+    // split (limit -1) KEEPS that trailing empty — an empty symbol would
+    // fabricate (last_char, "") pairs, so drop empties explicitly
+    var cur = vocab.select(
+      concat_ws(BpeSep,
+        filter(split(col("w"), "(?!^)"), s => length(s) > 0)).as("cur"),
+      col("cnt")).persist()
+    try {
+      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      var k = 1
+      var exhausted = false
+      while (k <= BpeRounds && !exhausted) {
+        val best = cur
+          .select(split(col("cur"), BpeSep).as("s"), col("cnt"))
+          .filter(size(col("s")) >= 2)
+          .select(col("cnt"), explode(transform(
+            sequence(lit(0), size(col("s")) - 2),
+            i => struct(get(col("s"), i).as("l"),
+                        get(col("s"), i + 1).as("r")))).as("p"))
+          .select(col("p.l").as("sym_l"), col("p.r").as("sym_r"), col("cnt"))
+          .groupBy(col("sym_l"), col("sym_r"))
+          .agg(sum(col("cnt")).as("pair_count"))
+          .orderBy(col("pair_count").desc, col("sym_l"), col("sym_r"))
+          .limit(1).collect().headOption // k-bounded: ONE argmax row per round
+        best match {
+          case None => exhausted = true // every word fully merged — stop
+          case Some(row) =>
+            val (a, b, c) =
+              (row.getString(0), row.getString(1), row.getLong(2))
+            merges += ((k, a, b, c))
+            val next = cur.withColumn("cur",
+              replace(col("cur"), lit(a + BpeSep + b), lit(a + b))).persist()
+            cur.unpersist(blocking = false)
+            cur = next
+        }
+        k += 1
+      }
+      merges.result().toDF("rank", "sym_l", "sym_r", "pair_count")
+        .orderBy(col("rank"))
+    } finally cur.unpersist(blocking = false)
+  }
+
+  /** The same rounds unrolled in DuckDB: vocab → per-round pair count +
+    * argmax CTE + replace-application CTE. `string_split`/`replace`
+    * share the engine's separator encoding and forward-scan semantics. */
+  val qBpeMergesSql: String = {
+    def round(prev: String, n: Int): String =
+      s"""p$n AS (
+         |  SELECT pr.l AS l, pr.r AS r, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+         |    SELECT unnest([{'l': s[i], 'r': s[i+1]}
+         |                   for i in range(1, len(s))]) AS pr, cnt
+         |    FROM (SELECT string_split(cur, chr(1)) AS s, cnt FROM $prev))
+         |  GROUP BY pr.l, pr.r),
+         |b$n AS (SELECT l, r, c FROM p$n ORDER BY c DESC, l, r LIMIT 1)""".stripMargin
+    def apply(prev: String, n: Int): String =
+      s"""w$n AS (
+         |  SELECT replace(cur, (SELECT l || chr(1) || r FROM b$n),
+         |                      (SELECT l || r FROM b$n)) AS cur, cnt
+         |  FROM $prev)""".stripMargin
+    val rounds = (1 to BpeRounds).map { n =>
+      round(s"w${n - 1}", n) +
+        (if (n < BpeRounds) ",\n" + apply(s"w${n - 1}", n) else "")
+    }.mkString(",\n")
+    val sel = (1 to BpeRounds).map { n =>
+      s"SELECT $n AS rank, l AS sym_l, r AS sym_r, c AS pair_count FROM b$n"
+    }.mkString("\nUNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT unnest(list_filter(string_split(lower(text), ' '),
+       |                            s -> s <> '')) AS w
+       |  FROM documents),
+       |vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY w),
+       |w0 AS (
+       |  SELECT array_to_string([w[i] for i in range(1, len(w) + 1)], chr(1)) AS cur,
+       |         cnt
+       |  FROM vocab),
+       |$rounds
+       |SELECT * FROM (
+       |$sel) ORDER BY rank""".stripMargin
+  }
+
   /** q_bm25_topk: BM25-weighted keyword top-10 per query over the corpus.
     *
     * Sparse-index shape, built for 100 TB: the per-term postings are

@@ -344,4 +344,41 @@ class LlmOpsSpec extends SparkSpec {
       k
     }
   }
+  test("bpe merges: hand-computed fixture, lexicographic tiebreak, forward-scan application") {
+    import spark.implicits._
+    // vocab: low x3, lower x2, lowest x1 — the classic BPE walkthrough
+    val docs = Seq(
+      (1L, "low lower lowest low"),
+      (2L, "low lower")
+    ).toDF("doc_id", "text")
+    val got = engine.LlmOps.bpeMerges(docs).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // round 1: (l,o) and (o,w) tie at 6 — lexicographic picks (l,o);
+    // then (lo,w) 6, (low,e) 3, (lowe,r) 2
+    assert(got == Seq((1, "l", "o", 6L), (2, "lo", "w", 6L),
+      (3, "low", "e", 3L), (4, "lowe", "r", 2L)), s"got $got")
+  }
+
+  test("bpe merges: overlap counting vs non-overlap application ('aaa' class)") {
+    import spark.implicits._
+    // 'aaaa': pairs (a,a) counted at every adjacent position (3 per word),
+    // but application is left-to-right non-overlapping: aaaa -> [aa, aa]
+    val docs = Seq((1L, "aaaa aaaa b")).toDF("doc_id", "text")
+    val got = engine.LlmOps.bpeMerges(docs).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // round 1: (a,a) = 3+3 = 6; after: aa|aa x2
+    // round 2: (aa,aa) = 2; after: aaaa x2 — no pairs left
+    assert(got.take(2) == Seq((1, "a", "a", 6L), (2, "aa", "aa", 2L)), s"got $got")
+    // rounds 3-4 still emit the argmax of whatever pairs remain (none
+    // from 'aaaa'; 'b' is single-symbol) — the fixture has exactly 2 rows
+    assert(got.length == 2, s"expected the loop to stop emitting, got $got")
+  }
+
+  test("bpe precondition: no corpus token contains the U+0001 symbol separator") {
+    import org.apache.spark.sql.functions._
+    val bad = engine.Tables.documents(spark, sf)
+      .filter(col("text").contains(engine.LlmOps.BpeSep)).count()
+    assert(bad == 0, s"$bad documents contain U+0001 — symbol encoding unsound")
+  }
+
 }

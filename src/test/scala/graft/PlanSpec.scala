@@ -231,6 +231,8 @@ class PlanSpec extends SparkSpec {
       // the bucketed-table write adds its layout exchange; probes stay
       // broadcast — the serving table itself must never reshuffle
       "q_ivf_serve"     -> ((8, 32, 1)),
+      // one vocab groupBy + (pair groupBy + argmax TakeOrdered) × 4 rounds
+      "q_bpe_merges"    -> ((5, 18, 0)),
       "q_span_scrub"    -> ((1, 16, 0)))
     try {
       val bad = pins.flatMap { case (name, (lo, hi, bcLo)) =>
