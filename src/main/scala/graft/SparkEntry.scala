@@ -60,6 +60,7 @@ object SparkEntry {
     // LLM-pipeline north-star
     "q_dedup_exact_text"  -> (LlmOps.qDedupExactText _),
     "q_bpe_merges"        -> (LlmOps.qBpeMerges _),
+    "q_bpe_encode"        -> (LlmOps.qBpeEncode _),
     "q_dedup_minhash"     -> (LlmOps.qDedupMinhash _),
     "q_dedup_simhash"     -> (LlmOps.qDedupSimhash _),
     "q_ngram_jaccard"     -> (LlmOps.qNgramJaccard _),
@@ -222,6 +223,7 @@ object SparkEntry {
     "q_dedup_latest"      -> Incremental.qDedupLatestSql,
     "q_dedup_exact_text"  -> LlmOps.qDedupExactTextSql,
     "q_bpe_merges"        -> LlmOps.qBpeMergesSql,
+    "q_bpe_encode"        -> LlmOps.qBpeEncodeSql,
     "q_sim_topk"          -> LlmOps.qSimTopkSql,
     "q_text_analysis"     -> LlmOps.qTextAnalysisSql,
     "q_token_count"       -> LlmOps.qTokenCountSql,

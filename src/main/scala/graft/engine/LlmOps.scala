@@ -254,6 +254,16 @@ object LlmOps {
   private[graft] def bpeMerges(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val (merges, cur) = bpeTrain(docs)
+    cur.unpersist(blocking = false)
+    merges.toDF("rank", "sym_l", "sym_r", "pair_count").orderBy(col("rank"))
+  }
+
+  /** Run the merge loop; returns the realized merges AND the final
+    * per-word symbol encoding (`cur`  U+0001-joined, `cnt`) — the
+    * trained state q_bpe_encode consumes. The returned frame is
+    * PERSISTED; the caller unpersists. */
+  private def bpeTrain(docs: DataFrame): (Seq[(Int, String, String, Long)], DataFrame) = {
     val vocab = docs.select(explode(tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
     // split-at-every-boundary also matches the END position, and Spark's
@@ -263,8 +273,8 @@ object LlmOps {
       concat_ws(BpeSep,
         filter(split(col("w"), "(?!^)"), s => length(s) > 0)).as("cur"),
       col("cnt")).persist()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
     try {
-      val merges = Seq.newBuilder[(Int, String, String, Long)]
       var k = 1
       var exhausted = false
       while (k <= BpeRounds && !exhausted) {
@@ -293,15 +303,44 @@ object LlmOps {
         }
         k += 1
       }
-      merges.result().toDF("rank", "sym_l", "sym_r", "pair_count")
-        .orderBy(col("rank"))
+      (merges.result(), cur)
+    } catch {
+      case t: Throwable => cur.unpersist(blocking = false); throw t
+    }
+  }
+
+  /** q_bpe_encode: the INFERENCE half of the tokenizer pair — apply the
+    * learned merges and report the top-20 symbols of the resulting
+    * vocabulary by corpus frequency (count DESC, symbol ASC). Encoding
+    * runs on the WORD TABLE, not the corpus (every occurrence of a word
+    * encodes identically, so corpus symbol counts are vocab symbol
+    * counts weighted by word count — the dedup-first algebra again);
+    * the only corpus-sized work remains the one word-count shuffle the
+    * trainer already does. The oracle replays training AND encoding, so
+    * a single mis-applied merge shifts a count and hash-diverges.
+    * PRECONDITION (holds at every declared scale, like the IVF oracle's
+    * no-degenerate-vectors invariant): the vocab supports all BpeRounds
+    * merges — on a corpus so tiny that training exhausts early, the
+    * oracle's post-exhaustion replace CTEs go NULL and return zero
+    * rows, while the engine reports the partially-merged encoding. */
+  def qBpeEncode(spark: SparkSession, sfDir: String): DataFrame =
+    bpeEncode(Tables.documents(spark, sfDir))
+
+  private[graft] def bpeEncode(docs: DataFrame): DataFrame = {
+    val (_, cur) = bpeTrain(docs)
+    try {
+      Iterate.cut(cur
+        .select(explode(split(col("cur"), BpeSep)).as("sym"), col("cnt"))
+        .groupBy(col("sym")).agg(sum(col("cnt")).as("sym_count"))
+        .orderBy(col("sym_count").desc, col("sym"))
+        .limit(20))
     } finally cur.unpersist(blocking = false)
   }
 
   /** The same rounds unrolled in DuckDB: vocab → per-round pair count +
     * argmax CTE + replace-application CTE. `string_split`/`replace`
     * share the engine's separator encoding and forward-scan semantics. */
-  val qBpeMergesSql: String = {
+  private def bpeSql(applyLast: Boolean): String = {
     def round(prev: String, n: Int): String =
       s"""p$n AS (
          |  SELECT pr.l AS l, pr.r AS r, CAST(SUM(cnt) AS BIGINT) AS c FROM (
@@ -317,11 +356,18 @@ object LlmOps {
          |  FROM $prev)""".stripMargin
     val rounds = (1 to BpeRounds).map { n =>
       round(s"w${n - 1}", n) +
-        (if (n < BpeRounds) ",\n" + apply(s"w${n - 1}", n) else "")
+        (if (n < BpeRounds || applyLast) ",\n" + apply(s"w${n - 1}", n) else "")
     }.mkString(",\n")
-    val sel = (1 to BpeRounds).map { n =>
-      s"SELECT $n AS rank, l AS sym_l, r AS sym_r, c AS pair_count FROM b$n"
-    }.mkString("\nUNION ALL ")
+    val sel =
+      if (applyLast)
+        s"""SELECT sym, CAST(SUM(cnt) AS BIGINT) AS sym_count FROM (
+           |  SELECT unnest(string_split(cur, chr(1))) AS sym, cnt
+           |  FROM w$BpeRounds)
+           |GROUP BY sym ORDER BY sym_count DESC, sym LIMIT 20""".stripMargin
+      else
+        "SELECT * FROM (\n" + (1 to BpeRounds).map { n =>
+          s"SELECT $n AS rank, l AS sym_l, r AS sym_r, c AS pair_count FROM b$n"
+        }.mkString("\nUNION ALL ") + ") ORDER BY rank"
     s"""WITH toks AS (
        |  SELECT unnest(list_filter(string_split(lower(text), ' '),
        |                            s -> s <> '')) AS w
@@ -332,9 +378,13 @@ object LlmOps {
        |         cnt
        |  FROM vocab),
        |$rounds
-       |SELECT * FROM (
-       |$sel) ORDER BY rank""".stripMargin
+       |$sel""".stripMargin
   }
+
+  val qBpeMergesSql: String = bpeSql(applyLast = false)
+  /** Training replayed end to end, then the encoded vocabulary's
+    * weighted symbol counts — top-20 by (count DESC, symbol ASC). */
+  val qBpeEncodeSql: String = bpeSql(applyLast = true)
 
   /** q_bm25_topk: BM25-weighted keyword top-10 per query over the corpus.
     *

@@ -374,6 +374,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.length == 2, s"expected the loop to stop emitting, got $got")
   }
 
+  test("bpe encode: learned merges applied to the vocab, counts weighted by word frequency") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "low lower lowest low"),
+      (2L, "low lower")
+    ).toDF("doc_id", "text")
+    val got = engine.LlmOps.bpeEncode(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // merges: l+o, lo+w, low+e, lowe+r -> low x3, lower x2, lowe|s|t x1
+    assert(got == Seq(("low", 3L), ("lower", 2L), ("lowe", 1L),
+      ("s", 1L), ("t", 1L)), s"got $got")
+  }
+
   test("bpe precondition: no corpus token contains the U+0001 symbol separator") {
     import org.apache.spark.sql.functions._
     val bad = engine.Tables.documents(spark, sf)

@@ -233,6 +233,8 @@ class PlanSpec extends SparkSpec {
       "q_ivf_serve"     -> ((8, 32, 1)),
       // one vocab groupBy + (pair groupBy + argmax TakeOrdered) × 4 rounds
       "q_bpe_merges"    -> ((5, 18, 0)),
+      // training + one weighted symbol-count aggregate over the vocab
+      "q_bpe_encode"    -> ((6, 20, 0)),
       "q_span_scrub"    -> ((1, 16, 0)))
     try {
       val bad = pins.flatMap { case (name, (lo, hi, bcLo)) =>
