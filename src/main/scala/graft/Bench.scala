@@ -67,6 +67,7 @@ object Bench {
       // that OWNS the cache (its consumers keep the warm read: that IS
       // their declared composed cost)
       if (name == "q_span_dedup") graft.engine.LlmOps.evictSpanMemo(sfDir)
+      if (name == "q_bpe_merges") graft.engine.LlmOps.evictBpeMemo(sfDir)
       val t0 = System.nanoTime()
       // Materialize through the query's OWN physical plan (toRdd), not
       // df.count(): count() stacks an Aggregate on top and ColumnPruning

@@ -231,10 +231,11 @@ class PlanSpec extends SparkSpec {
       // the bucketed-table write adds its layout exchange; probes stay
       // broadcast — the serving table itself must never reshuffle
       "q_ivf_serve"     -> ((8, 32, 1)),
-      // one vocab groupBy + (pair groupBy + argmax TakeOrdered) × 4 rounds
-      "q_bpe_merges"    -> ((5, 18, 0)),
-      // training + one weighted symbol-count aggregate over the vocab
-      "q_bpe_encode"    -> ((6, 20, 0)),
+      // bounds span memo-warm (toDF of the cached merges: 0 shuffles) and
+      // memo-cold (vocab groupBy + pair groupBy + argmax × 4 rounds)
+      "q_bpe_merges"    -> ((0, 18, 0)),
+      // memo-warm: word count + symbol count (2); cold adds training
+      "q_bpe_encode"    -> ((2, 20, 0)),
       "q_span_scrub"    -> ((1, 16, 0)))
     try {
       val bad = pins.flatMap { case (name, (lo, hi, bcLo)) =>
