@@ -64,6 +64,7 @@ object SparkEntry {
     "q_dedup_minhash"     -> (LlmOps.qDedupMinhash _),
     "q_dedup_simhash"     -> (LlmOps.qDedupSimhash _),
     "q_ngram_jaccard"     -> (LlmOps.qNgramJaccard _),
+    "q_lsh_recall"        -> (LlmOps.qLshRecall _),
     "q_span_dedup"        -> (LlmOps.qSpanDedup _),
     "q_span_scrub"        -> (LlmOps.qSpanScrub _),
     "q_corpus_delta"      -> (LlmOps.qCorpusDelta _),
@@ -192,6 +193,7 @@ object SparkEntry {
     "q_multimodal_embed"  -> Multimodal.qMultimodalEmbedSql,
     "q_expand_nested"     -> Relational.qExpandNestedSql,
     "q_ngram_jaccard"     -> LlmOps.qNgramJaccardSql,
+    "q_lsh_recall"        -> LlmOps.qLshRecallSql,
     "q_span_dedup"        -> LlmOps.qSpanDedupSql,
     "q_span_scrub"        -> LlmOps.qSpanScrubSql,
     "q_corpus_delta"      -> LlmOps.qCorpusDeltaSql,

@@ -1666,6 +1666,63 @@ object LlmOps {
     } finally cl.unpersist(blocking = false)
   }
 
+  /** q_lsh_recall: the dedup-quality metric — of the exact top-100
+    * n-gram-Jaccard pairs (q_ngram_jaccard's declared ground truth),
+    * what fraction would MinHash LSH banding actually CATCH (share at
+    * least one band bucket)? The q_ann_recall discipline applied to the
+    * text side: LSH trades recall for bucket locality, and this query
+    * MEASURES the trade instead of assuming it. Output is one row —
+    * (pairs, lsh_hits, recall_bp) — with recall in integer basis points
+    * (no floats on the hash path).
+    *
+    * Scale posture: ground truth is the already-k-bounded top-100 (the
+    * sampled-recall methodology — never all pairs); the band join
+    * BROADCASTS those ≤100 pairs against the corpus' map-side band
+    * keys, so the metric adds two broadcast joins and a 1-row aggregate
+    * to work the dedup queries already do. */
+  def qLshRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val top = qNgramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val bands = bandKeys(docs)
+    val hit = broadcast(top)
+      .join(bands.select(col("doc_id").as("doc_a"),
+        col("band"), col("band_key")), Seq("doc_a"))
+      .join(bands.select(col("doc_id").as("doc_b"),
+        col("band"), col("band_key")),
+        Seq("doc_b", "band", "band_key"), "left_semi")
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .withColumn("hit", lit(1L))
+    top.join(hit, Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("pairs"),
+        coalesce(sum(col("hit")), lit(0L)).as("lsh_hits"))
+      .select(col("pairs"), col("lsh_hits"),
+        expr("lsh_hits * 10000 DIV pairs").as("recall_bp"))
+  }
+
+  /** Both ground truth and the banding replayed, then the same integer
+    * recall arithmetic — an LSH implementation drift (seed, band split,
+    * shingle hash) moves lsh_hits and hash-diverges. */
+  // lazy: qNgramJaccardSql is declared further down the object — an eager
+  // val would interpolate null at object init
+  lazy val qLshRecallSql: String =
+    s"""WITH top AS (
+       |${qNgramJaccardSql}
+       |),
+       |bands AS (
+       |${qDedupMinhashSql}
+       |),
+       |hit AS (
+       |  SELECT DISTINCT t.doc_a, t.doc_b FROM top t
+       |  JOIN bands x ON x.doc_id = t.doc_a
+       |  JOIN bands y ON y.doc_id = t.doc_b
+       |   AND y.band = x.band AND y.band_key = x.band_key)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS pairs,
+       |  CAST(COUNT(h.doc_a) AS BIGINT) AS lsh_hits,
+       |  CAST(CAST(COUNT(h.doc_a) AS BIGINT) * 10000 // COUNT(*) AS BIGINT)
+       |    AS recall_bp
+       |FROM top t LEFT JOIN hit h
+       |  ON h.doc_a = t.doc_a AND h.doc_b = t.doc_b""".stripMargin
+
   /** All cross pairs (x ∈ a, y ∈ b) as struct(min, max). */
   private def crossPairs(a: Column, b: Column): Column =
     flatten(transform(a, x => transform(b, y =>

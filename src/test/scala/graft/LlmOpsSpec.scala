@@ -374,6 +374,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.length == 2, s"expected the loop to stop emitting, got $got")
   }
 
+  test("lsh recall: hits recomputed independently from the band keys") {
+    import org.apache.spark.sql.functions._
+    val out = engine.LlmOps.qLshRecall(spark, sf).collect()
+    assert(out.length == 1)
+    val (pairs, hits, bp) = (out(0).getLong(0), out(0).getLong(1), out(0).getLong(2))
+    // independent recomputation: ground-truth pairs + per-doc bucket sets
+    val top = engine.LlmOps.qNgramJaccard(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val buckets = engine.LlmOps.bandKeys(engine.Tables.documents(spark, sf))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2))))
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    val expectHits = top.count { case (a, b) =>
+      buckets.getOrElse(a, Set.empty).exists(buckets.getOrElse(b, Set.empty))
+    }
+    assert(pairs == top.length.toLong, s"pairs $pairs != ${top.length}")
+    assert(hits == expectHits.toLong, s"hits $hits != $expectHits")
+    assert(bp == hits * 10000 / pairs, s"recall_bp $bp arithmetic")
+    assert(hits > 0, "fixture should catch at least the identical-text pairs")
+  }
+
   test("bpe encode: learned merges applied to the vocab, counts weighted by word frequency") {
     import spark.implicits._
     val docs = Seq(

@@ -236,6 +236,9 @@ class PlanSpec extends SparkSpec {
       "q_bpe_merges"    -> ((0, 18, 0)),
       // memo-warm: word count + symbol count (2); cold adds training
       "q_bpe_encode"    -> ((2, 20, 0)),
+      // ground-truth top-100 + two broadcast band joins: the ≤100-pair
+      // side must broadcast, never shuffle the corpus band keys
+      "q_lsh_recall"    -> ((4, 16, 2)),
       "q_span_scrub"    -> ((1, 16, 0)))
     try {
       val bad = pins.flatMap { case (name, (lo, hi, bcLo)) =>

@@ -101,6 +101,13 @@ SELECT doc_a, doc_b, jaccard FROM (
   SELECT * FROM same_pairs UNION ALL SELECT * FROM cross_pairs)
 ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100"""
 
+def lsh_recall_rewrite(orig_sql):
+    """q_lsh_recall embeds qNgramJaccardSql as its `top` CTE; splice the
+    dedup-first NGRAM in its place, keeping the bands/hit/recall tail."""
+    head, tail = orig_sql.split("),\nbands AS (", 1)
+    return "WITH top AS (\n" + NGRAM + "\n),\nbands AS (" + tail
+
+
 if __name__ == "__main__":
     # usage: oracle_dedup_first.py <sfDir> [<verifyOutDir>/oracle_sql.json]
     # compares the shipped naive oracle vs the dedup-first rewrite on the
@@ -112,7 +119,8 @@ if __name__ == "__main__":
     con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
     default_json = '/tmp/verify_out/oracle_sql.json'
     orig = json.load(open(sys.argv[2] if len(sys.argv) > 2 else default_json))
-    for name, new_sql in [('q_dedup_groups', DEDUP_GROUPS), ('q_ngram_jaccard', NGRAM)]:
+    for name, new_sql in [('q_dedup_groups', DEDUP_GROUPS), ('q_ngram_jaccard', NGRAM),
+                          ('q_lsh_recall', lsh_recall_rewrite(orig['q_lsh_recall']))]:
         a = con.sql(orig[name]).df()
         b = con.sql(new_sql).df()
         same = a.equals(b)
