@@ -68,6 +68,13 @@ object Bench {
       // their declared composed cost)
       if (name == "q_span_dedup") graft.engine.LlmOps.evictSpanMemo(sfDir)
       if (name == "q_bpe_merges") graft.engine.LlmOps.evictBpeMemo(sfDir)
+      // IVF quantizer memo owners: q_sim_ivf_quant owns the full-corpus
+      // training scope, q_ivf_absorb the frozen standing-corpus one;
+      // gc/serve/recall consume the warm quantizer by design
+      if (name == "q_sim_ivf_quant")
+        graft.engine.Quantize.evictIvfMemo(sfDir, corpusTrain = false)
+      if (name == "q_ivf_absorb")
+        graft.engine.Quantize.evictIvfMemo(sfDir, corpusTrain = true)
       val t0 = System.nanoTime()
       // Materialize through the query's OWN physical plan (toRdd), not
       // df.count(): count() stacks an Aggregate on top and ColumnPruning

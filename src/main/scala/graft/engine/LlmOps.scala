@@ -224,6 +224,12 @@ object LlmOps {
 
   private val BpeRounds = 4
   private[graft] val BpeSep = "\u0001"
+  /** Symbol-boundary delimiter of the merge encoding: TWO separators per
+    * boundary, so the merge pattern `\u0001a\u0001\u0001b\u0001` anchors both
+    * symbols on a delimiter while consuming only one of each boundary's
+    * pair -- the immediately following adjacent pair keeps its own left
+    * anchor (see qBpeMerges' scaladoc). */
+  private[graft] val BpeSep2 = BpeSep + BpeSep
 
   /** q_bpe_merges: the first `BpeRounds` byte-pair-encoding merges over
     * the corpus — the inner loop of tokenizer TRAINING, the LLM-pipeline
@@ -234,11 +240,18 @@ object LlmOps {
     * lexicographic on the pair) is applied LEFT-TO-RIGHT NON-OVERLAPPING
     * to every word and the loop repeats on the merged symbols.
     *
-    * Merge application encodes a word's symbols as a U+0001-joined
-    * string and applies `replace(cur, "a␁b", "ab")`: replace scans
-    * forward past each replacement in BOTH Spark and DuckDB, which IS
-    * the left-to-right non-overlap rule ("aaa" under (a,a) → [aa, a]),
-    * so engine and oracle merge identically with no list fold anywhere.
+    * Merge application encodes a word's symbols DOUBLE-separated and
+    * WRAPPED — `␁␁sym₁␁␁sym₂␁␁…␁␁` — and applies
+    * `replace(cur, "␁a␁␁b␁", "␁ab␁")`: the pattern anchors BOTH symbols
+    * on a delimiter (so a match can never start or end inside a longer
+    * symbol — "b␁␁es␁␁t" under (s,t) does NOT bleed into a bogus "est",
+    * the round-9 advisor finding) but consumes only ONE of each
+    * boundary's two delimiters, so an immediately following pair keeps
+    * its own left anchor. replace scans forward past each replacement
+    * in BOTH Spark and DuckDB, which with the surviving anchors IS the
+    * left-to-right non-overlap rule ("aaa" under (a,a) → [aa, a];
+    * "abab" under (a,b) → [ab, ab]) — engine and oracle merge
+    * identically with no list fold anywhere.
     *
     * Scale: ONE corpus-linear shuffle builds the word-frequency table
     * (the dedup-first shape — BPE trainers operate on vocab × count,
@@ -278,6 +291,17 @@ object LlmOps {
     bpeMemo.computeIfAbsent(sfDir, _ => {
       val (merges, cur) = bpeTrain(Tables.documents(spark, sfDir))
       cur.unpersist(blocking = false)
+      // Runtime precondition guard (the computeSpanTop20 discipline): the
+      // declared corpus must support all BpeRounds merges. On a corpus so
+      // tiny that training exhausts early, the oracle's post-exhaustion
+      // replace CTEs go NULL and return zero rows while the engine would
+      // report a partially-merged encoding — fail loudly here instead of
+      // surfacing as a confusing hash divergence downstream.
+      if (merges.length < BpeRounds)
+        throw new IllegalStateException(
+          s"q_bpe: corpus at $sfDir exhausted after ${merges.length} of " +
+          s"$BpeRounds merges — declared-query precondition violated " +
+          "(the oracle's unrolled rounds assume a full merge list)")
       merges
     })
 
@@ -297,10 +321,15 @@ object LlmOps {
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
     // split-at-every-boundary also matches the END position, and Spark's
     // split (limit -1) KEEPS that trailing empty — an empty symbol would
-    // fabricate (last_char, "") pairs, so drop empties explicitly
+    // fabricate (last_char, "") pairs, so drop empties explicitly.
+    // Encoding: double-separated and WRAPPED (␁␁a␁␁b␁␁…) so the merge
+    // replace can anchor every symbol on a delimiter it does not consume
+    // — see qBpeMerges' scaladoc for why single separators bleed across
+    // symbol boundaries.
     var cur = vocab.select(
-      concat_ws(BpeSep,
-        filter(split(col("w"), "(?!^)"), s => length(s) > 0)).as("cur"),
+      concat(lit(BpeSep2), concat_ws(BpeSep2,
+        filter(split(col("w"), "(?!^)"), s => length(s) > 0)),
+        lit(BpeSep2)).as("cur"),
       col("cnt")).persist()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     try {
@@ -308,7 +337,9 @@ object LlmOps {
       var exhausted = false
       while (k <= BpeRounds && !exhausted) {
         val best = cur
-          .select(split(col("cur"), BpeSep).as("s"), col("cnt"))
+          // wrapped encoding: split yields leading/trailing empties — drop
+          .select(filter(split(col("cur"), BpeSep2),
+            s => length(s) > 0).as("s"), col("cnt"))
           .filter(size(col("s")) >= 2)
           .select(col("cnt"), explode(transform(
             sequence(lit(0), size(col("s")) - 2),
@@ -326,7 +357,8 @@ object LlmOps {
               (row.getString(0), row.getString(1), row.getLong(2))
             merges += ((k, a, b, c))
             val next = cur.withColumn("cur",
-              replace(col("cur"), lit(a + BpeSep + b), lit(a + b))).persist()
+              replace(col("cur"), lit(BpeSep + a + BpeSep2 + b + BpeSep),
+                lit(BpeSep + a + b + BpeSep))).persist()
             cur.unpersist(blocking = false)
             cur = next
         }
@@ -370,15 +402,19 @@ object LlmOps {
     val vocab = docs.select(explode(tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
     val cur0 = vocab.select(
-      concat_ws(BpeSep,
-        filter(split(col("w"), "(?!^)"), s => length(s) > 0)).as("cur"),
+      concat(lit(BpeSep2), concat_ws(BpeSep2,
+        filter(split(col("w"), "(?!^)"), s => length(s) > 0)),
+        lit(BpeSep2)).as("cur"),
       col("cnt"))
     val encoded = merges.foldLeft(cur0) { case (acc, (_, a, b, _)) =>
       acc.withColumn("cur",
-        replace(col("cur"), lit(a + BpeSep + b), lit(a + b)))
+        replace(col("cur"), lit(BpeSep + a + BpeSep2 + b + BpeSep),
+          lit(BpeSep + a + b + BpeSep)))
     }
     encoded
-      .select(explode(split(col("cur"), BpeSep)).as("sym"), col("cnt"))
+      // wrapped encoding: split yields leading/trailing empties — drop
+      .select(explode(filter(split(col("cur"), BpeSep2),
+        s => length(s) > 0)).as("sym"), col("cnt"))
       .groupBy(col("sym")).agg(sum(col("cnt")).as("sym_count"))
       .orderBy(col("sym_count").desc, col("sym"))
       .limit(20)
@@ -393,13 +429,15 @@ object LlmOps {
          |  SELECT pr.l AS l, pr.r AS r, CAST(SUM(cnt) AS BIGINT) AS c FROM (
          |    SELECT unnest([{'l': s[i], 'r': s[i+1]}
          |                   for i in range(1, len(s))]) AS pr, cnt
-         |    FROM (SELECT string_split(cur, chr(1)) AS s, cnt FROM $prev))
+         |    FROM (SELECT list_filter(string_split(cur, chr(1)||chr(1)),
+         |                             x -> x <> '') AS s, cnt FROM $prev))
          |  GROUP BY pr.l, pr.r),
          |b$n AS (SELECT l, r, c FROM p$n ORDER BY c DESC, l, r LIMIT 1)""".stripMargin
     def apply(prev: String, n: Int): String =
       s"""w$n AS (
-         |  SELECT replace(cur, (SELECT l || chr(1) || r FROM b$n),
-         |                      (SELECT l || r FROM b$n)) AS cur, cnt
+         |  SELECT replace(cur,
+         |           (SELECT chr(1) || l || chr(1)||chr(1) || r || chr(1) FROM b$n),
+         |           (SELECT chr(1) || l || r || chr(1) FROM b$n)) AS cur, cnt
          |  FROM $prev)""".stripMargin
     val rounds = (1 to BpeRounds).map { n =>
       round(s"w${n - 1}", n) +
@@ -408,7 +446,8 @@ object LlmOps {
     val sel =
       if (applyLast)
         s"""SELECT sym, CAST(SUM(cnt) AS BIGINT) AS sym_count FROM (
-           |  SELECT unnest(string_split(cur, chr(1))) AS sym, cnt
+           |  SELECT unnest(list_filter(string_split(cur, chr(1)||chr(1)),
+           |                            x -> x <> '')) AS sym, cnt
            |  FROM w$BpeRounds)
            |GROUP BY sym ORDER BY sym_count DESC, sym LIMIT 20""".stripMargin
       else
@@ -421,7 +460,10 @@ object LlmOps {
        |  FROM documents),
        |vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY w),
        |w0 AS (
-       |  SELECT array_to_string([w[i] for i in range(1, len(w) + 1)], chr(1)) AS cur,
+       |  SELECT chr(1)||chr(1)
+       |           || array_to_string([w[i] for i in range(1, len(w) + 1)],
+       |                              chr(1)||chr(1))
+       |           || chr(1)||chr(1) AS cur,
        |         cnt
        |  FROM vocab),
        |$rounds
@@ -1695,8 +1737,16 @@ object LlmOps {
     top.join(hit, Seq("doc_a", "doc_b"), "left")
       .agg(count(lit(1)).as("pairs"),
         coalesce(sum(col("hit")), lit(0L)).as("lsh_hits"))
+      // Precondition guard (the span-dedup exactness discipline): on a
+      // degenerate corpus with ZERO ground-truth pairs the engine's DIV
+      // would emit NULL recall while the oracle's integer `//` raises —
+      // an asymmetric failure. Fail loudly and symmetrically instead.
       .select(col("pairs"), col("lsh_hits"),
-        expr("lsh_hits * 10000 DIV pairs").as("recall_bp"))
+        when(col("pairs") === 0, raise_error(lit(
+          "q_lsh_recall: zero ground-truth pairs — recall undefined " +
+          "(degenerate corpus violates the declared precondition)")))
+          .otherwise(expr("lsh_hits * 10000 DIV pairs"))
+          .cast("long").as("recall_bp"))
   }
 
   /** Both ground truth and the banding replayed, then the same integer

@@ -141,6 +141,27 @@ object Quantize {
   private val ServeBuckets = 8
   private val ivfServeRuns = new java.util.concurrent.atomic.AtomicInteger
 
+  /** Session-lifetime memo of the trained coarse quantizer per (corpus
+    * dir, training scope) — the span/BPE memo discipline applied to
+    * `ivfQuant`: the six IVF queries share at most TWO distinct
+    * trainings (full-corpus for q_sim_ivf_quant/q_ann_recall;
+    * standing-corpus for absorb/gc/serve), yet each sweep used to re-run
+    * quantization + the Lloyd rounds five times. The cached value is
+    * ≤ NCells driver-side (cid, code-vector) tuples — never
+    * corpus-sized. Keyed by (sfDir, corpusTrain); testdata dirs are
+    * immutable within a session. */
+  private val ivfCentMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Boolean), Seq[(Long, Seq[Int])]]
+
+  /** Bench-honesty hook (mirrors evictBpeMemo): the scope's OWNER —
+    * q_sim_ivf_quant for the full-corpus quantizer, q_ivf_absorb for the
+    * frozen standing-corpus one — pays real training under bench
+    * eviction; gc/serve/recall read the memo, their declared cost being
+    * what they do ON TOP of an already-trained quantizer. */
+  private[graft] def evictIvfMemo(sfDir: String, corpusTrain: Boolean): Unit = {
+    ivfCentMemo.remove((sfDir, corpusTrain)); ()
+  }
+
   /** Persist postings bucketed by cell id and return the bucket-pruned
     * scan for the probed cells (literal IN on the bucket column →
     * FileSourceScan prunes unprobed buckets at plan time). Exposed for
@@ -156,7 +177,29 @@ object Quantize {
 
   private def ivfQuant(spark: SparkSession, sfDir: String,
       corpusTrain: Boolean, gc: Boolean = false,
-      serve: Boolean = false): DataFrame = {
+      serve: Boolean = false): DataFrame =
+    if (serve) {
+      // Per-plan conf scope (round-9 advisor finding): the serve read
+      // needs autoBucketedScan pinned OFF (DisableUnnecessaryBucketedScan
+      // would strip the bucketed scan — and BUCKET PRUNING with it —
+      // because the broadcast-tiny probe side never "consumes" the
+      // bucketing). Mutating the caller's session conf would leak the
+      // override to concurrent queries, so the whole serve pipeline runs
+      // on its OWN session carrying the pin (newSession + runtime-conf
+      // copy — cloneSession is private in Spark 4; static confs throw on
+      // set and are already shared via the context). Iterate.cut
+      // materializes inside, so every scan executes under this session's
+      // conf and the caller's session is never touched.
+      val s = spark.newSession()
+      spark.conf.getAll.foreach { case (k, v) =>
+        try s.conf.set(k, v) catch { case _: Throwable => () }
+      }
+      s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      ivfQuantImpl(s, sfDir, corpusTrain, gc, serve)
+    } else ivfQuantImpl(spark, sfDir, corpusTrain, gc, serve)
+
+  private def ivfQuantImpl(spark: SparkSession, sfDir: String,
+      corpusTrain: Boolean, gc: Boolean, serve: Boolean): DataFrame = {
     val q8 = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), VectorExprs.quantizeU8(col("embedding")).getField("q").as("qv"))
       .persist()
@@ -182,16 +225,24 @@ object Quantize {
           .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv_i")))),
             x => x.getField("cv_i")).as("cv"))
 
-      var cents =
-        if (corpusTrain)
-          // init from the train generation only — the NCells smallest
-          // corpus ids (a k-bounded TakeOrdered, deterministic)
-          train.orderBy(col("vec_id")).limit(NCells)
+      // trained centroids from the memo when warm; the cold path runs the
+      // init + Lloyd rounds and collects the ≤ NCells result rows
+      val centRows = ivfCentMemo.computeIfAbsent((sfDir, corpusTrain), _ => {
+        var c =
+          if (corpusTrain)
+            // init from the train generation only — the NCells smallest
+            // corpus ids (a k-bounded TakeOrdered, deterministic)
+            train.orderBy(col("vec_id")).limit(NCells)
+              .select(col("vec_id").as("cid"), col("qv").as("cv"))
+          else q8.filter(col("vec_id") < NCells)
             .select(col("vec_id").as("cid"), col("qv").as("cv"))
-        else q8.filter(col("vec_id") < NCells)
-          .select(col("vec_id").as("cid"), col("qv").as("cv"))
-      for (_ <- 1 to Rounds) cents = update(assign(cents, train))
-      cents = cents.persist()
+        for (_ <- 1 to Rounds) c = update(assign(c, train))
+        // k-bounded collect: ≤ NCells rows of (cid, dims ints)
+        c.collect().map(r =>
+          (r.getLong(0), r.getSeq[Int](1))).toSeq.sortBy(_._1)
+      })
+      import spark.implicits._
+      val cents = centRows.toDF("cid", "cv")
 
       // postings per generation: gen 0 = the train corpus; absorb = the
       // frozen-quantizer assignment of the batch (empty when !corpusTrain)
@@ -218,8 +269,6 @@ object Quantize {
       // (k-bounded: ≤ |queries| × NProbe) prune the scan to their buckets
       var serveName: String = null
       var serveDir: String = null
-      var servePrevConf: Option[String] = None
-      val autoBucketedScan = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
       val postingJoin =
         if (serve) {
           val n = ivfServeRuns.incrementAndGet()
@@ -228,13 +277,11 @@ object Quantize {
           serveName = s"graft_ivf_serve_$n"
           val cids = probes.select(col("cid")).distinct()
             .collect().map(_.getLong(0)).sorted.toSeq
-          // the probe side is broadcast-tiny, so no operator "consumes"
-          // the table's bucketing and DisableUnnecessaryBucketedScan
-          // would strip the bucketed scan — taking BUCKET PRUNING (the
-          // point of the layout) with it. Pin the scan on for the serve
-          // read; restored in the finally below.
-          servePrevConf = spark.conf.getOption(autoBucketedScan)
-          spark.conf.set(autoBucketedScan, "false")
+          // `spark` here is the caller's clone with autoBucketedScan
+          // pinned off (see ivfQuant): the probe side is broadcast-tiny,
+          // so no operator "consumes" the table's bucketing and
+          // DisableUnnecessaryBucketedScan would strip the bucketed scan
+          // — taking BUCKET PRUNING (the point of the layout) with it.
           servePruned(spark, posting, cids, serveDir, serveName)
         } else posting
       try {
@@ -247,14 +294,8 @@ object Quantize {
           .select(col("qid"), col("vec_id").as("neighbor_id"), col("d").as("sqdist"),
             col("rank"))
           .orderBy(col("qid"), col("rank"))
-        val cut = Iterate.cut(out)
-        cents.unpersist(blocking = false)
-        cut
+        Iterate.cut(out)
       } finally if (serveName != null) {
-        servePrevConf match {
-          case Some(v) => spark.conf.set(autoBucketedScan, v)
-          case None    => spark.conf.unset(autoBucketedScan)
-        }
         spark.sql(s"DROP TABLE IF EXISTS $serveName")
         Streaming.deleteDirTree(serveDir)
       }

@@ -374,6 +374,44 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.length == 2, s"expected the loop to stop emitting, got $got")
   }
 
+  test("bpe merges: no cross-symbol-boundary bleed (the es/st/best fixture)") {
+    import spark.implicits._
+    // Round 1 merges (e,s); "best" becomes [b, es, t]. Round 2 merges
+    // (s,t): an unanchored replace of "s␁t" would match the SUFFIX of the
+    // symbol "es" followed by "t" and fabricate the bogus symbol "est"
+    // (the round-9 advisor finding); the anchored double-separator
+    // encoding must leave [b, es, t] untouched, so rounds 3-4 merge
+    // (b,es) then (bes,t).
+    val docs = Seq((1L,
+      Seq.fill(10)("es").mkString(" ") + " " +
+      Seq.fill(8)("st").mkString(" ") + " best")).toDF("doc_id", "text")
+    val got = engine.LlmOps.bpeMerges(docs).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // r1: (e,s) = 10 + 1 (best) = 11 beats (s,t) = 8 + 1 = 9
+    // r2: (s,t) = 8 (st only — best's s is inside the merged "es")
+    // r3: best = [b, es, t] -> (b,es) 1 ties (es,t) 1, lexicographic
+    // r4: best = [bes, t] -> (bes,t) 1
+    assert(got == Seq((1, "e", "s", 11L), (2, "s", "t", 8L),
+      (3, "b", "es", 1L), (4, "bes", "t", 1L)), s"got $got")
+    // encoding under the learned merges: es x10 (+1 word best -> [best])
+    val enc = engine.LlmOps.bpeEncode(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(enc == Seq(("es", 10L), ("st", 8L), ("best", 1L)), s"enc $enc")
+  }
+
+  test("bpe merges: adjacent same-pair occurrences both merge ('abab' anchor survival)") {
+    import spark.implicits._
+    // With leading+trailing single separators consumed whole, the second
+    // (a,b) in "abab" would lose its left anchor and stay unmerged; the
+    // double-separator encoding must realize [ab, ab].
+    val docs = Seq((1L, ("abab " * 5).trim + " c")).toDF("doc_id", "text")
+    val got = engine.LlmOps.bpeMerges(docs).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // r1: pairs of "abab": (a,b) 2x5=10, (b,a) 5 -> (a,b) wins; abab -> [ab, ab]
+    // r2: (ab,ab) = 5; abab -> [abab] — nothing left, loop stops
+    assert(got == Seq((1, "a", "b", 10L), (2, "ab", "ab", 5L)), s"got $got")
+  }
+
   test("lsh recall: hits recomputed independently from the band keys") {
     import org.apache.spark.sql.functions._
     val out = engine.LlmOps.qLshRecall(spark, sf).collect()

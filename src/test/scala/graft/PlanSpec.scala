@@ -205,7 +205,7 @@ class PlanSpec extends SparkSpec {
       "q_dedup_groups"  -> ((8, 30, 0)), // posting lists + CC rounds
       "q_ngram_jaccard" -> ((5, 18, 0)),
       "q_heavy_hitters" -> ((2, 8, 0)),  // MG summary + exact recount
-      "q_sim_ivf_quant" -> ((8, 30, 1)), // k-means sweeps + centroid broadcasts
+      "q_sim_ivf_quant" -> ((3, 30, 1)), // memo-warm assign..cold k-means sweeps
       "q_cdc_pipeline"  -> ((1, 6, 0)),  // drain + compaction
       "q_paged_stream"  -> ((1, 6, 0)),
       // round-9: absorb writes two bucketed tables (one exchange each to
@@ -224,13 +224,16 @@ class PlanSpec extends SparkSpec {
       // appends/anti-joins dominate; ivf-absorb is the lloyd sweeps +
       // the two-generation assign
       "q_stream_absorb" -> ((24, 56, 0)),
-      "q_ivf_absorb"    -> ((8, 30, 1)),
+      // IVF-family bounds span quantizer-memo-WARM (assignment + probe
+      // only: ~4-6 shuffles) and memo-COLD (plus the Lloyd sweeps) —
+      // whichever state the suite order leaves the memo in
+      "q_ivf_absorb"    -> ((3, 30, 1)),
       // rtBcast ≥ 2: centroid broadcasts + the takedown anti-join must
       // both stay broadcast — the forget side never shuffles postings
-      "q_ivf_gc"        -> ((8, 30, 2)),
+      "q_ivf_gc"        -> ((3, 30, 2)),
       // the bucketed-table write adds its layout exchange; probes stay
       // broadcast — the serving table itself must never reshuffle
-      "q_ivf_serve"     -> ((8, 32, 1)),
+      "q_ivf_serve"     -> ((3, 32, 1)),
       // bounds span memo-warm (toDF of the cached merges: 0 shuffles) and
       // memo-cold (vocab groupBy + pair groupBy + argmax × 4 rounds)
       "q_bpe_merges"    -> ((0, 18, 0)),
