@@ -424,6 +424,24 @@ object LlmOps {
     * argmax CTE + replace-application CTE. `string_split`/`replace`
     * share the engine's separator encoding and forward-scan semantics. */
   private def bpeSql(applyLast: Boolean): String = {
+    val sel =
+      if (applyLast)
+        s"""SELECT sym, CAST(SUM(cnt) AS BIGINT) AS sym_count FROM (
+           |  SELECT unnest(list_filter(string_split(cur, chr(1)||chr(1)),
+           |                            x -> x <> '')) AS sym, cnt
+           |  FROM w$BpeRounds)
+           |GROUP BY sym ORDER BY sym_count DESC, sym LIMIT 20""".stripMargin
+      else
+        "SELECT * FROM (\n" + (1 to BpeRounds).map { n =>
+          s"SELECT $n AS rank, l AS sym_l, r AS sym_r, c AS pair_count FROM b$n"
+        }.mkString("\nUNION ALL ") + ") ORDER BY rank"
+    s"""WITH ${bpeTrainCtes(applyLast)}
+       |$sel""".stripMargin
+  }
+
+  /** The training replay's CTE chain (vocab → w0 → per-round pair-count/
+    * argmax [+ application]) — shared by the three BPE oracles. */
+  private def bpeTrainCtes(applyLast: Boolean): String = {
     def round(prev: String, n: Int): String =
       s"""p$n AS (
          |  SELECT pr.l AS l, pr.r AS r, CAST(SUM(cnt) AS BIGINT) AS c FROM (
@@ -443,37 +461,93 @@ object LlmOps {
       round(s"w${n - 1}", n) +
         (if (n < BpeRounds || applyLast) ",\n" + apply(s"w${n - 1}", n) else "")
     }.mkString(",\n")
-    val sel =
-      if (applyLast)
-        s"""SELECT sym, CAST(SUM(cnt) AS BIGINT) AS sym_count FROM (
-           |  SELECT unnest(list_filter(string_split(cur, chr(1)||chr(1)),
-           |                            x -> x <> '')) AS sym, cnt
-           |  FROM w$BpeRounds)
-           |GROUP BY sym ORDER BY sym_count DESC, sym LIMIT 20""".stripMargin
-      else
-        "SELECT * FROM (\n" + (1 to BpeRounds).map { n =>
-          s"SELECT $n AS rank, l AS sym_l, r AS sym_r, c AS pair_count FROM b$n"
-        }.mkString("\nUNION ALL ") + ") ORDER BY rank"
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT unnest(list_filter(string_split(lower(text), ' '),
        |                            s -> s <> '')) AS w
        |  FROM documents),
        |vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY w),
        |w0 AS (
-       |  SELECT chr(1)||chr(1)
-       |           || array_to_string([w[i] for i in range(1, len(w) + 1)],
-       |                              chr(1)||chr(1))
-       |           || chr(1)||chr(1) AS cur,
-       |         cnt
+       |  SELECT chr(1)||chr(1) ||
+       |    array_to_string([w[i] for i in range(1, len(w) + 1)],
+       |                    chr(1)||chr(1)) ||
+       |    chr(1)||chr(1) AS cur,
+       |    cnt
        |  FROM vocab),
-       |$rounds
-       |$sel""".stripMargin
+       |$rounds""".stripMargin
   }
 
   val qBpeMergesSql: String = bpeSql(applyLast = false)
   /** Training replayed end to end, then the encoded vocabulary's
     * weighted symbol counts — top-20 by (count DESC, symbol ASC). */
   val qBpeEncodeSql: String = bpeSql(applyLast = true)
+
+  /** q_bpe_doc_tokens: tokens-per-document under the LEARNED vocab — the
+    * packing/cost-model input q_pack_sequences approximates with
+    * whitespace tokens (a trainer budgets context windows in TOKENIZER
+    * tokens, and whitespace counts misprice long words by 2-4×). Emits
+    * (doc_id, ws_tokens, bpe_tokens): the whitespace count alongside the
+    * symbol count after applying the corpus' BpeRounds merges to every
+    * token.
+    *
+    * Scale: memo-warm this is a ZERO-shuffle narrow pass — the learned
+    * merge list is `BpeRounds` driver-side tuples folded into a codegen'd
+    * per-token replace chain inside one `aggregate` lambda; no explode,
+    * no join, no vocab shuffle. The output sort is the only exchange.
+    * (The dedup-first word-table variant would trade a corpus-wide join
+    * shuffle for skipping ~4 string replaces per occurrence — the wrong
+    * trade at 100 TB, where narrow codegen'd work is nearly free and
+    * shuffles are the budget.) */
+  def qBpeDocTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    val merges = trainedMerges(spark, sfDir)
+    def enc(t: Column): Column = merges.foldLeft(
+      concat(lit(BpeSep2), concat_ws(BpeSep2,
+        filter(split(t, "(?!^)"), s => length(s) > 0)), lit(BpeSep2))) {
+      case (acc, (_, a, b, _)) =>
+        replace(acc, lit(BpeSep + a + BpeSep2 + b + BpeSep),
+          lit(BpeSep + a + b + BpeSep))
+    }
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("ws_tokens"),
+        aggregate(col("tk"), lit(0L), (acc, t) =>
+          acc + size(filter(split(enc(t), BpeSep2),
+            s => length(s) > 0)).cast("long")).as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Training replayed (the shared CTE chain), then the merge chain
+    * applied per document token — symbol counts summed per doc. The
+    * replace nest applies merges in rank order, exactly the engine's
+    * foldLeft. */
+  val qBpeDocTokensSql: String = {
+    val wrap = "chr(1)||chr(1) || array_to_string(" +
+      "[t[i] for i in range(1, len(t) + 1)], chr(1)||chr(1)) || chr(1)||chr(1)"
+    // DuckDB forbids subqueries inside lambdas, so the four 1-row argmax
+    // CTEs cross-join in as plain columns (mrg) the replace chain can
+    // reference from within the per-token comprehension
+    val chain = (1 to BpeRounds).foldLeft(wrap) { (acc, n) =>
+      s"replace($acc,\n" +
+        s"  chr(1) || l$n || chr(1)||chr(1) || r$n || chr(1),\n" +
+        s"  chr(1) || l$n || r$n || chr(1))"
+    }
+    val mrgCols = (1 to BpeRounds)
+      .map(n => s"b$n.l AS l$n, b$n.r AS r$n").mkString(", ")
+    val mrgFrom = (1 to BpeRounds).map(n => s"b$n").mkString(", ")
+    s"""WITH ${bpeTrainCtes(applyLast = false)},
+       |mrg AS (SELECT $mrgCols FROM $mrgFrom),
+       |dt AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(lower(text), ' '), s -> s <> '') AS tk
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(tk) AS BIGINT) AS ws_tokens,
+       |  CAST(COALESCE(list_sum([
+       |    len(list_filter(string_split($chain, chr(1)||chr(1)),
+       |                    x -> x <> ''))
+       |    for t in tk]), 0) AS BIGINT) AS bpe_tokens
+       |FROM dt CROSS JOIN mrg ORDER BY doc_id""".stripMargin
+  }
 
   /** q_bm25_topk: BM25-weighted keyword top-10 per query over the corpus.
     *
@@ -1772,6 +1846,124 @@ object LlmOps {
        |    AS recall_bp
        |FROM top t LEFT JOIN hit h
        |  ON h.doc_a = t.doc_a AND h.doc_b = t.doc_b""".stripMargin
+
+  /** q_lsh_curve: the LSH OPERATING CURVE — q_lsh_recall generalized over
+    * every (bands × rows) regrouping of the same 16 signature mins
+    * (1×16, 2×8, 4×4, 8×2, 16×1). Per configuration: recall against the
+    * shared exact top-100 ground truth AND the candidate-pair count the
+    * banding would generate (Σ over buckets of C(n,2) — a pair counted
+    * once per shared bucket, i.e. the bucket-join's output size). This is
+    * the tuning table a 100 TB dedup operator actually consults: recall
+    * rises with bands, candidate cost rises with them too, and this query
+    * MEASURES the trade instead of assuming it.
+    *
+    * Scale posture: ALL configurations' band keys come out of ONE narrow
+    * codegen'd corpus pass ([[TextExprs.minhashBandsSweep]] — 31 keys per
+    * doc); ground truth is the already-k-bounded top-100, broadcast; the
+    * candidate count is bucket-size ARITHMETIC (groupBy + n·(n−1)/2),
+    * never materialized pairs — linear even on the 100×-duplication dir
+    * where the 16×1 config's buckets hold every replica. */
+  def qLshCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val top = qNgramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val bk = withShingleHashes(docs)
+      .select(col("doc_id"),
+        explode(TextExprs.minhashBandsSweep(col("shl"))).as("e"))
+      .select(col("doc_id"), col("e.bands").as("bands"),
+        col("e.band").as("band"), col("e.key").as("band_key"))
+    // ≤100 pairs × 31 bucket keys: both joins keep the pair side tiny —
+    // broadcast inner + distinct (a semi-join can't build its small LEFT)
+    val hits = broadcast(broadcast(top)
+      .join(bk.select(col("doc_id").as("doc_a"), col("bands"),
+        col("band"), col("band_key")), Seq("doc_a")))
+      .join(bk.select(col("doc_id").as("doc_b"), col("bands"),
+        col("band"), col("band_key")), Seq("doc_b", "bands", "band", "band_key"))
+      .select(col("bands"), col("doc_a"), col("doc_b")).distinct()
+      .groupBy(col("bands")).agg(count(lit(1)).as("lsh_hits"))
+    val cand = bk.groupBy(col("bands"), col("band"), col("band_key"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("bands"))
+      .agg(sum(expr("n * (n - 1) DIV 2")).as("cand_pairs"))
+    import spark.implicits._
+    val cfg = MinHashBandsSweep.SweepBands.toSeq
+      .map(b => (b, MinHashBands.Seeds / b)).toDF("bands", "rows_per_band")
+    cfg.join(hits, Seq("bands"), "left")
+      .join(cand, Seq("bands"), "left")
+      .crossJoin(broadcast(top.agg(count(lit(1)).as("pairs"))))
+      .select(col("bands"), col("rows_per_band"), col("pairs"),
+        coalesce(col("lsh_hits"), lit(0L)).as("lsh_hits"),
+        when(col("pairs") === 0, raise_error(lit(
+          "q_lsh_curve: zero ground-truth pairs — recall undefined " +
+          "(degenerate corpus violates the declared precondition)")))
+          .otherwise(expr("coalesce(lsh_hits, 0L) * 10000 DIV pairs"))
+          .cast("long").as("recall_bp"),
+        coalesce(col("cand_pairs"), lit(0L)).as("cand_pairs"))
+      .orderBy(col("bands"))
+  }
+
+  /** Ground truth, all five bandings, the hit join, and the bucket-size
+    * candidate arithmetic all replayed — a drift in ANY configuration's
+    * fold (row span, band index basis) moves its recall row. */
+  lazy val qLshCurveSql: String = {
+    val shingle = mixSql(mixSql("th[i]", "th[i+1]"), "th[i+2]")
+    val mhs = (0 until MinHashBands.Seeds).map { j =>
+      val k = s"${MinHashBands.Ks(j)}::HUGEINT"
+      val b = s"${java.lang.Long.toUnsignedString(MinHashBands.Bs(j))}::HUGEINT"
+      s"xor(list_min([xor((s * $k % $M + $b) % $M, $HALF) for s in shl]), $HALF)"
+    }.mkString(",\n       ")
+    def foldSql(rows: Int): String = (1 to rows).foldLeft(
+      s"((xor($FB, CAST(b.band AS HUGEINT)) * $P) % $M)") { (acc, r) =>
+      s"((xor($acc, mh[$rows * b.band + $r]) * $P) % $M)"
+    }
+    val bkRels = MinHashBandsSweep.SweepBands.map { bands =>
+      val rows = MinHashBands.Seeds / bands
+      val vals = (0 until bands).map(b => s"($b)").mkString(", ")
+      s"""  SELECT doc_id, $bands AS bands, CAST(b.band AS INT) AS band,
+         |    ${signedSql(foldSql(rows))} AS band_key
+         |  FROM m, (VALUES $vals) AS b(band)""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH top AS (
+       |${qNgramJaccardSql}
+       |),
+       |bk AS (
+       |  $tokenHashCtes,
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(th) >= 3
+       |         THEN [$shingle for i in range(1, len(th) - 1)]
+       |         ELSE [${fnvSql("array_to_string(toks, ' ')")}]
+       |    END AS shl
+       |  FROM h),
+       |m AS (
+       |  SELECT doc_id, [$mhs] AS mh FROM sh)
+       |$bkRels
+       |),
+       |hit AS (
+       |  SELECT DISTINCT x.bands, t.doc_a, t.doc_b FROM top t
+       |  JOIN bk x ON x.doc_id = t.doc_a
+       |  JOIN bk y ON y.doc_id = t.doc_b AND y.bands = x.bands
+       |   AND y.band = x.band AND y.band_key = x.band_key),
+       |hc AS (SELECT bands, CAST(COUNT(*) AS BIGINT) AS lsh_hits
+       |       FROM hit GROUP BY 1),
+       |cand AS (
+       |  SELECT bands, CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS cand_pairs
+       |  FROM (SELECT bands, band, band_key, CAST(COUNT(*) AS BIGINT) AS n
+       |        FROM bk GROUP BY 1, 2, 3)
+       |  GROUP BY 1),
+       |cfg AS (SELECT unnest([1, 2, 4, 8, 16]) AS bands),
+       |p AS (SELECT CAST(COUNT(*) AS BIGINT) AS pairs FROM top)
+       |SELECT c.bands AS bands,
+       |  CAST(${MinHashBands.Seeds} // c.bands AS INT) AS rows_per_band,
+       |  p.pairs AS pairs,
+       |  COALESCE(hc.lsh_hits, 0) AS lsh_hits,
+       |  CAST(COALESCE(hc.lsh_hits, 0) * 10000 // p.pairs AS BIGINT)
+       |    AS recall_bp,
+       |  COALESCE(cand.cand_pairs, 0) AS cand_pairs
+       |FROM cfg c CROSS JOIN p
+       |LEFT JOIN hc ON hc.bands = c.bands
+       |LEFT JOIN cand ON cand.bands = c.bands
+       |ORDER BY c.bands""".stripMargin
+  }
 
   /** All cross pairs (x ∈ a, y ∈ b) as struct(min, max). */
   private def crossPairs(a: Column, b: Column): Column =

@@ -738,6 +738,72 @@ object PiiScrub {
   }
 }
 
+/** The LSH operating-curve sweep: band keys for EVERY (bands × rows)
+  * regrouping of the same 16 signature mins — (1×16, 2×8, 4×4, 8×2,
+  * 16×1) — in one narrow codegen'd pass (31 struct(bands, band, key)
+  * entries per doc). The 4×4 slice is BIT-IDENTICAL to [[MinHashBands]]
+  * (same sigs, same FNV fold), which the spec pins; the other configs
+  * fold the identical formula with a different row span. This is the
+  * tuning table a 100 TB dedup operator consults: more bands = higher
+  * recall but more candidate pairs — measured, not assumed. */
+case class MinHashBandsSweep(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("bands", IntegerType, nullable = false),
+    StructField("band", IntegerType, nullable = false),
+    StructField("key", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_bands_sweep needs array<bigint> (shingle hashes), got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashBandsSweep.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.engine.MinHashBandsSweep.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandsSweep =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_bands_sweep"
+}
+
+object MinHashBandsSweep {
+  /** Swept band counts; rows per band = Seeds / bands. */
+  val SweepBands: Array[Int] = Array(1, 2, 4, 8, 16)
+
+  /** Static entry shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val mh = MinHashBands.sigs(arr)
+    val out = new Array[Any](SweepBands.sum)
+    var o = 0
+    var c = 0
+    while (c < SweepBands.length) {
+      val bands = SweepBands(c)
+      val rows = MinHashBands.Seeds / bands
+      var b = 0
+      while (b < bands) {
+        var k = (RollingFingerprint.FnvBasis ^ b.toLong) * RollingFingerprint.FnvPrime
+        var r = 0
+        while (r < rows) {
+          k = (k ^ mh(b * rows + r)) * RollingFingerprint.FnvPrime
+          r += 1
+        }
+        out(o) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](bands, b, k))
+        o += 1
+        b += 1
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object TextExprs {
   /** Column-level SimHash backed by the codegen'd expression. */
   def simhash64(tokens: Column): Column =
@@ -762,6 +828,10 @@ object TextExprs {
   /** Column-level MinHash LSH band keys backed by the codegen'd expression. */
   def minhashBands(shingleHashes: Column): Column =
     GraftColumnBridge.column(MinHashBands(GraftColumnBridge.expression(shingleHashes)))
+
+  /** Column-level all-config LSH band-key sweep. */
+  def minhashBandsSweep(shingleHashes: Column): Column =
+    GraftColumnBridge.column(MinHashBandsSweep(GraftColumnBridge.expression(shingleHashes)))
 
   /** Column-level single-pass PII scrub (struct(n_emails, n_phones, n_ips,
     * redacted)). */

@@ -433,6 +433,37 @@ class LlmOpsSpec extends SparkSpec {
     assert(hits > 0, "fixture should catch at least the identical-text pairs")
   }
 
+  test("minhash bands sweep: 4x4 slice bit-identical to MinHashBands, structure complete") {
+    val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Long](12345L, -987654321L, 42L, 7L, Long.MinValue, Long.MaxValue))
+    val sweep = engine.MinHashBandsSweep.compute(arr)
+    val base = engine.MinHashBands.compute(arr)
+    assert(sweep.numElements() == 31) // 1+2+4+8+16
+    val rows = (0 until 31).map(i => sweep.getStruct(i, 3))
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    // every config emits band ids 0..bands-1 in order
+    Seq(1, 2, 4, 8, 16).foreach { b =>
+      assert(rows.filter(_._1 == b).map(_._2) == (0 until b), s"bands=$b ids") }
+    // the 4x4 regrouping IS the production banding, bit for bit
+    assert(rows.filter(_._1 == 4).map(_._3) ==
+      (0 until 4).map(base.getLong), "4x4 slice != MinHashBands")
+  }
+
+  test("lsh curve: 4-band row reproduces q_lsh_recall; candidates recomputed from buckets") {
+    val curve = engine.LlmOps.qLshCurve(spark, sf).collect()
+    assert(curve.length == 5)
+    val recall = engine.LlmOps.qLshRecall(spark, sf).collect().head
+    val r4 = curve.find(_.getInt(0) == 4).get
+    assert(r4.getLong(2) == recall.getLong(0), "pairs mismatch vs q_lsh_recall")
+    assert(r4.getLong(3) == recall.getLong(1), "hits mismatch vs q_lsh_recall")
+    // candidate count for the production banding, recomputed from the
+    // declared q_dedup_minhash bucket sizes
+    val expCand = engine.LlmOps.qDedupMinhash(spark, sf)
+      .groupBy("band", "band_key").count().collect()
+      .map(r => { val n = r.getLong(2); n * (n - 1) / 2 }).sum
+    assert(r4.getLong(5) == expCand, s"cand_pairs ${r4.getLong(5)} != $expCand")
+  }
+
   test("bpe encode: learned merges applied to the vocab, counts weighted by word frequency") {
     import spark.implicits._
     val docs = Seq(
@@ -444,6 +475,39 @@ class LlmOpsSpec extends SparkSpec {
     // merges: l+o, lo+w, low+e, lowe+r -> low x3, lower x2, lowe|s|t x1
     assert(got == Seq(("low", 3L), ("lower", 2L), ("lowe", 1L),
       ("s", 1L), ("t", 1L)), s"got $got")
+  }
+
+  test("bpe doc tokens: counts match an independent list-based left-to-right merge") {
+    import org.apache.spark.sql.functions._
+    // canonical LTR non-overlapping merge on symbol LISTS — independent
+    // of the engine's anchored-replace string encoding
+    def applyMerge(syms: List[String], a: String, b: String): List[String] =
+      syms match {
+        case x :: y :: rest if x == a && y == b => (a + b) :: applyMerge(rest, a, b)
+        case x :: rest => x :: applyMerge(rest, a, b)
+        case Nil => Nil
+      }
+    val merges = engine.LlmOps.qBpeMerges(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val out = engine.LlmOps.qBpeDocTokens(spark, sf)
+      .limit(25).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val texts = engine.Tables.documents(spark, sf)
+      .filter(col("doc_id").isin(out.keys.toSeq: _*))
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(texts.keySet == out.keySet)
+    texts.foreach { case (id, text) =>
+      val words = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      val expWs = words.length.toLong
+      val expBpe = words.map { w =>
+        merges.foldLeft(w.map(_.toString).toList) {
+          case (syms, (a, b)) => applyMerge(syms, a, b)
+        }.length.toLong
+      }.sum
+      assert(out(id) == ((expWs, expBpe)),
+        s"doc $id: got ${out(id)}, expected ($expWs, $expBpe)")
+    }
   }
 
   test("bpe precondition: no corpus token contains the U+0001 symbol separator") {

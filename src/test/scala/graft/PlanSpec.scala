@@ -234,6 +234,11 @@ class PlanSpec extends SparkSpec {
       // the bucketed-table write adds its layout exchange; probes stay
       // broadcast — the serving table itself must never reshuffle
       "q_ivf_serve"     -> ((3, 32, 1)),
+      // round-10 drift pin (VERDICT r9 watch item): the BigWindow prefix
+      // sum is one range exchange + its bounds-sampling pass + the tiny
+      // chunk-offset aggregate, then the cut materialization — an
+      // explosion here means the chunk pin broke and branches re-ran
+      "q_pack_sequences" -> ((2, 8, 1)),
       // bounds span memo-warm (toDF of the cached merges: 0 shuffles) and
       // memo-cold (vocab groupBy + pair groupBy + argmax × 4 rounds)
       "q_bpe_merges"    -> ((0, 18, 0)),

@@ -108,6 +108,13 @@ def lsh_recall_rewrite(orig_sql):
     return "WITH top AS (\n" + NGRAM + "\n),\nbands AS (" + tail
 
 
+def lsh_curve_rewrite(orig_sql):
+    """q_lsh_curve embeds the same ground-truth CTE; same splice, keeping
+    the band-sweep/hit/candidate tail."""
+    head, tail = orig_sql.split("),\nbk AS (", 1)
+    return "WITH top AS (\n" + NGRAM + "\n),\nbk AS (" + tail
+
+
 if __name__ == "__main__":
     # usage: oracle_dedup_first.py <sfDir> [<verifyOutDir>/oracle_sql.json]
     # compares the shipped naive oracle vs the dedup-first rewrite on the
@@ -120,7 +127,8 @@ if __name__ == "__main__":
     default_json = '/tmp/verify_out/oracle_sql.json'
     orig = json.load(open(sys.argv[2] if len(sys.argv) > 2 else default_json))
     for name, new_sql in [('q_dedup_groups', DEDUP_GROUPS), ('q_ngram_jaccard', NGRAM),
-                          ('q_lsh_recall', lsh_recall_rewrite(orig['q_lsh_recall']))]:
+                          ('q_lsh_recall', lsh_recall_rewrite(orig['q_lsh_recall'])),
+                          ('q_lsh_curve', lsh_curve_rewrite(orig['q_lsh_curve']))]:
         a = con.sql(orig[name]).df()
         b = con.sql(new_sql).df()
         same = a.equals(b)
