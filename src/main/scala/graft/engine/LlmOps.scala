@@ -497,57 +497,122 @@ object LlmOps {
     * shuffle for skipping ~4 string replaces per occurrence — the wrong
     * trade at 100 TB, where narrow codegen'd work is nearly free and
     * shuffles are the budget.) */
+  /** Per-token symbol-string under `merges`: wrapped double-separator
+    * encoding with the merge replaces folded in rank order — the
+    * codegen'd chain shared by q_bpe_doc_tokens and q_pack_bpe. */
+  private def bpeEncChain(merges: Seq[(Int, String, String, Long)])(
+      t: Column): Column = merges.foldLeft(
+    concat(lit(BpeSep2), concat_ws(BpeSep2,
+      filter(split(t, "(?!^)"), s => length(s) > 0)), lit(BpeSep2))) {
+    case (acc, (_, a, b, _)) =>
+      replace(acc, lit(BpeSep + a + BpeSep2 + b + BpeSep),
+        lit(BpeSep + a + b + BpeSep))
+  }
+
+  /** Sum of per-token symbol counts over a token-array column. */
+  private def bpeTokenSum(merges: Seq[(Int, String, String, Long)],
+      tk: Column): Column =
+    aggregate(tk, lit(0L), (acc, t) =>
+      acc + size(filter(split(bpeEncChain(merges)(t), BpeSep2),
+        s => length(s) > 0)).cast("long"))
+
   def qBpeDocTokens(spark: SparkSession, sfDir: String): DataFrame = {
     val merges = trainedMerges(spark, sfDir)
-    def enc(t: Column): Column = merges.foldLeft(
-      concat(lit(BpeSep2), concat_ws(BpeSep2,
-        filter(split(t, "(?!^)"), s => length(s) > 0)), lit(BpeSep2))) {
-      case (acc, (_, a, b, _)) =>
-        replace(acc, lit(BpeSep + a + BpeSep2 + b + BpeSep),
-          lit(BpeSep + a + b + BpeSep))
-    }
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .select(col("doc_id"),
         size(col("tk")).cast("long").as("ws_tokens"),
-        aggregate(col("tk"), lit(0L), (acc, t) =>
-          acc + size(filter(split(enc(t), BpeSep2),
-            s => length(s) > 0)).cast("long")).as("bpe_tokens"))
+        bpeTokenSum(merges, col("tk")).as("bpe_tokens"))
       .orderBy(col("doc_id"))
+  }
+
+  /** q_pack_bpe: q_pack_sequences priced in LEARNED-vocab tokens — the
+    * corpus packed into fixed-budget training sequences where each doc's
+    * cost is its BPE symbol count under the trained merges, not its
+    * whitespace count (what a trainer actually budgets a context window
+    * in; whitespace misprices long words 2-4×). Same deterministic md5
+    * shuffle order, same streaming greedy packing, same
+    * [[BigWindow.prefixSummed]] chunked global prefix sum; the only new
+    * cost over q_pack_sequences is the memo-warm codegen'd replace chain
+    * riding the same scan. */
+  def qPackBpe(spark: SparkSession, sfDir: String): DataFrame = {
+    val merges = trainedMerges(spark, sfDir)
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        md5(col("doc_id").cast("string")).as("skey"),
+        bpeTokenSum(merges, tokens(col("text"))).as("n_tokens"))
+    BigWindow.prefixSummed(d, Seq(col("skey"), col("doc_id")), col("n_tokens"))
+      .withColumn("cum_excl", col("_psum") - col("n_tokens"))
+      .select(
+        col("doc_id"), col("skey"), col("n_tokens"),
+        floor(col("cum_excl") / Curation.packBudget).cast("long").as("seq_id"),
+        (col("cum_excl") % Curation.packBudget).as("seq_offset"))
   }
 
   /** Training replayed (the shared CTE chain), then the merge chain
     * applied per document token — symbol counts summed per doc. The
     * replace nest applies merges in rank order, exactly the engine's
     * foldLeft. */
-  val qBpeDocTokensSql: String = {
+  /** DuckDB forbids subqueries inside lambdas, so the four 1-row argmax
+    * CTEs cross-join in as plain columns (mrg) the replace chain can
+    * reference from within the per-token comprehension. */
+  private val bpeMrgCte: String = {
+    val cols = (1 to BpeRounds)
+      .map(n => s"b$n.l AS l$n, b$n.r AS r$n").mkString(", ")
+    val from = (1 to BpeRounds).map(n => s"b$n").mkString(", ")
+    s"mrg AS (SELECT $cols FROM $from)"
+  }
+
+  /** `list_sum` of per-token symbol counts under the mrg merge columns —
+    * the oracle side of [[bpeTokenSum]] (NULL on empty token lists,
+    * callers COALESCE). */
+  private val bpeTokenSumSql: String = {
     val wrap = "chr(1)||chr(1) || array_to_string(" +
       "[t[i] for i in range(1, len(t) + 1)], chr(1)||chr(1)) || chr(1)||chr(1)"
-    // DuckDB forbids subqueries inside lambdas, so the four 1-row argmax
-    // CTEs cross-join in as plain columns (mrg) the replace chain can
-    // reference from within the per-token comprehension
     val chain = (1 to BpeRounds).foldLeft(wrap) { (acc, n) =>
       s"replace($acc,\n" +
         s"  chr(1) || l$n || chr(1)||chr(1) || r$n || chr(1),\n" +
         s"  chr(1) || l$n || r$n || chr(1))"
     }
-    val mrgCols = (1 to BpeRounds)
-      .map(n => s"b$n.l AS l$n, b$n.r AS r$n").mkString(", ")
-    val mrgFrom = (1 to BpeRounds).map(n => s"b$n").mkString(", ")
+    s"""list_sum([
+       |    len(list_filter(string_split($chain, chr(1)||chr(1)),
+       |                    x -> x <> ''))
+       |    for t in tk])""".stripMargin
+  }
+
+  val qBpeDocTokensSql: String =
     s"""WITH ${bpeTrainCtes(applyLast = false)},
-       |mrg AS (SELECT $mrgCols FROM $mrgFrom),
+       |$bpeMrgCte,
        |dt AS (
        |  SELECT doc_id,
        |    list_filter(string_split(lower(text), ' '), s -> s <> '') AS tk
        |  FROM documents)
        |SELECT doc_id,
        |  CAST(len(tk) AS BIGINT) AS ws_tokens,
-       |  CAST(COALESCE(list_sum([
-       |    len(list_filter(string_split($chain, chr(1)||chr(1)),
-       |                    x -> x <> ''))
-       |    for t in tk]), 0) AS BIGINT) AS bpe_tokens
+       |  CAST(COALESCE($bpeTokenSumSql, 0) AS BIGINT) AS bpe_tokens
        |FROM dt CROSS JOIN mrg ORDER BY doc_id""".stripMargin
-  }
+
+  /** Training replayed, per-doc BPE cost computed, then exactly the
+    * q_pack_sequences prefix-sum/packing arithmetic over it. */
+  val qPackBpeSql: String =
+    s"""WITH ${bpeTrainCtes(applyLast = false)},
+       |$bpeMrgCte,
+       |dt AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(lower(text), ' '), s -> s <> '') AS tk
+       |  FROM documents),
+       |d AS (
+       |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS skey,
+       |    CAST(COALESCE($bpeTokenSumSql, 0) AS BIGINT) AS n_tokens
+       |  FROM dt CROSS JOIN mrg),
+       |c AS (
+       |  SELECT *, SUM(n_tokens) OVER (ORDER BY skey, doc_id
+       |    ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_excl
+       |  FROM d)
+       |SELECT doc_id, skey, n_tokens,
+       |  CAST(FLOOR(cum_excl / 2048.0) AS BIGINT) AS seq_id,
+       |  CAST(cum_excl % 2048 AS BIGINT) AS seq_offset
+       |FROM c ORDER BY skey, doc_id""".stripMargin
 
   /** q_bm25_topk: BM25-weighted keyword top-10 per query over the corpus.
     *

@@ -198,51 +198,57 @@ object Quantize {
       ivfQuantImpl(s, sfDir, corpusTrain, gc, serve)
     } else ivfQuantImpl(spark, sfDir, corpusTrain, gc, serve)
 
+  /** Nearest-centroid assignment: argmin over the broadcast cell set,
+    * min_by on the (distance, cid) struct = deterministic tiebreak. */
+  private def assignTo(cents: DataFrame, vecs: DataFrame): DataFrame =
+    vecs.join(broadcast(cents))
+      .select(col("vec_id"), col("cid"), sqd(col("qv"), col("cv")).as("d"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("cid"))
+
+  /** Per-dimension integer mean: posexplode partial-aggregates to
+    * ≤ cells×dims rows map-side; floor division is exact. */
+  private def updateWith(assigned: DataFrame, q8: DataFrame): DataFrame =
+    assigned.join(q8, "vec_id")
+      .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .withColumn("cv_i", expr("CAST(s div n AS INT)"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv_i")))),
+        x => x.getField("cv_i")).as("cv"))
+
+  /** Trained centroids from the memo when warm; the cold path runs the
+    * init + Lloyd rounds over `q8` and collects the ≤ NCells rows. */
+  private def trainedCentroids(sfDir: String, corpusTrain: Boolean,
+      q8: DataFrame): Seq[(Long, Seq[Int])] =
+    ivfCentMemo.computeIfAbsent((sfDir, corpusTrain), _ => {
+      val train = if (corpusTrain) q8.filter(col("vec_id") % 10 < 8) else q8
+      var c =
+        if (corpusTrain)
+          // init from the train generation only — the NCells smallest
+          // corpus ids (a k-bounded TakeOrdered, deterministic)
+          train.orderBy(col("vec_id")).limit(NCells)
+            .select(col("vec_id").as("cid"), col("qv").as("cv"))
+        else q8.filter(col("vec_id") < NCells)
+          .select(col("vec_id").as("cid"), col("qv").as("cv"))
+      for (_ <- 1 to Rounds) c = updateWith(assignTo(c, train), q8)
+      // k-bounded collect: ≤ NCells rows of (cid, dims ints)
+      c.collect().map(r =>
+        (r.getLong(0), r.getSeq[Int](1))).toSeq.sortBy(_._1)
+    })
+
   private def ivfQuantImpl(spark: SparkSession, sfDir: String,
       corpusTrain: Boolean, gc: Boolean, serve: Boolean): DataFrame = {
     val q8 = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), VectorExprs.quantizeU8(col("embedding")).getField("q").as("qv"))
       .persist()
     try {
-      val train = if (corpusTrain) q8.filter(col("vec_id") % 10 < 8) else q8
-      // nearest-centroid assignment: argmin over the broadcast cell set,
-      // min_by on the (distance, cid) struct = deterministic tiebreak
       def assign(cents: DataFrame, vecs: DataFrame): DataFrame =
-        vecs.join(broadcast(cents))
-          .select(col("vec_id"), col("cid"), sqd(col("qv"), col("cv")).as("d"))
-          .groupBy(col("vec_id"))
-          .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("cid"))
-
-      // per-dimension integer mean: posexplode partial-aggregates to
-      // ≤ cells×dims rows map-side; floor division is exact
-      def update(assigned: DataFrame): DataFrame =
-        assigned.join(q8, "vec_id")
-          .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
-          .groupBy(col("cid"), col("pos"))
-          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-          .withColumn("cv_i", expr("CAST(s div n AS INT)"))
-          .groupBy(col("cid"))
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv_i")))),
-            x => x.getField("cv_i")).as("cv"))
-
-      // trained centroids from the memo when warm; the cold path runs the
-      // init + Lloyd rounds and collects the ≤ NCells result rows
-      val centRows = ivfCentMemo.computeIfAbsent((sfDir, corpusTrain), _ => {
-        var c =
-          if (corpusTrain)
-            // init from the train generation only — the NCells smallest
-            // corpus ids (a k-bounded TakeOrdered, deterministic)
-            train.orderBy(col("vec_id")).limit(NCells)
-              .select(col("vec_id").as("cid"), col("qv").as("cv"))
-          else q8.filter(col("vec_id") < NCells)
-            .select(col("vec_id").as("cid"), col("qv").as("cv"))
-        for (_ <- 1 to Rounds) c = update(assign(c, train))
-        // k-bounded collect: ≤ NCells rows of (cid, dims ints)
-        c.collect().map(r =>
-          (r.getLong(0), r.getSeq[Int](1))).toSeq.sortBy(_._1)
-      })
+        assignTo(cents, vecs)
+      val train = if (corpusTrain) q8.filter(col("vec_id") % 10 < 8) else q8
       import spark.implicits._
-      val cents = centRows.toDF("cid", "cv")
+      val cents = trainedCentroids(sfDir, corpusTrain, q8).toDF("cid", "cv")
 
       // postings per generation: gen 0 = the train corpus; absorb = the
       // frozen-quantizer assignment of the batch (empty when !corpusTrain)
@@ -351,6 +357,71 @@ object Quantize {
       .orderBy(col("qid"))
   }
 
+  /** q_ivf_curve: the ANN OPERATING CURVE — q_ann_recall generalized over
+    * nprobe ∈ {1, 2, 4, 8, 16} under the same (memoized) full-corpus
+    * quantizer. Per configuration: total exact-top-3 hits across the
+    * query sample, recall in basis points, and the CANDIDATE-SCAN cost
+    * (rows of probed postings) — the recall/latency trade every IVF
+    * deployment tunes, measured on the engine's own index instead of
+    * assumed. nprobe = NCells is exhaustive search, so its recall row
+    * must read 10000 bp — a built-in sanity anchor the oracle replays.
+    *
+    * Scale posture: ONE assignment pass builds the postings; every
+    * query's cells are ranked once (prn ≤ NCells) and the per-config
+    * candidate sets are the prn ≤ nprobe prefixes — the candidate join
+    * runs once with the config table cross-joined in (row growth
+    * Σ nprobe/NCells ≈ 2×, not 5 separate probes); the exact side is the
+    * same one-scan sampled ground truth as q_ann_recall. */
+  def qIvfCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val q8 = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), VectorExprs.quantizeU8(col("embedding")).getField("q").as("qv"))
+      .persist()
+    try {
+      import spark.implicits._
+      val cents = trainedCentroids(sfDir, corpusTrain = false, q8).toDF("cid", "cv")
+      val posting = assignTo(cents, q8).join(q8, "vec_id")
+      val queries = q8.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("qv").as("qq"))
+      val wProbe = Window.partitionBy(col("qid")).orderBy(col("pd"), col("cid"))
+      val probes = queries.join(broadcast(cents))
+        .select(col("qid"), col("qq"), col("cid"), sqd(col("qq"), col("cv")).as("pd"))
+        .withColumn("prn", row_number().over(wProbe))
+      val cfg = NProbeSweep.toSeq.toDF("nprobe")
+      // candidates once, config membership by prefix rank
+      val cc = probes.join(posting, "cid")
+        .filter(col("vec_id") =!= col("qid"))
+        .join(broadcast(cfg), col("prn") <= col("nprobe"))
+        .select(col("nprobe"), col("qid"), col("vec_id"),
+          sqd(col("qq"), col("qv")).as("d"))
+      val wRank = Window.partitionBy(col("nprobe"), col("qid"))
+        .orderBy(col("d"), col("vec_id"))
+      val ivfTop = cc.withColumn("rn", row_number().over(wRank))
+        .filter(col("rn") <= TopK)
+        .select(col("nprobe"), col("qid"), col("vec_id"))
+      val wEx = Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))
+      val exact = q8.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), sqd(col("qq"), col("qv")).as("d"))
+        .withColumn("rn", row_number().over(wEx)).filter(col("rn") <= TopK)
+        .select(col("qid"), col("vec_id"))
+      val hits = ivfTop.join(exact, Seq("qid", "vec_id"), "left_semi")
+        .groupBy(col("nprobe")).agg(count(lit(1)).as("hits"))
+      val scanned = cc.groupBy(col("nprobe")).agg(count(lit(1)).as("cand_scanned"))
+      val out = cfg.join(hits, Seq("nprobe"), "left")
+        .join(scanned, Seq("nprobe"), "left")
+        .crossJoin(broadcast(queries.agg(count(lit(1)).as("n_queries"))))
+        .select(col("nprobe"), col("n_queries"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          expr(s"coalesce(hits, 0L) * 10000 div (n_queries * $TopK)")
+            .as("recall_bp"),
+          coalesce(col("cand_scanned"), lit(0L)).as("cand_scanned"))
+        .orderBy(col("nprobe"))
+      Iterate.cut(out)
+    } finally q8.unpersist(blocking = false)
+  }
+
+  private[graft] val NProbeSweep: Array[Int] = Array(1, 2, 4, 8, 16)
+
   /** Exact-side replay + the full IVF pipeline as a subquery; `//` floors
     * like `div` on the non-negative counts. (lazy: interpolates
     * qSimIvfQuantSql, declared below — object vals initialize in order.) */
@@ -393,10 +464,14 @@ object Quantize {
     * assignment (`af` — the union postings after the assign-only absorb)
     * still covers every vector; otherwise everything runs over all
     * vectors, the original q_sim_ivf_quant shape. */
-  private def ivfQuantSql(corpusTrain: Boolean, gc: Boolean = false): String = {
-    val dist = (a: String, b: String) =>
-      s"list_sum([CAST(($a[i] - $b[i]) * ($a[i] - $b[i]) AS BIGINT) " +
-        s"for i in range(1, len($a) + 1)])"
+  private val dist = (a: String, b: String) =>
+    s"list_sum([CAST(($a[i] - $b[i]) * ($a[i] - $b[i]) AS BIGINT) " +
+      s"for i in range(1, len($a) + 1)])"
+
+  /** The CTE chain through training, final assignment (`af`) and the
+    * query sample (`qs`) — shared by the four lifecycle oracles and the
+    * nprobe curve. */
+  private def ivfBaseCtes(corpusTrain: Boolean, gc: Boolean): String = {
     val trainRel = if (corpusTrain) "q8t" else "q8"
     def lloyd(prev: String, n: Int): String =
       s"""d$n AS (
@@ -440,7 +515,11 @@ object Quantize {
        |  SELECT vec_id, qv, cid FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
        |    FROM df) WHERE rn = 1${if (gc) " AND vec_id % 30 <> 0" else ""}),
-       |qs AS (SELECT vec_id AS qid, qv AS qq FROM q8 WHERE vec_id < 10),
+       |qs AS (SELECT vec_id AS qid, qv AS qq FROM q8 WHERE vec_id < 10)""".stripMargin
+  }
+
+  private def ivfQuantSql(corpusTrain: Boolean, gc: Boolean = false): String =
+    s"""${ivfBaseCtes(corpusTrain, gc)},
        |pr AS (
        |  SELECT qid, qq, cid FROM (
        |    SELECT q.qid, q.qq, c.cid,
@@ -457,6 +536,50 @@ object Quantize {
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn
        |  FROM cand) WHERE rn <= $TopK
        |ORDER BY qid, rank""".stripMargin
+
+  /** All nprobe prefixes replayed over the same training/assignment CTEs:
+    * probe ranks 1..NCells, candidate membership prn ≤ nprobe, per-config
+    * top-3 vs the exact top-3, hit and scan counts per config. */
+  lazy val qIvfCurveSql: String = {
+    s"""${ivfBaseCtes(corpusTrain = false, gc = false)},
+       |prc AS (
+       |  SELECT q.qid, q.qq, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY q.qid
+       |      ORDER BY ${dist("q.qq", "c.cv")}, c.cid) AS prn
+       |  FROM qs q CROSS JOIN c2 c),
+       |cfg AS (SELECT unnest([${NProbeSweep.mkString(", ")}]) AS nprobe),
+       |cc AS (
+       |  SELECT f.nprobe, p.qid, a.vec_id, ${dist("p.qq", "a.qv")} AS d
+       |  FROM cfg f JOIN prc p ON p.prn <= f.nprobe
+       |  JOIN af a ON a.cid = p.cid
+       |  WHERE a.vec_id <> p.qid),
+       |ivftop AS (
+       |  SELECT nprobe, qid, vec_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY nprobe, qid
+       |      ORDER BY d, vec_id) AS rn FROM cc) WHERE rn <= $TopK),
+       |exd AS (
+       |  SELECT q.qid, c.vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q.qid
+       |      ORDER BY ${dist("q.qq", "c.qv")}, c.vec_id) AS rn
+       |  FROM qs q CROSS JOIN q8 c WHERE c.vec_id <> q.qid),
+       |ex AS (SELECT qid, vec_id FROM exd WHERE rn <= $TopK),
+       |h AS (
+       |  SELECT t.nprobe, CAST(COUNT(*) AS BIGINT) AS hits
+       |  FROM ivftop t JOIN ex e ON e.qid = t.qid AND e.vec_id = t.vec_id
+       |  GROUP BY 1),
+       |sc AS (
+       |  SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS cand_scanned
+       |  FROM cc GROUP BY 1),
+       |nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM qs)
+       |SELECT f.nprobe AS nprobe, nq.n_queries AS n_queries,
+       |  COALESCE(h.hits, 0) AS hits,
+       |  CAST(COALESCE(h.hits, 0) * 10000 // (nq.n_queries * $TopK) AS BIGINT)
+       |    AS recall_bp,
+       |  COALESCE(sc.cand_scanned, 0) AS cand_scanned
+       |FROM cfg f CROSS JOIN nq
+       |LEFT JOIN h ON h.nprobe = f.nprobe
+       |LEFT JOIN sc ON sc.nprobe = f.nprobe
+       |ORDER BY f.nprobe""".stripMargin
   }
 
   val qSimIvfQuantSql: String = ivfQuantSql(corpusTrain = false)

@@ -738,7 +738,38 @@ object Streaming {
     * doc_id % 4 == b slice — an order-dependent answer can never ship
     * silently. The oracle replays file membership and the strict
     * earlier-file visibility rule. */
-  def qStreamAbsorb(spark: SparkSession, sfDir: String): DataFrame = {
+  def qStreamAbsorb(spark: SparkSession, sfDir: String): DataFrame =
+    streamClassifyAbsorbDrain(spark, sfDir, compactEvery = 0, inspectFinal = None)
+
+  /** q_stream_compact: the absorb loop WITH its maintenance schedule —
+    * after every 2nd micro-batch the foreachBatch hook COMPACTS the index
+    * (generation fold + one-file-per-bucket rewrite to a fresh table
+    * pair, old pair dropped) and later batches classify against the
+    * compacted tables. The streaming analog of the reference's in-loop
+    * cron maintenance (ChargeOverSourceTask.java:380-389 — the poll loop
+    * owns its own upkeep): without scheduled compaction a 100 TB ingest
+    * stream accretes one small file per bucket per batch until the
+    * listing, not the data, is the bottleneck.
+    *
+    * Compacted rows fold to `gen = id` (the highest folded generation):
+    * every LATER batch's as-of probe (`gen < id'` with id' > id) sees
+    * exactly the rows it would have seen uncompacted, and a batch
+    * retried across the compaction boundary re-reads an identical as-of
+    * view — so compaction is semantically INVISIBLE mid-stream and the
+    * oracle is EXACTLY q_stream_absorb's (the rewrite-invisibility
+    * contract, third application after q_corpus_compact and
+    * q_ivf_serve). StreamCompactSpec pins the other half of the
+    * contract: ≤ one file per bucket in the final table pair. */
+  def qStreamCompact(spark: SparkSession, sfDir: String): DataFrame =
+    streamClassifyAbsorbDrain(spark, sfDir, compactEvery = 2, inspectFinal = None)
+
+  /** The shared classify-then-absorb drain; `compactEvery` = 0 never
+    * compacts, k > 0 compacts after batches (id+1) % k == 0;
+    * `inspectFinal` (spec hook) runs with the final index table name
+    * after the drain guard, before cleanup. */
+  private[graft] def streamClassifyAbsorbDrain(spark: SparkSession,
+      sfDir: String, compactEvery: Int,
+      inspectFinal: Option[String => Unit]): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val n = streamAbsorbRuns.incrementAndGet()
     val stageDir = java.nio.file.Files.createTempDirectory(s"graft_sabs_stage_$n").toString
@@ -746,6 +777,13 @@ object Streaming {
     val outDir = java.nio.file.Files.createTempDirectory(s"graft_sabs_out_$n").toString
     val idxDir = java.nio.file.Files.createTempDirectory(s"graft_sabs_idx_$n").toString
     val idxName = s"graft_sabs_idx_$n"
+    // the current index table pair: compaction retargets this to the
+    // fresh pair; foreachBatch runs sequentially, so a plain volatile
+    // holder is enough — and every name ever created is dropped in the
+    // finally (a mid-drain failure can leave the pre-compaction pair)
+    val curName = new java.util.concurrent.atomic.AtomicReference[String](idxName)
+    val allNames = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    allNames.add(idxName)
     LlmOps.saveBucketedIndex(spark,
       LlmOps.buildCorpusIndex(docs.filter(col("doc_id") % 10 < 8)),
       idxDir, idxName, gen = -1L)
@@ -775,17 +813,27 @@ object Streaming {
           // 4 recomputes of the batch minhash bands
           val batch = b.persist()
           try {
-            val asOf = LlmOps.loadBucketedIndex(spark, idxName,
+            val name = curName.get()
+            val asOf = LlmOps.loadBucketedIndex(spark, name,
               maxGenExclusive = Some(id))
             LlmOps.probeDelta(asOf, batch).write.mode("overwrite").parquet(s"$outDir/b$id")
-            LlmOps.absorbInto(spark, idxName, batch, gen = id)
+            LlmOps.absorbInto(spark, name, batch, gen = id)
+            if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
+              // fold gens {-1..id} to gen = id: still < every later
+              // batch's as-of cut, so probe views are unchanged
+              val next = s"${idxName}_c$id"
+              allNames.add(next)
+              LlmOps.compactIndex(spark, name, s"$idxDir/c$id", next, gen = id)
+              LlmOps.dropBucketedIndex(spark, name)
+              curName.set(next)
+            }
           } finally { batch.unpersist(); () }
         }
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination(300000)
       if (q.isActive) throw new IllegalStateException(
-        "q_stream_absorb: AvailableNow drain did not terminate in 300 s")
+        "stream absorb drain: AvailableNow drain did not terminate in 300 s")
       // order guard: batch b's output must be exactly the doc_id % 4 == b
       // slice — anything else means the file source broke the declared
       // order and the gen-scoped classification no longer matches the
@@ -794,13 +842,14 @@ object Streaming {
         val off = spark.read.parquet(s"$outDir/b$b")
           .filter(pmod(col("doc_id"), lit(4)) =!= b).count()
         if (off > 0) throw new IllegalStateException(
-          s"q_stream_absorb: batch $b holds $off rows outside its declared file slice")
+          s"stream absorb drain: batch $b holds $off rows outside its declared file slice")
       }
+      inspectFinal.foreach(f => f(curName.get()))
       Iterate.cut(spark.read.option("recursiveFileLookup", "true")
         .parquet(outDir).orderBy(col("doc_id")))
     } finally {
       if (q != null && q.isActive) q.stop()
-      LlmOps.dropBucketedIndex(spark, idxName)
+      allNames.forEach(nm => LlmOps.dropBucketedIndex(spark, nm))
       deleteDirTree(stageDir); deleteDirTree(inDir)
       deleteDirTree(outDir); deleteDirTree(idxDir)
     }

