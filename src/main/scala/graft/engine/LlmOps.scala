@@ -489,14 +489,11 @@ object LlmOps {
     * symbol count after applying the corpus' BpeRounds merges to every
     * token.
     *
-    * Scale: memo-warm this is a ZERO-shuffle narrow pass — the learned
-    * merge list is `BpeRounds` driver-side tuples folded into a codegen'd
-    * per-token replace chain inside one `aggregate` lambda; no explode,
-    * no join, no vocab shuffle. The output sort is the only exchange.
-    * (The dedup-first word-table variant would trade a corpus-wide join
-    * shuffle for skipping ~4 string replaces per occurrence — the wrong
-    * trade at 100 TB, where narrow codegen'd work is nearly free and
-    * shuffles are the budget.) */
+    * Scale: dedup-first (see [[bpeDocCounts]]) — encode once per
+    * DISTINCT word, join occurrences to their word's symbol count, one
+    * groupBy per doc. Memo-warm the merge list is `BpeRounds`
+    * driver-side tuples; nothing here rescans the corpus beyond the one
+    * tokenize/explode pass. */
   /** Per-token symbol-string under `merges`: wrapped double-separator
     * encoding with the merge replaces folded in rank order — the
     * codegen'd chain shared by q_bpe_doc_tokens and q_pack_bpe. */
@@ -509,20 +506,35 @@ object LlmOps {
         lit(BpeSep + a + b + BpeSep))
   }
 
-  /** Sum of per-token symbol counts over a token-array column. */
-  private def bpeTokenSum(merges: Seq[(Int, String, String, Long)],
-      tk: Column): Column =
-    aggregate(tk, lit(0L), (acc, t) =>
-      acc + size(filter(split(bpeEncChain(merges)(t), BpeSep2),
-        s => length(s) > 0)).cast("long"))
+  /** Per-doc (ws_tokens, bpe_tokens) under `merges`, DEDUP-FIRST: the
+    * replace chain runs once per DISTINCT word (the BPE trainer's own
+    * word-table algebra — every occurrence of a word encodes
+    * identically), and occurrences just join their word's symbol count.
+    * The first formulation encoded every occurrence in a zero-shuffle
+    * narrow pass; the 100×-duplication sweep showed why that loses:
+    * encode CPU scales with OCCURRENCES (115 s at the 100× dir) while
+    * vocab stays fixed — and Zipf guarantees vocab ≪ occurrences on any
+    * natural corpus, so two narrow-row shuffles beat re-encoding
+    * every duplicate at every scale. explode_outer keeps empty docs
+    * (they must report (0, 0), matching the oracle's unjoined rows). */
+  private def bpeDocCounts(docs: DataFrame,
+      merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+    val flat = base.select(col("doc_id"), explode_outer(col("tk")).as("w"))
+    val enc = flat.select(col("w")).filter(col("w").isNotNull).distinct()
+      .select(col("w"),
+        size(filter(split(bpeEncChain(merges)(col("w")), BpeSep2),
+          s => length(s) > 0)).cast("long").as("n_syms"))
+    flat.join(enc, Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("w")).as("ws_tokens"),
+        coalesce(sum(col("n_syms")), lit(0L)).as("bpe_tokens"))
+  }
 
   def qBpeDocTokens(spark: SparkSession, sfDir: String): DataFrame = {
     val merges = trainedMerges(spark, sfDir)
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), tokens(col("text")).as("tk"))
-      .select(col("doc_id"),
-        size(col("tk")).cast("long").as("ws_tokens"),
-        bpeTokenSum(merges, col("tk")).as("bpe_tokens"))
+    bpeDocCounts(Tables.documents(spark, sfDir), merges)
+      .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"))
       .orderBy(col("doc_id"))
   }
 
@@ -533,14 +545,14 @@ object LlmOps {
     * in; whitespace misprices long words 2-4×). Same deterministic md5
     * shuffle order, same streaming greedy packing, same
     * [[BigWindow.prefixSummed]] chunked global prefix sum; the only new
-    * cost over q_pack_sequences is the memo-warm codegen'd replace chain
-    * riding the same scan. */
+    * cost over q_pack_sequences is the dedup-first per-word pricing pass
+    * ([[bpeDocCounts]]). */
   def qPackBpe(spark: SparkSession, sfDir: String): DataFrame = {
     val merges = trainedMerges(spark, sfDir)
-    val d = Tables.documents(spark, sfDir)
+    val d = bpeDocCounts(Tables.documents(spark, sfDir), merges)
       .select(col("doc_id"),
         md5(col("doc_id").cast("string")).as("skey"),
-        bpeTokenSum(merges, tokens(col("text"))).as("n_tokens"))
+        col("bpe_tokens").as("n_tokens"))
     BigWindow.prefixSummed(d, Seq(col("skey"), col("doc_id")), col("n_tokens"))
       .withColumn("cum_excl", col("_psum") - col("n_tokens"))
       .select(
