@@ -105,6 +105,17 @@ object Bench {
       System.err.println(s"""[bench-metrics] {"query":"$name","sec":$t,""" +
         s""""shuffleReadB":${shRead.get - r0},"shuffleWriteB":${shWrite.get - w0},""" +
         s""""spillB":${spilled.get - s0}}""")
+      // Sweep hygiene, OUTSIDE the timed window: eagerly-materialized
+      // queries leave their Iterate.cut localCheckpoint RDDs (GBs each at
+      // the 100× dir) in block storage until the DRIVER garbage-collects
+      // the RDD handles and the ContextCleaner notices — with a large
+      // driver heap that can be dozens of queries later, so storage fills
+      // with dead blocks, execution memory shrinks, and mid-sweep samples
+      // of memory-hungry queries degrade 3-5× vs isolated runs (measured:
+      // q_pagerank 198 s in-sweep vs 49 s isolated at the 100× dir).
+      // Forcing a GC per query triggers the cleaner and keeps every
+      // sample measured against a clean store, like its isolated run.
+      System.gc()
       name -> t
     }
     // The driver captures only the LAST 2000 chars of output and parses the
