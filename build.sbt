@@ -30,5 +30,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the host provisions 128 GiB for the local[32] session,
+  // and an 8g heap made long bench sweeps degrade 3-5x at the 100x dir —
+  // heap fragmentation + lingering cut-leaf blocks squeezed execution
+  // memory until mid-sweep samples of memory-hungry queries (q_pagerank:
+  // 198s in-sweep vs 49s on a fresh JVM) drowned in spill. Override with
+  // SPARK_DRIVER_MEM as before.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
