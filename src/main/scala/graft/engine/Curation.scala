@@ -390,7 +390,7 @@ object Curation {
        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
   val qPackSequencesSql: String =
-    """WITH d AS (
+    s"""WITH d AS (
       |  SELECT doc_id,
       |    md5(CAST(doc_id AS VARCHAR)) AS skey,
       |    CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
@@ -401,10 +401,10 @@ object Curation {
       |    ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_excl
       |  FROM d)
       |SELECT doc_id, skey, n_tokens,
-      |  CAST(FLOOR(cum_excl / 2048.0) AS BIGINT) AS seq_id,
+      |  CAST(FLOOR(cum_excl / $packBudget.0) AS BIGINT) AS seq_id,
       |  -- SUM(BIGINT) OVER widens to HUGEINT in DuckDB and % keeps it;
       |  -- the comparator then reads float64 vs Spark's BIGINT. CAST back.
-      |  CAST(cum_excl % 2048 AS BIGINT) AS seq_offset
+      |  CAST(cum_excl % $packBudget AS BIGINT) AS seq_offset
       |FROM c ORDER BY skey, doc_id""".stripMargin
 
   // --- end-to-end curation pipeline --------------------------------------

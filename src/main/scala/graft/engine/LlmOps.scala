@@ -622,8 +622,8 @@ object LlmOps {
        |    ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_excl
        |  FROM d)
        |SELECT doc_id, skey, n_tokens,
-       |  CAST(FLOOR(cum_excl / 2048.0) AS BIGINT) AS seq_id,
-       |  CAST(cum_excl % 2048 AS BIGINT) AS seq_offset
+       |  CAST(FLOOR(cum_excl / ${Curation.packBudget}.0) AS BIGINT) AS seq_id,
+       |  CAST(cum_excl % ${Curation.packBudget} AS BIGINT) AS seq_offset
        |FROM c ORDER BY skey, doc_id""".stripMargin
 
   /** q_bm25_topk: BM25-weighted keyword top-10 per query over the corpus.
@@ -1289,7 +1289,16 @@ object LlmOps {
     * initial corpus is the caller's `gen`): a probe that filters
     * `gen < g` sees exactly the index as of generation g, which is what
     * makes a retried classify-then-absorb micro-batch DETERMINISTIC —
-    * re-classifying batch g never sees its own absorbed rows. */
+    * re-classifying batch g never sees its own absorbed rows.
+    *
+    * `gen` is a hive PARTITION column (partitionBy + bucketBy compose:
+    * the bucket layout applies within every partition and the scan's
+    * output partitioning is still the bucket hash): the as-of filter
+    * becomes partition PRUNING — an old-generation probe never opens
+    * newer files — and, the point of the layout, a generation is an
+    * independently rewritable unit, which is what lets the tiered
+    * maintenance pass ([[compactIndexTiered]]) fold small generations
+    * without touching the compacted base's bytes. */
   def saveBucketedIndex(spark: SparkSession, idx: CorpusIndex,
       dir: String, name: String, gen: Long = 0L): Unit = {
     // repartition ON THE BUCKET KEYS first: repartition's HashPartitioning
@@ -1300,11 +1309,13 @@ object LlmOps {
     idx.digests.repartition(IndexBuckets, col("dg"))
       .withColumn("gen", lit(gen))
       .write.format("parquet").mode("overwrite")
+      .partitionBy("gen")
       .bucketBy(IndexBuckets, "dg").sortBy("dg")
       .option("path", s"$dir/digests").saveAsTable(s"${name}_digests")
     idx.buckets.repartition(IndexBuckets, col("band"), col("band_key"))
       .withColumn("gen", lit(gen))
       .write.format("parquet").mode("overwrite")
+      .partitionBy("gen")
       .bucketBy(IndexBuckets, "band", "band_key").sortBy("band", "band_key")
       .option("path", s"$dir/buckets").saveAsTable(s"${name}_buckets")
   }
@@ -1317,7 +1328,12 @@ object LlmOps {
       maxGenExclusive: Option[Long] = None): CorpusIndex = {
     def view(t: String) = maxGenExclusive match {
       case Some(g) => spark.table(t).filter(col("gen") < g).drop("gen")
-      case None    => spark.table(t).drop("gen")
+      // the always-true partition predicate prunes nothing but forces the
+      // partition listing, so the relation carries REAL size stats instead
+      // of defaultSizeInBytes — without it a partitioned catalog table
+      // reports unknown-huge and every small-index join needlessly gives
+      // up broadcast for shuffled SMJ
+      case None    => spark.table(t).filter(col("gen") >= Long.MinValue).drop("gen")
     }
     CorpusIndex(view(s"${name}_digests"), view(s"${name}_buckets"))
   }
@@ -1333,16 +1349,24 @@ object LlmOps {
     * LATER generation once the retry completes. */
   def absorbInto(spark: SparkSession, name: String, batch: DataFrame,
       gen: Long = 1L): Unit = {
+    // repartition on the bucket keys (same rationale as the save): one
+    // file per bucket per generation, instead of every anti-join output
+    // task writing its own per-bucket slivers — the append's file count
+    // is bounded by the bucket count, not the shuffle-partition count
     batch.select(sha2(col("text"), 256).as("dg")).distinct()
       .join(spark.table(s"${name}_digests"), Seq("dg"), "left_anti")
+      .repartition(IndexBuckets, col("dg"))
       .withColumn("gen", lit(gen))
       .write.format("parquet").mode("append")
+      .partitionBy("gen")
       .bucketBy(IndexBuckets, "dg").sortBy("dg")
       .saveAsTable(s"${name}_digests")
     bandKeys(batch).select(col("band"), col("band_key")).distinct()
       .join(spark.table(s"${name}_buckets"), Seq("band", "band_key"), "left_anti")
+      .repartition(IndexBuckets, col("band"), col("band_key"))
       .withColumn("gen", lit(gen))
       .write.format("parquet").mode("append")
+      .partitionBy("gen")
       .bucketBy(IndexBuckets, "band", "band_key").sortBy("band", "band_key")
       .saveAsTable(s"${name}_buckets")
     // the session caches each table's file listing in its relation cache;
@@ -1382,6 +1406,109 @@ object LlmOps {
     saveBucketedIndex(spark,
       CorpusIndex(idx.digests.distinct(), idx.buckets.distinct()),
       dir, name, gen)
+  }
+
+  /** One tiered-compaction pass's accounting (spec pins read these):
+    * which generations folded, the fresh generation they folded into, and
+    * the byte split between rewritten (folded) and untouched (kept)
+    * data — the bound the schedule exists to enforce. */
+  final case class TierCompaction(foldedGens: Seq[Long], targetGen: Long,
+      foldedBytes: Long, keptGens: Seq[Long], keptBytes: Long)
+
+  /** Size-TIERED index compaction — the in-loop maintenance schedule's
+    * scale-safe form. [[compactIndex]] folds EVERY generation and rewrites
+    * the whole index: fine as an offline step, but on an in-loop schedule
+    * it pays O(index) I/O per compaction, a quadratic total rewrite cost
+    * over a long ingest stream. This pass folds ONLY the small
+    * generations, in place:
+    *
+    *  - candidates are every generation except `currentGen` (the batch
+    *    whose foreachBatch invocation is running) — leaving the current
+    *    batch's own rows unfolded keeps a RETRIED batch's as-of view
+    *    (`gen < currentGen`) byte-identical across the compaction
+    *    boundary, so recovery replays are deterministic;
+    *  - of those, generations holding at most HALF the largest
+    *    candidate's bytes fold into one fresh file-per-bucket generation
+    *    `-(currentGen + 2)` (unique, since batch ids only grow; negative,
+    *    so `< every batch id` — every later as-of probe still sees the
+    *    folded rows exactly as before). The big compacted base exceeds
+    *    the half-of-max threshold and is NEVER rewritten.
+    *
+    * Bytes touched per pass are therefore O(recent generations), and a
+    * given byte is rewritten only when its tier has roughly doubled —
+    * O(log N) times over the stream's life, the LSM size-tiering
+    * discipline — versus the full fold's O(N) rewrites of the base.
+    *
+    * Mechanically the fold is a partition-level rewrite, which is what
+    * the gen-partitioned layout buys: the folded gens stream through a
+    * partition-PRUNED scan (the base's files are never opened), land as
+    * one file per bucket under the target gen, and the source partitions
+    * are then dropped and their directories deleted. foreachBatch runs
+    * the loop single-writer, so the append→drop pair needs no external
+    * coordination; a real deployment stages the pair in a transactional
+    * table format (same note as [[absorbInto]]). Returns None — no table
+    * change at all — when fewer than two generations qualify. */
+  def compactIndexTiered(spark: SparkSession, name: String,
+      currentGen: Long): Option[TierCompaction] = {
+    import org.apache.hadoop.fs.Path
+    val tables = Seq(s"${name}_digests" -> Seq("dg"),
+      s"${name}_buckets" -> Seq("band", "band_key"))
+    val hconf = spark.sessionState.newHadoopConf()
+    val locs = tables.map { case (t, _) =>
+      new Path(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)).location)
+    }
+    def genBytes(loc: Path): Map[Long, Long] = {
+      val fs = loc.getFileSystem(hconf)
+      fs.listStatus(loc).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
+        .map(s => s.getPath.getName.stripPrefix("gen=").toLong ->
+          fs.getContentSummary(s.getPath).getLength)
+        .toMap
+    }
+    val bytes = locs.map(genBytes).reduce { (a, b) =>
+      (a.keySet ++ b.keySet).iterator
+        .map(g => g -> (a.getOrElse(g, 0L) + b.getOrElse(g, 0L))).toMap
+    }
+    val candidates = bytes - currentGen
+    val maxBytes = if (candidates.isEmpty) 0L else candidates.values.max
+    val fold = candidates.filter(_._2 * 2 <= maxBytes).keys.toSeq.sorted
+    if (fold.size < 2) return None
+    val target = -(currentGen + 2)
+    require(!bytes.contains(target),
+      s"tiered compaction: fold target gen $target already exists in $name")
+    tables.foreach { case (t, keys) =>
+      // append-from-self is safe here: the pruned scan's file listing is
+      // snapshotted at planning and the write lands only under the (new)
+      // target partition, disjoint from every file being read.
+      // distinct() is load-bearing, same as in compactIndex: without a
+      // real bucketing consumer the planner elides the repartition AND
+      // disables the bucketed scan — per-input-file write tasks,
+      // multi-file buckets, no compaction (observed: 22 files for 8
+      // buckets). Rows are unique across generations anyway (absorbInto
+      // anti-joins), so distinct changes nothing semantically.
+      spark.table(t).filter(col("gen").isInCollection(fold))
+        .drop("gen").distinct().withColumn("gen", lit(target))
+        .repartition(IndexBuckets, keys.map(col): _*)
+        .write.format("parquet").mode("append")
+        .partitionBy("gen")
+        .bucketBy(IndexBuckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+        .saveAsTable(t)
+      fold.foreach { g =>
+        spark.sql(s"ALTER TABLE $t DROP IF EXISTS PARTITION (gen=$g)")
+      }
+      spark.catalog.refreshTable(t)
+    }
+    // DROP PARTITION de-registers but (external table) keeps the files;
+    // delete the folded directories so disk matches the catalog's view
+    locs.foreach { loc =>
+      val fs = loc.getFileSystem(hconf)
+      fold.foreach { g => fs.delete(new Path(loc, s"gen=$g"), true); () }
+    }
+    val kept = (bytes.keySet -- fold).toSeq.sorted
+    Some(TierCompaction(fold, target, fold.map(bytes).sum,
+      kept, kept.map(bytes).sum))
   }
 
   private val corpusCompactRuns = new java.util.concurrent.atomic.AtomicInteger
@@ -2027,7 +2154,7 @@ object LlmOps {
        |  FROM (SELECT bands, band, band_key, CAST(COUNT(*) AS BIGINT) AS n
        |        FROM bk GROUP BY 1, 2, 3)
        |  GROUP BY 1),
-       |cfg AS (SELECT unnest([1, 2, 4, 8, 16]) AS bands),
+       |cfg AS (SELECT unnest([${MinHashBandsSweep.SweepBands.mkString(", ")}]) AS bands),
        |p AS (SELECT CAST(COUNT(*) AS BIGINT) AS pairs FROM top)
        |SELECT c.bands AS bands,
        |  CAST(${MinHashBands.Seeds} // c.bands AS INT) AS rows_per_band,

@@ -192,7 +192,8 @@ object Quantize {
       // conf and the caller's session is never touched.
       val s = spark.newSession()
       spark.conf.getAll.foreach { case (k, v) =>
-        try s.conf.set(k, v) catch { case _: Throwable => () }
+        try s.conf.set(k, v)
+        catch { case scala.util.control.NonFatal(_) => () }
       }
       s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       ivfQuantImpl(s, sfDir, corpusTrain, gc, serve)

@@ -742,34 +742,43 @@ object Streaming {
     streamClassifyAbsorbDrain(spark, sfDir, compactEvery = 0, inspectFinal = None)
 
   /** q_stream_compact: the absorb loop WITH its maintenance schedule —
-    * after every 2nd micro-batch the foreachBatch hook COMPACTS the index
-    * (generation fold + one-file-per-bucket rewrite to a fresh table
-    * pair, old pair dropped) and later batches classify against the
-    * compacted tables. The streaming analog of the reference's in-loop
-    * cron maintenance (ChargeOverSourceTask.java:380-389 — the poll loop
-    * owns its own upkeep): without scheduled compaction a 100 TB ingest
-    * stream accretes one small file per bucket per batch until the
-    * listing, not the data, is the bottleneck.
+    * after every 2nd micro-batch the foreachBatch hook runs a size-TIERED
+    * compaction pass ([[LlmOps.compactIndexTiered]]): generations holding
+    * at most half the largest candidate's bytes fold, in place, into one
+    * fresh file-per-bucket generation; the big compacted base is never
+    * rewritten. The streaming analog of the reference's in-loop cron
+    * maintenance (ChargeOverSourceTask.java:380-389 — the poll loop owns
+    * its own upkeep): without scheduled compaction a 100 TB ingest stream
+    * accretes small files per bucket per batch until the listing, not the
+    * data, is the bottleneck — and with a FULL fold on that schedule the
+    * rewrite itself becomes the bottleneck (O(index) I/O per compaction,
+    * quadratic total). Tiering bounds each pass to O(recent generations)
+    * and each byte to O(log N) lifetime rewrites.
     *
-    * Compacted rows fold to `gen = id` (the highest folded generation):
-    * every LATER batch's as-of probe (`gen < id'` with id' > id) sees
-    * exactly the rows it would have seen uncompacted, and a batch
-    * retried across the compaction boundary re-reads an identical as-of
-    * view — so compaction is semantically INVISIBLE mid-stream and the
+    * Folded rows land under a fresh NEGATIVE generation, strictly below
+    * every batch id: every later batch's as-of probe (`gen < id'`) sees
+    * exactly the rows it would have seen uncompacted, and — because the
+    * pass never folds the in-flight batch's own `gen = id` rows — a batch
+    * retried across the compaction boundary re-reads a byte-identical
+    * as-of view. Compaction is semantically INVISIBLE mid-stream and the
     * oracle is EXACTLY q_stream_absorb's (the rewrite-invisibility
-    * contract, third application after q_corpus_compact and
-    * q_ivf_serve). StreamCompactSpec pins the other half of the
-    * contract: ≤ one file per bucket in the final table pair. */
+    * contract, third application after q_corpus_compact and q_ivf_serve).
+    * StreamCompactSpec pins the cost half of the contract: folded bytes
+    * strictly below kept bytes per pass, base partition untouched, and a
+    * bounded generation count at drain end. */
   def qStreamCompact(spark: SparkSession, sfDir: String): DataFrame =
     streamClassifyAbsorbDrain(spark, sfDir, compactEvery = 2, inspectFinal = None)
 
   /** The shared classify-then-absorb drain; `compactEvery` = 0 never
     * compacts, k > 0 compacts after batches (id+1) % k == 0;
-    * `inspectFinal` (spec hook) runs with the final index table name
-    * after the drain guard, before cleanup. */
+    * `inspectFinal` (spec hook) runs with the index table name after the
+    * drain guard, before cleanup; `tierLog` (spec hook) receives each
+    * compaction pass's [[LlmOps.TierCompaction]] report (None = the pass
+    * found nothing worth folding). */
   private[graft] def streamClassifyAbsorbDrain(spark: SparkSession,
       sfDir: String, compactEvery: Int,
-      inspectFinal: Option[String => Unit]): DataFrame = {
+      inspectFinal: Option[String => Unit],
+      tierLog: Option[java.util.Queue[Option[LlmOps.TierCompaction]]] = None): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val n = streamAbsorbRuns.incrementAndGet()
     val stageDir = java.nio.file.Files.createTempDirectory(s"graft_sabs_stage_$n").toString
@@ -777,13 +786,6 @@ object Streaming {
     val outDir = java.nio.file.Files.createTempDirectory(s"graft_sabs_out_$n").toString
     val idxDir = java.nio.file.Files.createTempDirectory(s"graft_sabs_idx_$n").toString
     val idxName = s"graft_sabs_idx_$n"
-    // the current index table pair: compaction retargets this to the
-    // fresh pair; foreachBatch runs sequentially, so a plain volatile
-    // holder is enough — and every name ever created is dropped in the
-    // finally (a mid-drain failure can leave the pre-compaction pair)
-    val curName = new java.util.concurrent.atomic.AtomicReference[String](idxName)
-    val allNames = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-    allNames.add(idxName)
     LlmOps.saveBucketedIndex(spark,
       LlmOps.buildCorpusIndex(docs.filter(col("doc_id") % 10 < 8)),
       idxDir, idxName, gen = -1L)
@@ -813,19 +815,17 @@ object Streaming {
           // 4 recomputes of the batch minhash bands
           val batch = b.persist()
           try {
-            val name = curName.get()
-            val asOf = LlmOps.loadBucketedIndex(spark, name,
+            val asOf = LlmOps.loadBucketedIndex(spark, idxName,
               maxGenExclusive = Some(id))
             LlmOps.probeDelta(asOf, batch).write.mode("overwrite").parquet(s"$outDir/b$id")
-            LlmOps.absorbInto(spark, name, batch, gen = id)
+            LlmOps.absorbInto(spark, idxName, batch, gen = id)
             if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
-              // fold gens {-1..id} to gen = id: still < every later
-              // batch's as-of cut, so probe views are unchanged
-              val next = s"${idxName}_c$id"
-              allNames.add(next)
-              LlmOps.compactIndex(spark, name, s"$idxDir/c$id", next, gen = id)
-              LlmOps.dropBucketedIndex(spark, name)
-              curName.set(next)
+              // tiered maintenance, in place: fold only the small
+              // generations (never this batch's own gen = id — a retried
+              // batch re-reads an identical as-of view), base untouched
+              val report = LlmOps.compactIndexTiered(spark, idxName,
+                currentGen = id)
+              tierLog.foreach(q => { q.add(report); () })
             }
           } finally { batch.unpersist(); () }
         }
@@ -844,12 +844,12 @@ object Streaming {
         if (off > 0) throw new IllegalStateException(
           s"stream absorb drain: batch $b holds $off rows outside its declared file slice")
       }
-      inspectFinal.foreach(f => f(curName.get()))
+      inspectFinal.foreach(f => f(idxName))
       Iterate.cut(spark.read.option("recursiveFileLookup", "true")
         .parquet(outDir).orderBy(col("doc_id")))
     } finally {
       if (q != null && q.isActive) q.stop()
-      allNames.forEach(nm => LlmOps.dropBucketedIndex(spark, nm))
+      LlmOps.dropBucketedIndex(spark, idxName)
       deleteDirTree(stageDir); deleteDirTree(inDir)
       deleteDirTree(outDir); deleteDirTree(idxDir)
     }

@@ -35,10 +35,20 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * The "remote system" is simulated by a deterministic generator (id-dense,
   * one record per minute per id) so the connector is self-contained and
-  * its pushdown behavior is exactly checkable. A real REST backend swaps
-  * the generator inside `PagedPartitionReader` for an HTTP page fetch —
-  * retry/backoff (R12) would wrap that call exactly like
-  * fetchBatchWithRetry (ChargeOverSourceTask.java:296-343).
+  * its pushdown behavior is exactly checkable. With `endpoint=http://…`
+  * the generator is swapped for a GENUINE HTTP page fetch: each planned
+  * page issues the reference's request verbatim —
+  * `GET {endpoint}/{entity}?limit=&offset=&where=ts_us:GTE:a,ts_us:LT:b
+  * &order=ts_us:ASC&fields=…` under Basic auth
+  * (ChargeOverApiClient.java:80-145), unwraps the `{"response":[…]}`
+  * envelope (:149-158), treats 429 as the rate-limited failure flavor
+  * (:169-171) and any other non-200 as a transient fetch failure
+  * (:171-175) — all under the same reference-exact retry loop
+  * (fetchBatchWithRetry, ChargeOverSourceTask.java:296-343) the
+  * generator's fault plan exercises. Tests serve the generator's records
+  * over a localhost `com.sun.net.httpserver` fixture, so the retry path
+  * runs against real sockets and real status codes with no new
+  * dependencies.
   *
   * Usage:
   * {{{
@@ -167,7 +177,13 @@ object PagedEntitySource {
     * changelog realism, and latest-wins stays provable because ts is
     * unique per position. */
   final case class EntityConf(name: String, rows: Long,
-    fields: Option[Set[String]], categoryMod: Int, updateEvery: Int = 0)
+    fields: Option[Set[String]], categoryMod: Int, updateEvery: Int = 0,
+    remote: Option[RemoteApi] = None)
+
+  /** A real REST backend for the page fetches (`endpoint` option): base
+    * URL plus the Basic-auth credentials the reference sends on every
+    * request (ChargeOverApiClient.java:139-143). */
+  final case class RemoteApi(endpoint: String, username: String, password: String)
 
   private[sources] def entityConf(e: String, props: util.Map[String, String],
       defaultRows: Long): EntityConf = {
@@ -193,8 +209,15 @@ object PagedEntitySource {
     if (updateEvery < 0 || updateEvery == 1)
       throw new IllegalArgumentException(
         s"update_every must be 0 (off) or >= 2, got $updateEvery")
+    val remote = Option(props.get("endpoint")).map(_.trim).filter(_.nonEmpty)
+      .map { url =>
+        RemoteApi(if (url.endsWith("/")) url.dropRight(1) else url,
+          props.getOrDefault("username", "graft"),
+          props.getOrDefault("password", "secret"))
+      }
     EntityConf(e, rows, fields,
-      params.get("category_mod").map(_.toInt).getOrElse(5), updateEvery)
+      params.get("category_mod").map(_.toInt).getOrElse(5), updateEvery,
+      remote)
   }
 
   /** Position → record id under the changelog mapping (identity when
@@ -449,7 +472,7 @@ class PagedScan(lo: Long, hi: Long, pageSize: Int, required: StructType,
       (0 until pages).map { p =>
         val start = eLo + p.toLong * pageSize
         PagedPartition(start, math.min(eHi, start + pageSize), conf,
-          faults.pageFault(start, pageSize)): InputPartition
+          faults.pageFault(start, pageSize), eLo, eHi): InputPartition
       }
     }
 
@@ -457,10 +480,19 @@ class PagedScan(lo: Long, hi: Long, pageSize: Int, required: StructType,
     new PagedReaderFactory(required)
 }
 
+/** One planned API page. `windowLoId`/`windowHiId` carry the enclosing
+  * scan (or stream) window so an HTTP fetch can reproduce the reference's
+  * request shape exactly: `where=` holds the WINDOW and `offset=` the
+  * page's position within it (fetchChangesWithPagination pages a fixed
+  * where-window by offset, ChargeOverApiClient.java:86-112). */
 case class PagedPartition(startId: Long, endId: Long,
   conf: PagedEntitySource.EntityConf,
-  fault: PagedEntitySource.PageFault = PagedEntitySource.PageFault.none)
-  extends InputPartition
+  fault: PagedEntitySource.PageFault = PagedEntitySource.PageFault.none,
+  windowLoId: Long = -1L, windowHiId: Long = -1L)
+  extends InputPartition {
+  def winLo: Long = if (windowLoId >= 0) windowLoId else startId
+  def winHi: Long = if (windowHiId >= 0) windowHiId else endId
+}
 
 class PagedReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -494,27 +526,45 @@ class PagedPartitionReader(page: PagedPartition, required: StructType)
   private val fields = required.fieldNames
   private val conf = page.conf
   private var fetched = false
+  // HTTP mode: the fetched page, already mapped to rows
+  private var httpRows: Iterator[InternalRow] = Iterator.empty
+  private var cur: InternalRow = null
   private def served(f: String): Boolean = conf.fields.forall(_.contains(f))
 
-  /** The page "fetch": a no-op for the generator, except the planned fault
-    * fails the first `failAttempts` attempts. Runs once, lazily, so a
-    * zero-row page costs nothing. */
+  /** One fetch ATTEMPT. Generator mode: a no-op, except the planned fault
+    * fails the first `failAttempts` attempts. HTTP mode: a real GET in the
+    * reference's request grammar — the server's own status codes (429 /
+    * 5xx) raise the same two failure flavors the fault plan simulates, so
+    * the retry loop below is identical either way. */
+  private def attemptFetch(attempt: Int): Unit = conf.remote match {
+    case None =>
+      if (attempt < page.fault.failAttempts)
+        throw new PagedFetchException(
+          s"simulated ${if (page.fault.rateLimited) "429 rate limit" else "fetch failure"} " +
+          s"for page@${page.startId} attempt ${attempt + 1}", page.fault.rateLimited)
+    case Some(api) =>
+      httpRows = HttpPageFetch.fetch(api, page, required).iterator
+  }
+
+  /** fetchBatchWithRetry (ChargeOverSourceTask.java:296-343): up to
+    * maxRetries+1 attempts, exponential backoff between general failures,
+    * flat 60 s after a 429, rethrow once exhausted. Runs once, lazily, so
+    * a zero-row page costs nothing. */
   private def fetchWithRetry(): Unit = {
     val f = page.fault
     var attempt = 0
     var lastEx: Exception = null
     while (!fetched && attempt <= f.maxRetries) {
-      if (attempt >= f.failAttempts) fetched = true // the GET succeeded
-      else {
-        lastEx = new PagedFetchException(
-          s"simulated ${if (f.rateLimited) "429 rate limit" else "fetch failure"} " +
-          s"for page@${page.startId} attempt ${attempt + 1}", f.rateLimited)
-        if (attempt < f.maxRetries) {
-          val backoff = graft.engine.StateMachine.backoffMillis(attempt,
-            f.rateLimited, PagedEntitySource.jitterUnit(page.startId, attempt))
-          Thread.sleep(math.max(0L, (backoff * f.backoffScale).toLong))
-        }
-        attempt += 1
+      try { attemptFetch(attempt); fetched = true }
+      catch {
+        case e: PagedFetchException =>
+          lastEx = e
+          if (attempt < f.maxRetries) {
+            val backoff = graft.engine.StateMachine.backoffMillis(attempt,
+              e.rateLimited, PagedEntitySource.jitterUnit(page.startId, attempt))
+            Thread.sleep(math.max(0L, (backoff * f.backoffScale).toLong))
+          }
+          attempt += 1
       }
     }
     if (!fetched)
@@ -524,10 +574,12 @@ class PagedPartitionReader(page: PagedPartition, required: StructType)
 
   override def next(): Boolean = {
     if (!fetched) fetchWithRetry()
-    id += 1; id < page.endId
+    if (conf.remote.isDefined) {
+      if (httpRows.hasNext) { cur = httpRows.next(); true } else false
+    } else { id += 1; id < page.endId }
   }
 
-  override def get(): InternalRow = {
+  override def get(): InternalRow = if (conf.remote.isDefined) cur else {
     // `id` here is the stream POSITION; the record id diverges from it
     // only in changelog mode (update positions re-emit an earlier id)
     val rid = PagedEntitySource.recordId(id, conf.updateEvery)
@@ -545,6 +597,83 @@ class PagedPartitionReader(page: PagedPartition, required: StructType)
   }
 
   override def close(): Unit = ()
+}
+
+/** The real page fetch (fetchChangesWithPagination,
+  * ChargeOverApiClient.java:80-183), JDK HttpURLConnection + the Jackson
+  * already on Spark's classpath — zero new dependencies. The request
+  * reproduces the reference's grammar with the generator's id↔ts mapping:
+  * `where=` holds the window as half-open ts bounds (GTE/LT, :95-112 —
+  * our values are integer micros, so the reference's datetime
+  * colon-escaping has nothing to escape), `order=ts_us:ASC` (:117),
+  * `limit`/`offset` page within the window (:89-90), `fields=` carries
+  * the server-side projection and `category_mod`/`update_every` the extra
+  * query params (additionalQueryParams, :119-123). Responses: 200 →
+  * unwrap `{"response":[…]}` (:149-158); 429 → the rate-limited failure
+  * flavor (:169-171); anything else, including connect/read errors →
+  * the transient flavor (:171-175). Failures raise [[PagedFetchException]]
+  * for the caller's reference-exact retry loop. */
+private[sources] object HttpPageFetch {
+  def fetch(api: PagedEntitySource.RemoteApi, page: PagedPartition,
+      required: StructType): Array[InternalRow] = {
+    val conf = page.conf
+    val qs = new StringBuilder()
+    qs.append("limit=").append(page.endId - page.startId)
+    qs.append("&offset=").append(page.startId - page.winLo)
+    qs.append("&where=ts_us:GTE:").append(PagedEntitySource.tsOf(page.winLo))
+      .append(",ts_us:LT:").append(PagedEntitySource.tsOf(page.winHi))
+    qs.append("&order=ts_us:ASC")
+    conf.fields.foreach(fs =>
+      qs.append("&fields=").append(fs.toSeq.sorted.mkString(",")))
+    qs.append("&category_mod=").append(conf.categoryMod)
+    if (conf.updateEvery >= 2) qs.append("&update_every=").append(conf.updateEvery)
+    val url = s"${api.endpoint}/${conf.name}?${qs.toString}"
+    val c = new java.net.URI(url).toURL.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    try {
+      c.setConnectTimeout(5000)
+      c.setReadTimeout(15000)
+      c.setRequestMethod("GET")
+      c.setRequestProperty("Authorization", "Basic " +
+        java.util.Base64.getEncoder.encodeToString(
+          s"${api.username}:${api.password}".getBytes("UTF-8")))
+      c.setRequestProperty("Content-Type", "application/json")
+      val code =
+        try c.getResponseCode
+        catch {
+          case e: java.io.IOException => throw new PagedFetchException(
+            s"connect/read failed for page@${page.startId}: ${e.getMessage}",
+            rateLimited = false)
+        }
+      if (code == 429)
+        throw new PagedFetchException(
+          s"429 rate limit for page@${page.startId}", rateLimited = true)
+      if (code != 200)
+        throw new PagedFetchException(
+          s"HTTP $code for page@${page.startId}", rateLimited = false)
+      val body = new String(c.getInputStream.readAllBytes(), "UTF-8")
+      val resp = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(body).get("response")
+      require(resp != null && resp.isArray,
+        s"malformed envelope (no response array) from ${api.endpoint}/${conf.name}")
+      val fields = required.fieldNames
+      Array.tabulate(resp.size()) { i =>
+        val rec = resp.get(i)
+        val vals: Array[Any] = fields.map {
+          case "_entity_type" => UTF8String.fromString(conf.name)
+          case f =>
+            val n = rec.get(f)
+            if (n == null || n.isNull) null
+            else f match {
+              case "id" | "ts_us" => java.lang.Long.valueOf(n.asLong())
+              case "value" => java.lang.Double.valueOf(n.asDouble())
+              case _ => UTF8String.fromString(n.asText())
+            }
+        }
+        new GenericInternalRow(vals): InternalRow
+      }
+    } finally c.disconnect()
+  }
 }
 
 /** The stream position, mirroring the reference's 7-field per-entity
@@ -680,8 +809,8 @@ class PagedMicroBatchStream(conf: PagedEntitySource.EntityConf, pageSize: Int,
 
   override def planInputPartitions(start: SOffset, end: SOffset): Array[InputPartition] =
     PagedMicroBatchStream.pagesBetween(
-      start.asInstanceOf[PagedStreamOffset].pos,
-      end.asInstanceOf[PagedStreamOffset].pos, pageSize, conf, faults).toArray
+      start.asInstanceOf[PagedStreamOffset],
+      end.asInstanceOf[PagedStreamOffset], pageSize, conf, faults).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PagedReaderFactory(required)
@@ -760,17 +889,30 @@ object PagedMicroBatchStream {
     }
   }
 
-  /** Pages [spos, epos) as InputPartitions for one entity. */
-  private[sources] def pagesBetween(spos: Long, epos: Long, pageSize: Int,
+  /** Pages [start.pos, end.pos) as InputPartitions for one entity. The
+    * partitions carry the OPEN WINDOW's bounds, not the page's — an HTTP
+    * fetch then reproduces the reference's poll request exactly: `where=`
+    * holds [last_processed, batch_end) and `offset=` the cursor within it
+    * (ChargeOverSourceTask.java:221-226 paging a fixed window). On window
+    * completion the end offset's batch_end_id still names the window just
+    * closed, so the bounds stay correct for the final page too. */
+  private[sources] def pagesBetween(start: PagedStreamOffset,
+      end: PagedStreamOffset, pageSize: Int,
       conf: PagedEntitySource.EntityConf,
       faults: PagedEntitySource.FaultPlan = PagedEntitySource.FaultPlan.none):
       Seq[InputPartition] = {
+    val spos = start.pos
+    val epos = end.pos
+    val winLo = start.lastProcessedId
+    // batch-reset offsets regress with batch_end_id = 0; any actual page
+    // range is bounded by end.pos, so clamp the window around it
+    val winHi = math.max(end.batchEndId, epos)
     val n = math.max(0L, epos - spos)
     val pages = ((n + pageSize - 1) / pageSize).toInt
     (0 until pages).map { p =>
-      val start = spos + p.toLong * pageSize
-      PagedPartition(start, math.min(epos, start + pageSize), conf,
-        faults.pageFault(start, pageSize)): InputPartition
+      val pStart = spos + p.toLong * pageSize
+      PagedPartition(pStart, math.min(epos, pStart + pageSize), conf,
+        faults.pageFault(pStart, pageSize), winLo, winHi): InputPartition
     }
   }
 }
@@ -884,9 +1026,9 @@ class PagedMultiMicroBatchStream(confs: Seq[PagedEntitySource.EntityConf],
     val sm = start.asInstanceOf[MultiPagedStreamOffset].entities
     val em = end.asInstanceOf[MultiPagedStreamOffset].entities
     confs.flatMap { c =>
-      val spos = sm.get(c.name).map(_.pos).getOrElse(0L)
-      val epos = em.get(c.name).map(_.pos).getOrElse(0L)
-      PagedMicroBatchStream.pagesBetween(spos, epos, pageSize, c, faults)
+      val s = sm.getOrElse(c.name, PagedStreamOffset.Initial)
+      val e = em.getOrElse(c.name, PagedStreamOffset.Initial)
+      PagedMicroBatchStream.pagesBetween(s, e, pageSize, c, faults)
     }.toArray
   }
 

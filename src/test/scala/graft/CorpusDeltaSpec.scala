@@ -179,9 +179,13 @@ class CorpusDeltaSpec extends SparkSpec {
     val docs = graft.engine.Tables.documents(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("graft_cidx").toString
     val name = "graft_spec_cidx"
-    def parquetFiles(d: String): Int =
-      Option(new java.io.File(d).listFiles()).map(
-        _.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+    // recursive: table data now lives under per-generation partition dirs
+    def parquetFiles(d: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(d))
+    }
     try {
       LlmOps.saveBucketedIndex(spark,
         LlmOps.buildCorpusIndex(docs.filter(col("doc_id") % 10 < 6)),
