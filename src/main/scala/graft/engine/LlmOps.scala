@@ -2169,6 +2169,48 @@ object LlmOps {
        |ORDER BY c.bands""".stripMargin
   }
 
+  /** The recall target q_lsh_tune picks its operating point against:
+    * ≥ 80% of the exact ground-truth pairs (8000 basis points). */
+  val LshRecallTargetBp: Long = 8000L
+
+  /** q_lsh_tune: the operating curve made ACTIONABLE — replay q_lsh_curve
+    * and DECLARE the configuration a 100 TB dedup run should use: the
+    * cheapest banding (fewest candidate pairs, then fewest bands) whose
+    * measured recall meets [[LshRecallTargetBp]]; if no configuration
+    * reaches the target, fall back to the best achievable recall (then
+    * cheapest, then fewest bands). One row — the chosen operating point
+    * plus `met_target` — via a deterministic ORDER BY … LIMIT 1 over the
+    * ≤5-row curve. This is how an operator CONSUMES the curve: as a
+    * tuning decision fed back into the banding config, not a table to
+    * eyeball; the oracle replays curve + argmin end to end. */
+  def qLshTune(spark: SparkSession, sfDir: String): DataFrame = {
+    val meets = col("recall_bp") >= LshRecallTargetBp
+    qLshCurve(spark, sfDir)
+      .withColumn("met_target", meets.cast("long"))
+      .orderBy(meets.desc,
+        when(meets, col("cand_pairs"))
+          .otherwise(lit(10000L) - col("recall_bp")).asc,
+        col("cand_pairs").asc, col("bands").asc)
+      .limit(1)
+  }
+
+  /** Curve replayed (every banding's recall + candidate cost), then the
+    * same qualify-else-fallback argmin — a drift in either the curve or
+    * the selection rule moves the chosen row. */
+  lazy val qLshTuneSql: String =
+    s"""WITH curve AS (
+       |$qLshCurveSql
+       |)
+       |SELECT bands, rows_per_band, pairs, lsh_hits, recall_bp, cand_pairs,
+       |  CAST(CASE WHEN recall_bp >= $LshRecallTargetBp THEN 1 ELSE 0 END
+       |    AS BIGINT) AS met_target
+       |FROM curve
+       |ORDER BY (recall_bp >= $LshRecallTargetBp) DESC,
+       |  CASE WHEN recall_bp >= $LshRecallTargetBp
+       |       THEN cand_pairs ELSE 10000 - recall_bp END ASC,
+       |  cand_pairs ASC, bands ASC
+       |LIMIT 1""".stripMargin
+
   /** All cross pairs (x ∈ a, y ∈ b) as struct(min, max). */
   private def crossPairs(a: Column, b: Column): Column =
     flatten(transform(a, x => transform(b, y =>

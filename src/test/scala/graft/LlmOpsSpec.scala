@@ -464,6 +464,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(r4.getLong(5) == expCand, s"cand_pairs ${r4.getLong(5)} != $expCand")
   }
 
+  test("lsh tune: picks the cheapest qualifying banding off its own curve, fallback is max recall") {
+    val curve = engine.LlmOps.qLshCurve(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(4), r.getLong(5))) // (bands, recall_bp, cand_pairs)
+    val pick = engine.LlmOps.qLshTune(spark, sf).collect()
+    assert(pick.length == 1)
+    val (bands, recall, cand, met) =
+      (pick.head.getInt(0), pick.head.getLong(4), pick.head.getLong(5),
+        pick.head.getLong(6))
+    // the chosen row is ON the curve
+    assert(curve.contains((bands, recall, cand)), s"pick $bands not on the curve")
+    val t = engine.LlmOps.LshRecallTargetBp
+    val qualifying = curve.filter(_._2 >= t)
+    if (qualifying.nonEmpty) {
+      assert(met == 1L && recall >= t)
+      // argmin: no qualifying config is strictly cheaper (or equal-cost
+      // with fewer bands)
+      assert(!qualifying.exists(q => q._3 < cand ||
+        (q._3 == cand && q._1 < bands)),
+        s"a cheaper qualifying banding exists: $qualifying vs picked ($bands, $cand)")
+    } else {
+      assert(met == 0L)
+      assert(recall == curve.map(_._2).max, "fallback must be max recall")
+    }
+  }
+
   test("bpe encode: learned merges applied to the vocab, counts weighted by word frequency") {
     import spark.implicits._
     val docs = Seq(
