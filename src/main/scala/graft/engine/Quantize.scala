@@ -583,6 +583,45 @@ object Quantize {
        |ORDER BY f.nprobe""".stripMargin
   }
 
+  /** The recall target q_ivf_tune picks its nprobe against: ≥ 90% of the
+    * exact top-k (9000 basis points). nprobe = NCells is exhaustive
+    * (10000 bp by construction), so a qualifying row always exists. */
+  val IvfRecallTargetBp: Long = 9000L
+
+  /** q_ivf_tune: the ANN operating curve made ACTIONABLE — q_lsh_tune's
+    * discipline on the vector side. Replays q_ivf_curve and declares the
+    * nprobe a serving deployment should use: the cheapest configuration
+    * (fewest candidate rows scanned, then smallest nprobe) whose measured
+    * recall meets [[IvfRecallTargetBp]]; the exhaustive nprobe = NCells
+    * row guarantees the qualify set is never empty. One deterministic
+    * ORDER BY … LIMIT 1 over the ≤5-row curve; the oracle replays curve
+    * + argmin end to end. */
+  def qIvfTune(spark: SparkSession, sfDir: String): DataFrame = {
+    val meets = col("recall_bp") >= IvfRecallTargetBp
+    qIvfCurve(spark, sfDir)
+      .withColumn("met_target", meets.cast("long"))
+      .orderBy(meets.desc,
+        when(meets, col("cand_scanned"))
+          .otherwise(lit(10000L) - col("recall_bp")).asc,
+        col("cand_scanned").asc, col("nprobe").asc)
+      .limit(1)
+  }
+
+  /** Curve replayed, then the same qualify-else-fallback argmin. */
+  lazy val qIvfTuneSql: String =
+    s"""WITH curve AS (
+       |$qIvfCurveSql
+       |)
+       |SELECT nprobe, n_queries, hits, recall_bp, cand_scanned,
+       |  CAST(CASE WHEN recall_bp >= $IvfRecallTargetBp THEN 1 ELSE 0 END
+       |    AS BIGINT) AS met_target
+       |FROM curve
+       |ORDER BY (recall_bp >= $IvfRecallTargetBp) DESC,
+       |  CASE WHEN recall_bp >= $IvfRecallTargetBp
+       |       THEN cand_scanned ELSE 10000 - recall_bp END ASC,
+       |  cand_scanned ASC, nprobe ASC
+       |LIMIT 1""".stripMargin
+
   val qSimIvfQuantSql: String = ivfQuantSql(corpusTrain = false)
   val qIvfAbsorbSql: String = ivfQuantSql(corpusTrain = true)
   /** Same frozen-quantizer replay with the takedown filter on the

@@ -292,4 +292,23 @@ class SketchQuantChunkSpec extends SparkSpec {
     curve.foreach { case (_, n, h, bp, _) =>
       assert(bp == h * 10000 / (n * 3)) }
   }
+
+  test("ivf tune: picks the cheapest qualifying nprobe off its own curve") {
+    val curve = graft.engine.Quantize.qIvfCurve(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(3), r.getLong(4))) // (nprobe, recall_bp, cand_scanned)
+    val pick = graft.engine.Quantize.qIvfTune(spark, sf).collect()
+    assert(pick.length == 1)
+    val (nprobe, recall, scanned, met) =
+      (pick.head.getInt(0), pick.head.getLong(3), pick.head.getLong(4),
+        pick.head.getLong(5))
+    assert(curve.contains((nprobe, recall, scanned)), s"pick $nprobe not on the curve")
+    val t = graft.engine.Quantize.IvfRecallTargetBp
+    // the exhaustive row guarantees a qualifying config exists
+    assert(met == 1L && recall >= t,
+      s"tune must qualify (exhaustive row is 10000 bp), got recall=$recall")
+    val qualifying = curve.filter(_._2 >= t)
+    assert(!qualifying.exists(q => q._3 < scanned ||
+      (q._3 == scanned && q._1 < nprobe)),
+      s"a cheaper qualifying nprobe exists: $qualifying vs picked ($nprobe, $scanned)")
+  }
 }
