@@ -1408,6 +1408,11 @@ object LlmOps {
       dir, name, gen)
   }
 
+  /** Live-generation cap: a tiered pass seeing more generations than
+    * this folds everything (major compaction) — the backstop that keeps
+    * the partition listing bounded in every ingest regime. */
+  private[graft] val MaxLiveGens = 6
+
   /** One tiered-compaction pass's accounting (spec pins read these):
     * which generations folded, the fresh generation they folded into, and
     * the byte split between rewritten (folded) and untouched (kept)
@@ -1438,6 +1443,16 @@ object LlmOps {
     * given byte is rewritten only when its tier has roughly doubled —
     * O(log N) times over the stream's life, the LSM size-tiering
     * discipline — versus the full fold's O(N) rewrites of the base.
+    *
+    * Backstop for the equal-tier regime: when batches are LARGE relative
+    * to the base, graduated fold outputs (each above half-of-max) can
+    * pile up without ever qualifying to fold again. If live generations
+    * exceed [[MaxLiveGens]], the pass folds EVERY candidate — one big
+    * merge, the LSM major compaction. It costs O(index) but can only
+    * trigger after the small-fold rule has graduated several tiers,
+    * i.e. after ingest comparable to the index itself, so the amortized
+    * bound is unchanged; in the dominant-base regime (batches ≪ base,
+    * the 100 TB shape) it never fires.
     *
     * Mechanically the fold is a partition-level rewrite, which is what
     * the gen-partitioned layout buys: the folded gens stream through a
@@ -1472,7 +1487,9 @@ object LlmOps {
     }
     val candidates = bytes - currentGen
     val maxBytes = if (candidates.isEmpty) 0L else candidates.values.max
-    val fold = candidates.filter(_._2 * 2 <= maxBytes).keys.toSeq.sorted
+    val fold =
+      if (bytes.size > MaxLiveGens) candidates.keys.toSeq.sorted
+      else candidates.filter(_._2 * 2 <= maxBytes).keys.toSeq.sorted
     if (fold.size < 2) return None
     val target = -(currentGen + 2)
     require(!bytes.contains(target),

@@ -118,6 +118,37 @@ class StreamCompactSpec extends SparkSpec {
       // against the base — nothing left worth folding
       assert(LlmOps.compactIndexTiered(spark, name, currentGen = 3L).isEmpty,
         "re-running the pass immediately must be a no-op")
+
+      // the live-generation backstop: pile up gens past MaxLiveGens and
+      // the pass majors — folds EVERYTHING, bounded listing in every
+      // ingest regime (size-tiering alone can strand graduated tiers
+      // when batches are large relative to the base)
+      for (g <- 10L to 14L)
+        LlmOps.absorbInto(spark, name,
+          docs.filter(col("doc_id") % 10 >= 8 &&
+              expr("(doc_id DIV 10) % 5") === (g - 10L))
+            .select(col("doc_id"), col("text")), gen = g)
+      val major = LlmOps.compactIndexTiered(spark, name, currentGen = 15L)
+        .getOrElse(fail("over-cap generation count must trigger the major fold"))
+      assert(major.keptGens.isEmpty,
+        s"major compaction must fold every candidate, kept ${major.keptGens}")
+      val liveGens = spark.table(s"${name}_digests")
+        .select(col("gen")).distinct().collect().map(_.getLong(0)).toSet
+      assert(liveGens == Set(major.targetGen),
+        s"after the major fold exactly one generation lives, got $liveGens")
+      val afterMajor = LlmOps.probeDelta(LlmOps.loadBucketedIndex(spark, name), batch)
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      // the probe CHANGED vs `before` (5 more gens were absorbed) — pin
+      // against a fresh-built index over the same accumulated corpus
+      val freshIdx = LlmOps.buildCorpusIndex(
+        docs.filter(col("doc_id") % 10 < 8)
+          .select(col("doc_id"), col("text"))
+          .unionByName(docs.filter(col("doc_id") % 10 >= 8)
+            .select(col("doc_id"), col("text"))))
+      val fresh = LlmOps.probeDelta(freshIdx, batch)
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      assert(afterMajor == fresh,
+        "major compaction must be probe-equal to a fresh index over the same corpus")
     } finally {
       LlmOps.dropBucketedIndex(spark, name)
       val root = java.nio.file.Paths.get(dir)
