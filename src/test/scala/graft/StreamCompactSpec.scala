@@ -73,6 +73,52 @@ class StreamCompactSpec extends SparkSpec {
     }
   }
 
+  test("replay contract: batch id's as-of view is row-identical across a compaction at id") {
+    val docs = engine.Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ridx").toString
+    val name = "graft_spec_ridx"
+    def asOf2(): (Set[String], Set[(Int, Long)]) = {
+      val v = LlmOps.loadBucketedIndex(spark, name, maxGenExclusive = Some(2L))
+      (v.digests.collect().map(_.getString(0)).toSet,
+        v.buckets.collect().map(r => (r.getInt(0), r.getLong(1))).toSet)
+    }
+    try {
+      LlmOps.saveBucketedIndex(spark,
+        LlmOps.buildCorpusIndex(docs.filter(col("doc_id") % 10 < 6)),
+        dir, name, gen = -1L)
+      for (g <- 0L to 2L)
+        LlmOps.absorbInto(spark, name,
+          docs.filter(col("doc_id") % 10 >= 6 && col("doc_id") % 10 < 8
+            && col("doc_id") % 3 === g)
+            .select(col("doc_id"), col("text")), gen = g)
+      // what a RETRIED batch 2 re-reads: generations < 2
+      val before = asOf2()
+      assert(before._1.nonEmpty && before._2.nonEmpty)
+      // the in-loop pass at batch 2 folds gens {0, 1} but never gen 2 —
+      // the replay-determinism half of the contract
+      val rep = LlmOps.compactIndexTiered(spark, name, currentGen = 2L)
+        .getOrElse(fail("two small gens below the cut must fold"))
+      assert(rep.foldedGens == Seq(0L, 1L) && !rep.foldedGens.contains(2L))
+      assert(asOf2() == before,
+        "a replayed batch must re-read a row-identical as-of view across the compaction")
+      // and gen 2's own rows stayed OUT of the view both times: the full
+      // index is strictly larger than the as-of cut
+      val full = LlmOps.loadBucketedIndex(spark, name)
+        .digests.collect().map(_.getString(0)).toSet
+      assert(before._1.subsetOf(full) && (full -- before._1).nonEmpty,
+        "gen 2's own absorbed rows must exist outside the as-of view")
+    } finally {
+      LlmOps.dropBucketedIndex(spark, name)
+      val root = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        finally walk.close()
+      }
+    }
+  }
+
   test("compactIndexTiered: base partition byte-untouched, folded dirs gone, probe-invisible") {
     val docs = engine.Tables.documents(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("graft_tidx").toString
