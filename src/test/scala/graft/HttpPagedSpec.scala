@@ -240,6 +240,35 @@ class HttpPagedSpec extends SparkSpec {
     }
   }
 
+  test("multi-entity over HTTP: per-entity params reach the wire, read == generator") {
+    withFixture(Map("customer" -> 900L, "invoice" -> 700L)) { fx =>
+      def read(endpoint: Option[String]) = {
+        val r = spark.read.format("graft.sources.PagedEntitySource")
+          .option("entities", "customer,invoice")
+          .option("pageSize", 400)
+          .option("customer.rows", 900L)
+          .option("invoice.rows", 700L)
+          .option("invoice.params", "category_mod=3")
+        endpoint.foreach(e => r.option("endpoint", e))
+        r.load()
+      }
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+        df.collect().map(_.toSeq).toSeq
+          .sortBy(r => (r.head.asInstanceOf[String], r(1).asInstanceOf[Long]))
+      val got = rows(read(Some(fx.endpoint)))
+      val want = rows(read(None))
+      assert(got.size == 1600 && got == want,
+        s"multi-entity HTTP read diverged: ${got.size} rows")
+      // each entity paged its own stream with its own params
+      val reqs = fx.requests.toArray(Array.empty[String]).toSeq
+      assert(reqs.count(_.startsWith("/customer?")) == 3, s"customer pages: $reqs")
+      assert(reqs.count(_.startsWith("/invoice?")) == 2, s"invoice pages: $reqs")
+      assert(reqs.filter(_.startsWith("/invoice?")).forall(_.contains("category_mod=3")),
+        "the per-entity extra query param must reach the wire")
+      assert(reqs.filter(_.startsWith("/customer?")).forall(_.contains("category_mod=5")))
+    }
+  }
+
   test("AvailableNow drain over HTTP == batch read (multi-window, multi-page)") {
     withFixture(Map("events" -> 2500L)) { fx =>
       val ckpt = java.nio.file.Files.createTempDirectory("graft_http_ck").toString
