@@ -115,6 +115,15 @@ def lsh_curve_rewrite(orig_sql):
     return "WITH top AS (\n" + NGRAM + "\n),\nbk AS (" + tail
 
 
+def lsh_tune_rewrite(orig_sql):
+    """q_lsh_tune wraps qLshCurveSql in a `curve` CTE; splice the
+    dedup-first ground truth into the embedded curve, keeping the outer
+    argmin selection untouched."""
+    head, tail = orig_sql.split("),\nbk AS (", 1)
+    return ("WITH curve AS (\nWITH top AS (\n" + NGRAM +
+            "\n),\nbk AS (" + tail)
+
+
 if __name__ == "__main__":
     # usage: oracle_dedup_first.py <sfDir> [<verifyOutDir>/oracle_sql.json]
     # compares the shipped naive oracle vs the dedup-first rewrite on the
@@ -126,9 +135,12 @@ if __name__ == "__main__":
     con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
     default_json = '/tmp/verify_out/oracle_sql.json'
     orig = json.load(open(sys.argv[2] if len(sys.argv) > 2 else default_json))
-    for name, new_sql in [('q_dedup_groups', DEDUP_GROUPS), ('q_ngram_jaccard', NGRAM),
-                          ('q_lsh_recall', lsh_recall_rewrite(orig['q_lsh_recall'])),
-                          ('q_lsh_curve', lsh_curve_rewrite(orig['q_lsh_curve']))]:
+    subs = [('q_dedup_groups', DEDUP_GROUPS), ('q_ngram_jaccard', NGRAM),
+            ('q_lsh_recall', lsh_recall_rewrite(orig['q_lsh_recall'])),
+            ('q_lsh_curve', lsh_curve_rewrite(orig['q_lsh_curve']))]
+    if 'q_lsh_tune' in orig:  # added round 11
+        subs.append(('q_lsh_tune', lsh_tune_rewrite(orig['q_lsh_tune'])))
+    for name, new_sql in subs:
         a = con.sql(orig[name]).df()
         b = con.sql(new_sql).df()
         same = a.equals(b)
