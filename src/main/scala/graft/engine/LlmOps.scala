@@ -2637,6 +2637,126 @@ object LlmOps {
       |  WHERE e.vec_id <> q.qid)
       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  /** Channel depth each retrieval channel contributes to the fusion. */
+  private[graft] val RrfChannelTopN = 20
+  /** RRF's conventional rank-smoothing constant (Cormack/Clarke/Büttcher,
+    * SIGIR '09: reciprocal rank fusion, k = 60). */
+  private[graft] val RrfK = 60L
+
+  /** q_hybrid_rrf: HYBRID retrieval — reciprocal-rank fusion of the two
+    * channels this engine already serves. The LEXICAL channel ranks the
+    * corpus per query doc by the count of shared distinct shingles (the
+    * sparse postings join — query-side postings broadcast, never
+    * all-pairs); the VECTOR channel is q_sim_topk's exact brute-force
+    * cosine plan. Each contributes its top-[[RrfChannelTopN]]; a
+    * candidate's fused score is Σ 1/(k + rank) over the channels that
+    * returned it, and the output is the fused top-10 AS RANKS (the
+    * q_sim_topk rank-stable discipline; a channel that missed a
+    * candidate emits rank 0). The only floating-point the fusion adds is
+    * two reciprocals and ONE addition per candidate — identical operands
+    * in both engines, so even the fused ordering is bit-deterministic.
+    *
+    * Scale posture: both channels are query-bounded — the postings join
+    * filters the corpus to the broadcast query shingles BEFORE any
+    * aggregation, the cosine pass scans the corpus once against a
+    * broadcast query side, and fusion joins two ≤ |Q|·TopN-row frames.
+    * Nothing quadratic in the corpus, ever. */
+  def qHybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    // lexical channel: shared distinct-shingle counts vs the 10 queries
+    val posts = withShingleHashes(docs)
+      .select(col("doc_id"), explode(col("shl")).as("s"))
+    val qPosts = posts.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("qid"), col("s"))
+    val wT = Window.partitionBy(col("qid"))
+      .orderBy(col("n_common").desc, col("doc_id").asc)
+    val textRank = posts.join(broadcast(qPosts), "s")
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("rt", row_number().over(wT).cast("long"))
+      .filter(col("rt") <= RrfChannelTopN)
+      .select(col("qid"), col("doc_id"), col("rt"))
+    // vector channel: q_sim_topk's plan at channel depth
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val wV = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val vecRank = emb.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("qe"), col("embedding")).as("sim"))
+      .withColumn("rv", row_number().over(wV).cast("long"))
+      .filter(col("rv") <= RrfChannelTopN)
+      .select(col("qid"), col("vec_id").as("doc_id"), col("rv"))
+    // RRF over the union of candidates; text term first, then vector —
+    // the oracle adds in the same order
+    val wF = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    textRank.join(vecRank, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("score",
+        coalesce(lit(1.0) / (lit(RrfK) + col("rt")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(RrfK) + col("rv")), lit(0.0)))
+      .withColumn("fused_rank", row_number().over(wF).cast("long"))
+      .filter(col("fused_rank") <= 10)
+      .select(col("qid"), col("doc_id"),
+        coalesce(col("rt"), lit(0L)).as("rank_text"),
+        coalesce(col("rv"), lit(0L)).as("rank_vec"),
+        col("fused_rank"))
+      .orderBy(col("qid"), col("fused_rank"))
+  }
+
+  /** Both channels and the fusion arithmetic replayed: string shingles
+    * stand in for the engine's (collision-free, q_dedup_groups-proven)
+    * hashed shingles, the cosine ranking is qSimTopkSql's, and the score
+    * is the same two casts + one addition — bit-identical doubles. */
+  val qHybridRrfSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+       |         ELSE list_distinct(
+       |           [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, len(tk)-1)])
+       |    END AS shl
+       |  FROM t),
+       |flat AS (SELECT doc_id, unnest(shl) AS s FROM sh),
+       |qf AS (SELECT doc_id AS qid, s FROM flat WHERE doc_id < 10),
+       |tc AS (
+       |  SELECT qf.qid, f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_common
+       |  FROM flat f JOIN qf ON f.s = qf.s AND f.doc_id <> qf.qid
+       |  GROUP BY 1, 2),
+       |tr AS (
+       |  SELECT qid, doc_id, rt FROM (
+       |    SELECT qid, doc_id, CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY n_common DESC, doc_id ASC) AS BIGINT) AS rt FROM tc)
+       |  WHERE rt <= $RrfChannelTopN),
+       |vr AS (
+       |  SELECT qid, vec_id AS doc_id, rv FROM (
+       |    SELECT q.qid, e.vec_id, CAST(row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id ASC)
+       |      AS BIGINT) AS rv
+       |    FROM (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |          WHERE vec_id < 10) q, embeddings e
+       |    WHERE e.vec_id <> q.qid)
+       |  WHERE rv <= $RrfChannelTopN),
+       |fused AS (
+       |  SELECT COALESCE(tr.qid, vr.qid) AS qid,
+       |    COALESCE(tr.doc_id, vr.doc_id) AS doc_id, tr.rt, vr.rv,
+       |    COALESCE(CAST(1 AS DOUBLE) / CAST($RrfK + tr.rt AS DOUBLE), CAST(0 AS DOUBLE))
+       |      + COALESCE(CAST(1 AS DOUBLE) / CAST($RrfK + vr.rv AS DOUBLE), CAST(0 AS DOUBLE))
+       |      AS score
+       |  FROM tr FULL OUTER JOIN vr
+       |    ON tr.qid = vr.qid AND tr.doc_id = vr.doc_id)
+       |SELECT qid, doc_id, COALESCE(rt, 0) AS rank_text,
+       |  COALESCE(rv, 0) AS rank_vec, fused_rank
+       |FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS fused_rank
+       |  FROM fused)
+       |WHERE fused_rank <= 10 ORDER BY qid, fused_rank""".stripMargin
+
   /** q_sim_ivf: IVF ANN — k-means-trained coarse centroids (2 Lloyd
     * rounds, KMeans.scala), every vector assigned to its cell, queries
     * probe only the 2 nearest cells. Search cost drops to ~nprobe/ncells

@@ -489,6 +489,35 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("hybrid rrf: fusion replays both channels' ranks; scores recomputed independently") {
+    val out = engine.LlmOps.qHybridRrf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty && out.map(_._1).distinct.length == 10, "10 query docs")
+    // per query: fused ranks are 1..n dense, and the fused ORDER matches
+    // an independent RRF recompute from the emitted channel ranks
+    out.groupBy(_._1).foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_._5)
+      assert(sorted.map(_._5).toSeq == (1L to rows.length).toSeq, s"q$qid ranks dense")
+      def score(rt: Long, rv: Long): Double =
+        (if (rt > 0) 1.0 / (60 + rt) else 0.0) + (if (rv > 0) 1.0 / (60 + rv) else 0.0)
+      val rescored = rows.sortBy(t => (-score(t._3, t._4), t._2)).map(_._2).toSeq
+      assert(sorted.map(_._2).toSeq == rescored,
+        s"q$qid fused order must equal the RRF recompute")
+      // a candidate in both channels must outrank one with only the
+      // deeper single-channel rank — the point of fusion
+      assert(rows.forall(t => t._3 > 0 || t._4 > 0), "every candidate came from a channel")
+    }
+    // the vector channel's emitted ranks agree with q_sim_topk where
+    // depths overlap (same plan, same tiebreaks)
+    val topk = engine.LlmOps.qSimTopk(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val fromFusion = out.filter(t => t._4 > 0 && t._4 <= 5)
+      .map(t => ((t._1, t._2), t._4)).toMap
+    fromFusion.foreach { case (k, rv) =>
+      topk.get(k).foreach(rk => assert(rk == rv, s"$k: vec rank $rv != q_sim_topk $rk"))
+    }
+  }
+
   test("bpe encode: learned merges applied to the vocab, counts weighted by word frequency") {
     import spark.implicits._
     val docs = Seq(
