@@ -87,13 +87,16 @@ object LlmOps {
     * the filters a pretraining pipeline runs before anything expensive.
     * All-integer numerators/denominators, so the double ratios are a single
     * identical division in both engines. */
-  def qTextQuality(spark: SparkSession, sfDir: String): DataFrame = {
+  def qTextQuality(spark: SparkSession, sfDir: String): DataFrame =
+    textQualityOf(Tables.documents(spark, sfDir))
+
+  private[graft] def textQualityOf(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val stopArr = typedLit(stopwords)
     // token and alnum-char counts from TokenCounts' single codegen'd byte
     // scan (the regexp_replace char-class pass was the query's whole cost
     // at scale); only the stopword filter still walks the token array
-    Tables.documents(spark, sfDir)
+    docs
       .withColumn("_tc", TextExprs.tokenCounts(lower(col("text"))))
       .select(
         col("doc_id"),
@@ -2513,6 +2516,32 @@ object LlmOps {
   def qDedupGroups(spark: SparkSession, sfDir: String): DataFrame =
     dedupGroups(Tables.documents(spark, sfDir), 0.7)
 
+  /** q_dedup_keep_best: the curation DECISION dedup exists to feed — per
+    * near-dup component (q_dedup_groups' exact closure), keep the member
+    * a trainer would actually want: quality-gate passers first
+    * (q_text_quality's declared gate), longest by token count among
+    * them, doc_id as the final tiebreak. q_dedup_groups' `keep`
+    * (min-id) is the arbitrary-but-stable choice; this one is the
+    * content-aware choice, and the difference is observable wherever a
+    * component's minimum id is not its best member. Sort keys are
+    * booleans and integers only — no float ever crosses the comparator.
+    *
+    * Scale posture: the component map and the quality metrics are both
+    * one narrow pass each, joined on the unique doc key; the selection
+    * window shuffles (doc_id, component, 2 longs) — never text — and
+    * partitions by component (dedup-cluster-sized groups). */
+  def qDedupKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
+    val comp = qDedupGroups(spark, sfDir).select(col("doc_id"), col("component"))
+    val qual = qTextQuality(spark, sfDir)
+      .select(col("doc_id"), col("passes"), col("n_tokens"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("passes").desc, col("n_tokens").desc, col("doc_id").asc)
+    comp.join(qual, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("component"), (col("rn") === 1).as("keep_best"))
+      .orderBy(col("doc_id"))
+  }
+
   def dedupGroups(docs: DataFrame, threshold: Double,
       cap: Int = maxBucketDocs): DataFrame = {
     // DEDUP-FIRST (same algebra as ngramJaccardTop100): exact-duplicate
@@ -2606,6 +2635,31 @@ object LlmOps {
       |  SELECT * FROM r)
       |SELECT src AS doc_id, MIN(dst) AS component, (src = MIN(dst)) AS keep
       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
+  /** Component closure and the quality gate both replayed, then the same
+    * (passes, n_tokens, doc_id) selection window. lazy: embeds
+    * qDedupGroupsSql, and the 100×-dir differential splices the
+    * dedup-first closure into the `comp` CTE exactly as for the naive
+    * query (tools/oracle_dedup_first.py). */
+  lazy val qDedupKeepBestSql: String =
+    s"""WITH comp AS (
+       |$qDedupGroupsSql
+       |),
+       |qual AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+       |      AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(string_split(lower(text), ' '),
+       |      t -> list_contains(${stopwords.mkString("['", "','", "']")}, t)))
+       |      AS BIGINT) AS stop_n
+       |  FROM documents)
+       |SELECT doc_id, component, (rn = 1) AS keep_best FROM (
+       |  SELECT c.doc_id, c.component,
+       |    row_number() OVER (PARTITION BY c.component
+       |      ORDER BY (q.n_tokens >= 10 AND q.stop_n >= 1) DESC,
+       |        q.n_tokens DESC, c.doc_id ASC) AS rn
+       |  FROM comp c JOIN qual q ON q.doc_id = c.doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   // --- similarity search -------------------------------------------------
 

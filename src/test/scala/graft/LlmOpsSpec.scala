@@ -489,6 +489,49 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup keep-best: one keeper per component, and it is the declared-best member") {
+    val comp = engine.LlmOps.qDedupGroups(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qual = engine.LlmOps.qTextQuality(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(6), r.getLong(2)))).toMap
+    val out = engine.LlmOps.qDedupKeepBest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // same component map as q_dedup_groups, exactly one keeper each
+    assert(out.map(t => t._1 -> t._2).toMap == comp, "component map must match q_dedup_groups")
+    out.groupBy(_._2).foreach { case (c, members) =>
+      val keepers = members.filter(_._3).map(_._1)
+      assert(keepers.length == 1, s"component $c: ${keepers.length} keepers")
+      // the keeper is max by (passes, n_tokens, -doc_id) — recomputed
+      // independently from q_text_quality
+      val best = members.map(_._1).maxBy { d =>
+        val (p, n) = qual(d); (p, n, -d)
+      }
+      assert(keepers.head == best, s"component $c: kept ${keepers.head}, best is $best")
+    }
+    // the decision is OBSERVABLE vs min-id keep: on a fixture where the
+    // min-id member fails the gate, keep_best must diverge
+    import spark.implicits._
+    val boiler = (1 to 40).map(i => s"the tok$i of and").mkString(" ")
+    val fx = Seq(
+      (1L, "short"),                       // min id, fails the gate
+      (2L, s"$boiler extra tail words here"),
+      (3L, boiler)
+    ).toDF("doc_id", "text")
+    // doc 1 is its own component (no shared shingles); docs 2,3 cluster
+    val comp2 = engine.LlmOps.dedupGroups(fx, 0.7)
+    val got = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("component"))
+        .orderBy(col("passes").desc, col("n_tokens").desc, col("doc_id").asc)
+      comp2.select(col("doc_id"), col("component"))
+        .join(engine.LlmOps.textQualityOf(fx), "doc_id")
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rn") === 1).select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    }
+    assert(got.contains(2L) && !got.contains(3L),
+      s"the longer passing member (2) must win its cluster, got $got")
+  }
+
   test("hybrid rrf: fusion replays both channels' ranks; scores recomputed independently") {
     val out = engine.LlmOps.qHybridRrf(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

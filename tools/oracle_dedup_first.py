@@ -115,6 +115,13 @@ def lsh_curve_rewrite(orig_sql):
     return "WITH top AS (\n" + NGRAM + "\n),\nbk AS (" + tail
 
 
+def keep_best_rewrite(orig_sql):
+    """q_dedup_keep_best wraps qDedupGroupsSql in a `comp` CTE; splice the
+    dedup-first closure in its place, keeping the quality/selection tail."""
+    head, tail = orig_sql.split("),\nqual AS (", 1)
+    return "WITH comp AS (\n" + DEDUP_GROUPS + "\n),\nqual AS (" + tail
+
+
 def lsh_tune_rewrite(orig_sql):
     """q_lsh_tune wraps qLshCurveSql in a `curve` CTE; splice the
     dedup-first ground truth into the embedded curve, keeping the outer
@@ -140,6 +147,8 @@ if __name__ == "__main__":
             ('q_lsh_curve', lsh_curve_rewrite(orig['q_lsh_curve']))]
     if 'q_lsh_tune' in orig:  # added round 11
         subs.append(('q_lsh_tune', lsh_tune_rewrite(orig['q_lsh_tune'])))
+    if 'q_dedup_keep_best' in orig:  # added round 11
+        subs.append(('q_dedup_keep_best', keep_best_rewrite(orig['q_dedup_keep_best'])))
     for name, new_sql in subs:
         a = con.sql(orig[name]).df()
         b = con.sql(new_sql).df()
