@@ -298,6 +298,30 @@ class HttpPagedSpec extends SparkSpec {
           r.contains(s"offset=$off")),
           s"window-0 page at offset $off missing from the wire log")
       }
+
+      // restart from the committed checkpoint: everything was committed,
+      // so the recovered run must issue ZERO page requests — the offset
+      // log, not the remote, is the source of progress (the reference's
+      // at-least-once window replay, repaired by Spark's checkpoint)
+      fx.requests.clear()
+      val q2 = spark.readStream.format("graft.sources.PagedEntitySource")
+        .option("rows", 2500L).option("pageSize", 300)
+        .option("windowRows", 1000L)
+        .option("endpoint", fx.endpoint)
+        .load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val n = b.count()
+          assert(n == 0L, s"recovered drain re-emitted $n rows")
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination(120000)
+      assert(!q2.isActive, "recovered HTTP drain did not terminate")
+      val replayReqs = fx.requests.toArray(Array.empty[String]).toSeq
+      assert(replayReqs.isEmpty,
+        s"a fully-committed restart must not touch the remote, saw $replayReqs")
     }
   }
 }
