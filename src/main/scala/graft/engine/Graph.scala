@@ -85,9 +85,15 @@ object Graph {
         .select(col("nt"), col("nid"), col("outdeg"),
           expr(s"$Scale div n").as("r"))
       for (i <- 1 to iters) {
+        // SHUFFLE_HASH on the node-sized side: the default SMJ would SORT
+        // the edge side every round — at the 100× dir that sort was the
+        // query's only spill (3.2 GB) and most of its cost. Hash-building
+        // the per-partition node slice streams the (already partitioned,
+        // persisted) edges untouched; ranks are too big to broadcast at
+        // scale but tiny per partition.
         val msgs = edges
           .join(r.select(col("nt").as("st"), col("nid").as("sid"),
-            expr("r div outdeg").as("c")), Seq("st", "sid"))
+            expr("r div outdeg").as("c")).hint("shuffle_hash"), Seq("st", "sid"))
           .select(col("dt").as("nt"), col("did").as("nid"), col("c"))
           .groupBy(col("nt"), col("nid"))
           .agg(sum(col("c")).as("m"))
