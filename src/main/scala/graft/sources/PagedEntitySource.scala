@@ -127,6 +127,8 @@ class PagedEntitySource extends TableProvider {
 }
 
 object PagedEntitySource {
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Epoch micros of the stream origin (2024-01-01 00:00:00 UTC). */
   val BaseUs: Long = 1704067200000000L
   /** One record per minute, ts strictly ascending with id (R3's invariant). */
@@ -211,6 +213,17 @@ object PagedEntitySource {
         s"update_every must be 0 (off) or >= 2, got $updateEvery")
     val remote = Option(props.get("endpoint")).map(_.trim).filter(_.nonEmpty)
       .map { url =>
+        val explicitUser = props.get("username") != null
+        val explicitPass = props.get("password") != null
+        // Basic auth over plain http is cleartext on the wire; defaulted
+        // credentials on top of that are a footgun the moment `endpoint`
+        // names anything but the localhost fixture. Warn loudly (the
+        // fixture path stays usable; a real deployment sets both options
+        // and uses https).
+        if (url.startsWith("http://") && !(explicitUser && explicitPass))
+          log.warn(s"paged source endpoint '$url' uses plain http with " +
+            "defaulted Basic-auth credentials; set username/password " +
+            "options (and prefer https) for any non-local backend")
         RemoteApi(if (url.endsWith("/")) url.dropRight(1) else url,
           props.getOrDefault("username", "graft"),
           props.getOrDefault("password", "secret"))
@@ -614,6 +627,13 @@ class PagedPartitionReader(page: PagedPartition, required: StructType)
   * the transient flavor (:171-175). Failures raise [[PagedFetchException]]
   * for the caller's reference-exact retry loop. */
 private[sources] object HttpPageFetch {
+  /** One mapper for the life of the executor, like the reference's
+    * per-client cached instance (ChargeOverApiClient.java holds a single
+    * ObjectMapper) — `readTree` is thread-safe, and per-page construction
+    * repeats Jackson's module/introspector warmup on every fetch. Shared
+    * with the offset-JSON codecs below for the same reason. */
+  private[sources] val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   def fetch(api: PagedEntitySource.RemoteApi, page: PagedPartition,
       required: StructType): Array[InternalRow] = {
     val conf = page.conf
@@ -651,14 +671,52 @@ private[sources] object HttpPageFetch {
       if (code != 200)
         throw new PagedFetchException(
           s"HTTP $code for page@${page.startId}", rateLimited = false)
-      val body = new String(c.getInputStream.readAllBytes(), "UTF-8")
-      val resp = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(body).get("response")
-      require(resp != null && resp.isArray,
-        s"malformed envelope (no response array) from ${api.endpoint}/${conf.name}")
+      // the 200-path body read and parse fail transiently too (read
+      // timeout mid-body, connection reset after the status line, a proxy
+      // error page instead of the envelope) — wrap them into the same
+      // transient flavor the reference's catch-all gives every fetch
+      // error (ChargeOverApiClient.java:171-175), so the retry loop owns
+      // them instead of the task dying on the first mid-body hiccup
+      val resp =
+        try mapper.readTree(
+          new String(c.getInputStream.readAllBytes(), "UTF-8")).get("response")
+        catch {
+          case e: java.io.IOException => throw new PagedFetchException(
+            s"body read/parse failed for page@${page.startId}: ${e.getMessage}",
+            rateLimited = false)
+        }
+      if (resp == null || !resp.isArray)
+        throw new PagedFetchException(
+          s"malformed envelope (no response array) from ${api.endpoint}/${conf.name}",
+          rateLimited = false)
+      // a backend serving a different extent than the planned scan would
+      // otherwise yield silent duplicates (long page) or silent data loss
+      // (short page / out-of-window rows) relative to the pushdown plan —
+      // validate the envelope against the page contract and fail loudly
+      val expect = page.endId - page.startId
+      if (resp.size() > expect)
+        throw new PagedFetchException(
+          s"server returned ${resp.size()} rows for page@${page.startId}, " +
+            s"limit was $expect", rateLimited = false)
+      if (resp.size() < expect)
+        throw new PagedFetchException(
+          s"short page@${page.startId}: got ${resp.size()} rows, expected " +
+            s"$expect — backend truncated the planned window", rateLimited = false)
+      val tsLo = PagedEntitySource.tsOf(page.startId)
+      val tsHi = PagedEntitySource.tsOf(page.endId)
       val fields = required.fieldNames
       Array.tabulate(resp.size()) { i =>
         val rec = resp.get(i)
+        // ts maps 1:1 to the stream position, so a served ts outside the
+        // planned page's half-open span means the backend answered a
+        // different window than the one pushed down — duplicated or
+        // displaced rows if emitted verbatim
+        val ts = rec.get("ts_us")
+        if (ts != null && !ts.isNull &&
+            (ts.asLong() < tsLo || ts.asLong() >= tsHi))
+          throw new PagedFetchException(
+            s"row $i of page@${page.startId} has ts_us=${ts.asLong()} " +
+              s"outside the planned span [$tsLo, $tsHi)", rateLimited = false)
         val vals: Array[Any] = fields.map {
           case "_entity_type" => UTF8String.fromString(conf.name)
           case f =>
@@ -725,8 +783,7 @@ object PagedStreamOffset {
     PagedStreamOffset("INITIAL_LOAD", 0L, 0L, 0L, isProcessingBatch = false)
 
   def fromJson(json: String): PagedStreamOffset = {
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(json)
+    val m = HttpPageFetch.mapper.readTree(json)
     PagedStreamOffset(
       m.get("load_mode").asText(),
       m.get("last_processed_id").asLong(),
@@ -933,7 +990,7 @@ case class MultiPagedStreamOffset(entities: Map[String, PagedStreamOffset])
 
 object MultiPagedStreamOffset {
   def fromJson(json: String): MultiPagedStreamOffset = {
-    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val root = HttpPageFetch.mapper.readTree(json)
     val ents = root.get("entities")
     val b = Map.newBuilder[String, PagedStreamOffset]
     val it = ents.fields()
