@@ -1467,10 +1467,50 @@ object LlmOps {
     * table format (same note as [[absorbInto]]). Returns None — no table
     * change at all — when fewer than two generations qualify. */
   def compactIndexTiered(spark: SparkSession, name: String,
-      currentGen: Long): Option[TierCompaction] = {
-    import org.apache.hadoop.fs.Path
-    val tables = Seq(s"${name}_digests" -> Seq("dg"),
+      currentGen: Long): Option[TierCompaction] =
+    compactTieredTables(spark, indexTables(name), IndexBuckets, currentGen)
+
+  /** The two gen-partitioned tables behind a bucketed text index, with
+    * their bucket/sort keys — the table list [[compactTieredTables]]
+    * maintains as one pass. */
+  private[graft] def indexTables(name: String): Seq[(String, Seq[String])] =
+    Seq(s"${name}_digests" -> Seq("dg"),
       s"${name}_buckets" -> Seq("band", "band_key"))
+
+  /** The tiered fold over any set of gen-partitioned bucketed tables
+    * (the text index's digests+buckets pair; the ANN postings table) —
+    * IDEMPOTENT under crash-and-retry, which the in-loop schedule
+    * requires: foreachBatch replays a failed batch, and the replayed pass
+    * must FINISH an interrupted fold rather than wedge on its leftovers.
+    *
+    * The recovery protocol (in lieu of a transactional table format,
+    * which is where a production deployment would stage this):
+    *
+    *  1. The fold plan is PUBLISHED before any table mutates — a one-line
+    *     JSON manifest (`_tier_plan_gen_<g>.json`, underscore-prefixed so
+    *     scans ignore it) created under the first table's location via
+    *     write-to-temp + atomic rename. A pass that finds its own
+    *     manifest resumes THAT plan instead of recomputing one from the
+    *     half-mutated layout.
+    *  2. Per table, in order: if the target partition's directory already
+    *     exists on disk, the append committed in the interrupted run —
+    *     skip it (re-registering the partition, since file commit and
+    *     catalog registration aren't atomic either); otherwise run the
+    *     append over whichever fold gens still exist. Then drop + delete
+    *     the fold partitions (both idempotent).
+    *  3. The manifest is removed last. A retried batch whose pass fully
+    *     completed therefore finds NO manifest but an existing target
+    *     partition, and returns None — previously this state
+    *     require-crashed, permanently wedging the stream in a crash loop.
+    *
+    * Every step is either idempotent or guarded by an existence check, so
+    * any crash point replays to the same final layout. `crashAfterTables`
+    * is the spec's failpoint: throw after that many tables completed,
+    * simulating a crash between the pair's folds. */
+  private[graft] def compactTieredTables(spark: SparkSession,
+      tables: Seq[(String, Seq[String])], nBuckets: Int, currentGen: Long,
+      crashAfterTables: Int = Int.MaxValue): Option[TierCompaction] = {
+    import org.apache.hadoop.fs.Path
     val hconf = spark.sessionState.newHadoopConf()
     val locs = tables.map { case (t, _) =>
       new Path(spark.sessionState.catalog.getTableMetadata(
@@ -1488,47 +1528,92 @@ object LlmOps {
       (a.keySet ++ b.keySet).iterator
         .map(g => g -> (a.getOrElse(g, 0L) + b.getOrElse(g, 0L))).toMap
     }
-    val candidates = bytes - currentGen
-    val maxBytes = if (candidates.isEmpty) 0L else candidates.values.max
-    val fold =
-      if (bytes.size > MaxLiveGens) candidates.keys.toSeq.sorted
-      else candidates.filter(_._2 * 2 <= maxBytes).keys.toSeq.sorted
-    if (fold.size < 2) return None
     val target = -(currentGen + 2)
-    require(!bytes.contains(target),
-      s"tiered compaction: fold target gen $target already exists in $name")
-    tables.foreach { case (t, keys) =>
-      // append-from-self is safe here: the pruned scan's file listing is
-      // snapshotted at planning and the write lands only under the (new)
-      // target partition, disjoint from every file being read.
-      // distinct() is load-bearing, same as in compactIndex: without a
-      // real bucketing consumer the planner elides the repartition AND
-      // disables the bucketed scan — per-input-file write tasks,
-      // multi-file buckets, no compaction (observed: 22 files for 8
-      // buckets). Rows are unique across generations anyway (absorbInto
-      // anti-joins), so distinct changes nothing semantically.
-      spark.table(t).filter(col("gen").isInCollection(fold))
-        .drop("gen").distinct().withColumn("gen", lit(target))
-        .repartition(IndexBuckets, keys.map(col): _*)
-        .write.format("parquet").mode("append")
-        .partitionBy("gen")
-        .bucketBy(IndexBuckets, keys.head, keys.tail: _*)
-        .sortBy(keys.head, keys.tail: _*)
-        .saveAsTable(t)
+    val headFs = locs.head.getFileSystem(hconf)
+    val manifest = new Path(locs.head, s"_tier_plan_gen_$currentGen.json")
+    val fold: Seq[Long] =
+      if (headFs.exists(manifest)) {
+        // resume: the interrupted pass's plan, not a fresh one over the
+        // half-mutated layout
+        val in = headFs.open(manifest)
+        val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+        require(node.get("target").asLong() == target,
+          s"tiered compaction: manifest $manifest targets gen " +
+            s"${node.get("target").asLong()}, expected $target")
+        val arr = node.get("fold")
+        (0 until arr.size()).map(arr.get(_).asLong())
+      } else if (bytes.contains(target)) {
+        // the pass for this batch already COMPLETED (manifest removed at
+        // the end) and the batch was retried — nothing left to fold
+        return None
+      } else {
+        val candidates = bytes - currentGen
+        val maxBytes = if (candidates.isEmpty) 0L else candidates.values.max
+        val f =
+          if (bytes.size > MaxLiveGens) candidates.keys.toSeq.sorted
+          else candidates.filter(_._2 * 2 <= maxBytes).keys.toSeq.sorted
+        if (f.size < 2) return None
+        val tmp = new Path(locs.head, s"._tier_plan_gen_$currentGen.tmp")
+        val out = headFs.create(tmp, true)
+        try out.write(
+          s"""{"target":$target,"fold":[${f.mkString(",")}]}""".getBytes("UTF-8"))
+        finally out.close()
+        if (!headFs.rename(tmp, manifest))
+          throw new java.io.IOException(s"could not publish fold plan $manifest")
+        f
+      }
+    var done = 0
+    tables.zip(locs).foreach { case ((t, keys), loc) =>
+      val fs = loc.getFileSystem(hconf)
+      if (fs.exists(new Path(loc, s"gen=$target"))) {
+        // this table's fold committed before the crash; re-register in
+        // case the interruption fell between file commit and catalog
+        // registration (idempotent if it didn't)
+        spark.sql(s"ALTER TABLE $t ADD IF NOT EXISTS PARTITION (gen=$target)")
+      } else {
+        // a fold gen can be absent from ONE table (an absorb whose
+        // anti-join found nothing new there writes no partition), and on
+        // resume some may already be dropped — fold what still exists
+        val present = fold.filter(g => fs.exists(new Path(loc, s"gen=$g")))
+        // append-from-self is safe here: the pruned scan's file listing is
+        // snapshotted at planning and the write lands only under the (new)
+        // target partition, disjoint from every file being read.
+        // distinct() is load-bearing, same as in compactIndex: without a
+        // real bucketing consumer the planner elides the repartition AND
+        // disables the bucketed scan — per-input-file write tasks,
+        // multi-file buckets, no compaction (observed: 22 files for 8
+        // buckets). Rows are unique across generations anyway (absorbInto
+        // anti-joins), so distinct changes nothing semantically.
+        if (present.nonEmpty)
+          spark.table(t).filter(col("gen").isInCollection(present))
+            .drop("gen").distinct().withColumn("gen", lit(target))
+            .repartition(nBuckets, keys.map(col): _*)
+            .write.format("parquet").mode("append")
+            .partitionBy("gen")
+            .bucketBy(nBuckets, keys.head, keys.tail: _*)
+            .sortBy(keys.head, keys.tail: _*)
+            .saveAsTable(t)
+      }
       fold.foreach { g =>
         spark.sql(s"ALTER TABLE $t DROP IF EXISTS PARTITION (gen=$g)")
       }
       spark.catalog.refreshTable(t)
-    }
-    // DROP PARTITION de-registers but (external table) keeps the files;
-    // delete the folded directories so disk matches the catalog's view
-    locs.foreach { loc =>
-      val fs = loc.getFileSystem(hconf)
+      // DROP PARTITION de-registers but (external table) keeps the files;
+      // delete the folded directories so disk matches the catalog's view
       fold.foreach { g => fs.delete(new Path(loc, s"gen=$g"), true); () }
+      done += 1
+      if (done >= crashAfterTables && done < tables.size)
+        throw new IllegalStateException(
+          s"injected tiered-compaction crash after $done of ${tables.size} tables")
     }
-    val kept = (bytes.keySet -- fold).toSeq.sorted
-    Some(TierCompaction(fold, target, fold.map(bytes).sum,
-      kept, kept.map(bytes).sum))
+    headFs.delete(manifest, false)
+    // on a fresh pass this is the exact byte split; a RESUMED pass
+    // reports whatever the interrupted run had not yet folded (already-
+    // dropped gens read 0) — the layout outcome is identical either way
+    val kept = (bytes.keySet -- fold - target).toSeq.sorted
+    Some(TierCompaction(fold, target,
+      fold.map(bytes.getOrElse(_, 0L)).sum, kept, kept.map(bytes).sum))
   }
 
   private val corpusCompactRuns = new java.util.concurrent.atomic.AtomicInteger
