@@ -239,6 +239,29 @@ object Quantize {
         (r.getLong(0), r.getSeq[Int](1))).toSeq.sortBy(_._1)
     })
 
+  /** The serving tail shared by the lifecycle queries and the streaming
+    * drain: rank each query's NProbe nearest cells (broadcast centroid
+    * argmin), scan only those cells' postings, top-[[TopK]] by (distance,
+    * id). `queries` carries (qid, qq); `posting` carries (vec_id, cid,
+    * qv). */
+  private def probeAndRank(cents: DataFrame, posting: DataFrame,
+      queries: DataFrame): DataFrame = {
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("pd"), col("cid"))
+    val probes = queries.join(broadcast(cents))
+      .select(col("qid"), col("qq"), col("cid"), sqd(col("qq"), col("cv")).as("pd"))
+      .withColumn("prn", row_number().over(wProbe)).filter(col("prn") <= NProbe)
+      .select(col("qid"), col("qq"), col("cid"))
+    val wRank = Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))
+    probes.join(posting, "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), sqd(col("qq"), col("qv")).as("d"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("d").as("sqdist"),
+        col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   private def ivfQuantImpl(spark: SparkSession, sfDir: String,
       corpusTrain: Boolean, gc: Boolean, serve: Boolean): DataFrame = {
     val q8 = Tables.embeddings(spark, sfDir)
@@ -292,16 +315,7 @@ object Quantize {
           servePruned(spark, posting, cids, serveDir, serveName)
         } else posting
       try {
-        val wRank = Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))
-        val out = probes.join(postingJoin, "cid")
-          .filter(col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id"), sqd(col("qq"), col("qv")).as("d"))
-          .withColumn("rank", row_number().over(wRank).cast("long"))
-          .filter(col("rank") <= TopK)
-          .select(col("qid"), col("vec_id").as("neighbor_id"), col("d").as("sqdist"),
-            col("rank"))
-          .orderBy(col("qid"), col("rank"))
-        Iterate.cut(out)
+        Iterate.cut(probeAndRank(cents, postingJoin, queries))
       } finally if (serveName != null) {
         spark.sql(s"DROP TABLE IF EXISTS $serveName")
         Streaming.deleteDirTree(serveDir)
