@@ -1491,25 +1491,42 @@ object LlmOps {
     *     scans ignore it) created under the first table's location via
     *     write-to-temp + atomic rename. A pass that finds its own
     *     manifest resumes THAT plan instead of recomputing one from the
-    *     half-mutated layout.
-    *  2. Per table, in order: if the target partition's directory already
-    *     exists on disk, the append committed in the interrupted run —
-    *     skip it (re-registering the partition, since file commit and
-    *     catalog registration aren't atomic either); otherwise run the
-    *     append over whichever fold gens still exist. Then drop + delete
-    *     the fold partitions (both idempotent).
-    *  3. The manifest is removed last. A retried batch whose pass fully
-    *     completed therefore finds NO manifest but an existing target
-    *     partition, and returns None — previously this state
-    *     require-crashed, permanently wedging the stream in a crash loop.
+    *     half-mutated layout. A manifest whose fold gens are ALL gone
+    *     from the live listing with no target and no commit markers is an
+    *     abandoned run's leftover (batch ids restarted under a fresh
+    *     checkpoint) — it is deleted and planning starts fresh, instead
+    *     of "resuming" a plan over generations that no longer exist.
+    *  2. Per table, in order: a per-table COMMIT MARKER
+    *     (`_tier_done_gen_<g>_<i>`, created via write-temp + atomic
+    *     rename AFTER the append and its catalog registration both
+    *     completed) is the only evidence that table `i`'s fold committed.
+    *     Target-directory existence is NOT trusted: Spark's dynamic
+    *     partition job commit moves files into the fresh partition dir
+    *     non-atomically, so a crash mid-commit leaves a partial
+    *     `gen=<target>` that LOOKS complete. On resume, a table without
+    *     its marker has any partial target partition dropped and deleted,
+    *     then the append re-runs over the fold gens — which are
+    *     guaranteed still present, because a table's fold partitions are
+    *     only dropped AFTER its marker is on disk. Then drop + delete the
+    *     fold partitions (both idempotent).
+    *  3. Cleanup removes the manifest FIRST, then the markers. Markers
+    *     are consulted only while the manifest exists, so a crash between
+    *     the two deletes leaves harmless orphans that the next retried
+    *     batch garbage-collects on its no-op path (no manifest + target
+    *     present → None).
     *
-    * Every step is either idempotent or guarded by an existence check, so
-    * any crash point replays to the same final layout. `crashAfterTables`
-    * is the spec's failpoint: throw after that many tables completed,
-    * simulating a crash between the pair's folds. */
+    * Every step is either idempotent or fenced by an atomic marker, so
+    * any crash point — including mid-job-commit of an append — replays to
+    * the same final layout. Failpoints for the spec: `crashAfterTables`
+    * throws after that many tables fully completed (the between-tables
+    * window); `tornAppendAt` commits table i's append, then deletes one
+    * of its data files and throws BEFORE the marker — the torn
+    * mid-job-commit state where the target dir exists but is missing
+    * rows. */
   private[graft] def compactTieredTables(spark: SparkSession,
       tables: Seq[(String, Seq[String])], nBuckets: Int, currentGen: Long,
-      crashAfterTables: Int = Int.MaxValue): Option[TierCompaction] = {
+      crashAfterTables: Int = Int.MaxValue,
+      tornAppendAt: Int = -1): Option[TierCompaction] = {
     import org.apache.hadoop.fs.Path
     val hconf = spark.sessionState.newHadoopConf()
     val locs = tables.map { case (t, _) =>
@@ -1531,7 +1548,10 @@ object LlmOps {
     val target = -(currentGen + 2)
     val headFs = locs.head.getFileSystem(hconf)
     val manifest = new Path(locs.head, s"_tier_plan_gen_$currentGen.json")
-    val fold: Seq[Long] =
+    def marker(i: Int) = new Path(locs.head, s"_tier_done_gen_${currentGen}_$i")
+    def deleteMarkers(): Unit =
+      tables.indices.foreach { i => headFs.delete(marker(i), false); () }
+    val planned: Option[Seq[Long]] =
       if (headFs.exists(manifest)) {
         // resume: the interrupted pass's plan, not a fresh one over the
         // half-mutated layout
@@ -1542,12 +1562,25 @@ object LlmOps {
           s"tiered compaction: manifest $manifest targets gen " +
             s"${node.get("target").asLong()}, expected $target")
         val arr = node.get("fold")
-        (0 until arr.size()).map(arr.get(_).asLong())
+        val f = (0 until arr.size()).map(arr.get(_).asLong())
+        // stale-manifest guard: an abandoned run's plan (fresh checkpoint
+        // restarted batch ids) names generations that no longer exist
+        // anywhere, wrote no target, and committed no table — resuming it
+        // would fold nothing yet swallow this batch's real maintenance.
+        // Discard it and plan fresh over the live layout.
+        val abandoned = f.forall(!bytes.contains(_)) &&
+          !bytes.contains(target) && tables.indices.forall(i => !headFs.exists(marker(i)))
+        if (abandoned) { headFs.delete(manifest, false); None } else Some(f)
       } else if (bytes.contains(target)) {
         // the pass for this batch already COMPLETED (manifest removed at
-        // the end) and the batch was retried — nothing left to fold
+        // the end) and the batch was retried — nothing left to fold; GC
+        // any markers orphaned by a crash between the two cleanup deletes
+        deleteMarkers()
         return None
-      } else {
+      } else None
+    val fold: Seq[Long] = planned match {
+      case Some(f) => f
+      case None =>
         val candidates = bytes - currentGen
         val maxBytes = if (candidates.isEmpty) 0L else candidates.values.max
         val f =
@@ -1562,19 +1595,31 @@ object LlmOps {
         if (!headFs.rename(tmp, manifest))
           throw new java.io.IOException(s"could not publish fold plan $manifest")
         f
-      }
+    }
     var done = 0
-    tables.zip(locs).foreach { case ((t, keys), loc) =>
+    tables.zip(locs).zipWithIndex.foreach { case (((t, keys), loc), i) =>
       val fs = loc.getFileSystem(hconf)
-      if (fs.exists(new Path(loc, s"gen=$target"))) {
-        // this table's fold committed before the crash; re-register in
-        // case the interruption fell between file commit and catalog
-        // registration (idempotent if it didn't)
+      if (headFs.exists(marker(i))) {
+        // the marker is written only after BOTH the append's job commit
+        // and saveAsTable's catalog registration — this table's fold is
+        // durably complete; re-register for belt and braces (idempotent)
         spark.sql(s"ALTER TABLE $t ADD IF NOT EXISTS PARTITION (gen=$target)")
       } else {
+        // no marker ⇒ the append is NOT known committed, whatever the
+        // directory listing says: dynamic-partition job commit moves
+        // files into the fresh partition dir one at a time, so a crash
+        // mid-commit leaves a partial gen=<target> that looks real.
+        // Clear any such torn partition and redo the append — the fold
+        // gens are guaranteed still present, because this table's fold
+        // partitions are only dropped after its marker is on disk.
+        if (fs.exists(new Path(loc, s"gen=$target"))) {
+          spark.sql(s"ALTER TABLE $t DROP IF EXISTS PARTITION (gen=$target)")
+          fs.delete(new Path(loc, s"gen=$target"), true)
+          spark.catalog.refreshTable(t)
+        }
         // a fold gen can be absent from ONE table (an absorb whose
-        // anti-join found nothing new there writes no partition), and on
-        // resume some may already be dropped — fold what still exists
+        // anti-join found nothing new there writes no partition) — fold
+        // what exists
         val present = fold.filter(g => fs.exists(new Path(loc, s"gen=$g")))
         // append-from-self is safe here: the pruned scan's file listing is
         // snapshotted at planning and the write lands only under the (new)
@@ -1594,6 +1639,22 @@ object LlmOps {
             .bucketBy(nBuckets, keys.head, keys.tail: _*)
             .sortBy(keys.head, keys.tail: _*)
             .saveAsTable(t)
+        if (i == tornAppendAt) {
+          // failpoint: the append's job commit finished but the process
+          // dies before the marker — and the commit itself was torn,
+          // leaving the target partition missing one of its files
+          val part = fs.listStatus(new Path(loc, s"gen=$target"))
+            .filter(_.getPath.getName.startsWith("part-")).head.getPath
+          fs.delete(part, false)
+          throw new IllegalStateException(
+            s"injected torn append in table $i ($t): $part lost mid-commit")
+        }
+        // atomic commit record: write-temp + rename, same discipline as
+        // the manifest — dir existence is never evidence, this is
+        val mtmp = new Path(locs.head, s"._tier_done_gen_${currentGen}_$i.tmp")
+        headFs.create(mtmp, true).close()
+        if (!headFs.rename(mtmp, marker(i)) && !headFs.exists(marker(i)))
+          throw new java.io.IOException(s"could not commit fold marker ${marker(i)}")
       }
       fold.foreach { g =>
         spark.sql(s"ALTER TABLE $t DROP IF EXISTS PARTITION (gen=$g)")
@@ -1607,7 +1668,11 @@ object LlmOps {
         throw new IllegalStateException(
           s"injected tiered-compaction crash after $done of ${tables.size} tables")
     }
+    // manifest first, then markers: markers are only consulted while the
+    // manifest exists, so a crash between the deletes leaves orphans the
+    // next retry GCs, never a mis-resume
     headFs.delete(manifest, false)
+    deleteMarkers()
     // on a fresh pass this is the exact byte split; a RESUMED pass
     // reports whatever the interrupted run had not yet folded (already-
     // dropped gens read 0) — the layout outcome is identical either way

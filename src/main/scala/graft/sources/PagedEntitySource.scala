@@ -184,8 +184,17 @@ object PagedEntitySource {
 
   /** A real REST backend for the page fetches (`endpoint` option): base
     * URL plus the Basic-auth credentials the reference sends on every
-    * request (ChargeOverApiClient.java:139-143). */
-  final case class RemoteApi(endpoint: String, username: String, password: String)
+    * request (ChargeOverApiClient.java:139-143). `shortPageEndOfData`
+    * selects between the two legal readings of a page shorter than its
+    * planned extent (`shortPage` option): the reference's REST contract
+    * treats it as the normal end-of-data signal (`hasMore = fetched ==
+    * limit`, ChargeOverApiClient.java:164-165) — a backend with sparse
+    * data simply runs out of rows — while the dense-id fixture's extent
+    * is exact, so a short page there means the backend truncated the
+    * planned window and silence would be data loss. Default strict
+    * (fail), `shortPage=end_of_data` for reference-faithful paging. */
+  final case class RemoteApi(endpoint: String, username: String,
+      password: String, shortPageEndOfData: Boolean = false)
 
   private[sources] def entityConf(e: String, props: util.Map[String, String],
       defaultRows: Long): EntityConf = {
@@ -224,9 +233,14 @@ object PagedEntitySource {
           log.warn(s"paged source endpoint '$url' uses plain http with " +
             "defaulted Basic-auth credentials; set username/password " +
             "options (and prefer https) for any non-local backend")
+        val shortPage = props.getOrDefault("shortPage", "strict")
+        if (shortPage != "strict" && shortPage != "end_of_data")
+          throw new IllegalArgumentException(
+            s"shortPage must be 'strict' or 'end_of_data', got '$shortPage'")
         RemoteApi(if (url.endsWith("/")) url.dropRight(1) else url,
           props.getOrDefault("username", "graft"),
-          props.getOrDefault("password", "secret"))
+          props.getOrDefault("password", "secret"),
+          shortPageEndOfData = shortPage == "end_of_data")
       }
     EntityConf(e, rows, fields,
       params.get("category_mod").map(_.toInt).getOrElse(5), updateEvery,
@@ -512,10 +526,16 @@ class PagedReaderFactory(required: StructType) extends PartitionReaderFactory {
     new PagedPartitionReader(partition.asInstanceOf[PagedPartition], required)
 }
 
-/** Transient page-fetch failure from the simulated remote — IOException-
-  * shaped like the reference's (ApiClient.java:173-175); the 429 flavor
-  * mirrors ChargeOverRateLimitException (ApiClient.java:169-171). */
-class PagedFetchException(msg: String, val rateLimited: Boolean)
+/** Page-fetch failure — IOException-shaped like the reference's
+  * (ApiClient.java:173-175); the 429 flavor mirrors
+  * ChargeOverRateLimitException (ApiClient.java:169-171). `permanent`
+  * marks deterministic CONTRACT violations (long page, strict-mode short
+  * page, out-of-span ts, malformed envelope) that retrying cannot heal:
+  * the retry loop rethrows those immediately instead of burning
+  * maxRetries+1 backoff cycles on a backend that will answer the same
+  * wrong thing every time. */
+class PagedFetchException(msg: String, val rateLimited: Boolean,
+    val permanent: Boolean = false)
   extends java.io.IOException(msg)
 
 /** One page fetch (ChargeOverApiClient.fetchChangesWithPagination analog):
@@ -570,6 +590,12 @@ class PagedPartitionReader(page: PagedPartition, required: StructType)
     while (!fetched && attempt <= f.maxRetries) {
       try { attemptFetch(attempt); fetched = true }
       catch {
+        case e: PagedFetchException if e.permanent =>
+          // a contract violation, not a transient fault — the backend will
+          // serve the same wrong answer on every attempt; fail the task
+          // now instead of maxRetries+1 backoff cycles from here and then
+          // again from every Spark task retry
+          throw e
         case e: PagedFetchException =>
           lastEx = e
           if (attempt < f.maxRetries) {
@@ -688,20 +714,30 @@ private[sources] object HttpPageFetch {
       if (resp == null || !resp.isArray)
         throw new PagedFetchException(
           s"malformed envelope (no response array) from ${api.endpoint}/${conf.name}",
-          rateLimited = false)
+          rateLimited = false, permanent = true)
       // a backend serving a different extent than the planned scan would
       // otherwise yield silent duplicates (long page) or silent data loss
       // (short page / out-of-window rows) relative to the pushdown plan —
-      // validate the envelope against the page contract and fail loudly
+      // validate the envelope against the page contract. Violations are
+      // PERMANENT: the backend answers the same wrong extent every time,
+      // so retry/backoff cannot heal them
       val expect = page.endId - page.startId
       if (resp.size() > expect)
         throw new PagedFetchException(
           s"server returned ${resp.size()} rows for page@${page.startId}, " +
-            s"limit was $expect", rateLimited = false)
-      if (resp.size() < expect)
+            s"limit was $expect", rateLimited = false, permanent = true)
+      // a SHORT page is ambiguous: under the reference's REST contract it
+      // is the ordinary end-of-data signal (hasMore = fetched == limit,
+      // ChargeOverApiClient.java:164-165); under the dense-id fixture it
+      // means the backend truncated the planned window. The shortPage
+      // option picks the reading — strict (default) fails fast,
+      // end_of_data emits what was served and lets pagination end there
+      if (resp.size() < expect && !api.shortPageEndOfData)
         throw new PagedFetchException(
           s"short page@${page.startId}: got ${resp.size()} rows, expected " +
-            s"$expect — backend truncated the planned window", rateLimited = false)
+            s"$expect — backend truncated the planned window " +
+            "(set shortPage=end_of_data if the backend is legitimately sparse)",
+          rateLimited = false, permanent = true)
       val tsLo = PagedEntitySource.tsOf(page.startId)
       val tsHi = PagedEntitySource.tsOf(page.endId)
       val fields = required.fieldNames
@@ -716,7 +752,8 @@ private[sources] object HttpPageFetch {
             (ts.asLong() < tsLo || ts.asLong() >= tsHi))
           throw new PagedFetchException(
             s"row $i of page@${page.startId} has ts_us=${ts.asLong()} " +
-              s"outside the planned span [$tsLo, $tsHi)", rateLimited = false)
+              s"outside the planned span [$tsLo, $tsHi)",
+            rateLimited = false, permanent = true)
         val vals: Array[Any] = fields.map {
           case "_entity_type" => UTF8String.fromString(conf.name)
           case f =>

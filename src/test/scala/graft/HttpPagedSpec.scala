@@ -269,6 +269,48 @@ class HttpPagedSpec extends SparkSpec {
     }
   }
 
+  test("strict short page: permanent failure, fail-fast — ONE wire request, no retry burn") {
+    // the backend holds 1100 rows but the source plans for 1200: the last
+    // page [1000,1200) comes back 100 rows short. Under the default
+    // strict contract that is a deterministic truncation of the planned
+    // window — the fetch must fail PERMANENTLY (single request on the
+    // wire), not burn maxRetries+1 backoff cycles on an answer that
+    // cannot change
+    withFixture(Map("events" -> 1100L)) { fx =>
+      val ex = intercept[Exception] {
+        spark.read.format("graft.sources.PagedEntitySource")
+          .option("rows", 1200L).option("pageSize", 500)
+          .option("endpoint", fx.endpoint)
+          .load().collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("short page@1000")),
+        s"expected the short-page contract error, got: ${msgs(ex)}")
+      val shortReqs = fx.requests.toArray(Array.empty[String]).toSeq
+        .filter(_.contains("offset=1000"))
+      assert(shortReqs.size == 1,
+        s"a permanent contract violation must not retry; wire saw $shortReqs")
+    }
+  }
+
+  test("shortPage=end_of_data: a legitimately short final page ends pagination") {
+    // same sparse backend, reference-faithful mode: a short page is the
+    // REST contract's end-of-data signal (hasMore = fetched == limit,
+    // ChargeOverApiClient.java:164-165) — the read emits what the server
+    // holds and stops, instead of crashing on the planned-extent check
+    withFixture(Map("events" -> 1100L)) { fx =>
+      val got = spark.read.format("graft.sources.PagedEntitySource")
+        .option("rows", 1200L).option("pageSize", 500)
+        .option("endpoint", fx.endpoint)
+        .option("shortPage", "end_of_data")
+        .load().orderBy(col("id")).collect().map(_.toSeq).toSeq
+      val want = genRead(1100L, 500).orderBy(col("id")).collect().map(_.toSeq).toSeq
+      assert(got.size == 1100 && got == want,
+        s"end_of_data read must equal the 1100-row generator read, got ${got.size}")
+    }
+  }
+
   test("AvailableNow drain over HTTP == batch read (multi-window, multi-page)") {
     withFixture(Map("events" -> 2500L)) { fx =>
       val ckpt = java.nio.file.Files.createTempDirectory("graft_http_ck").toString

@@ -112,4 +112,85 @@ class TierIdempotencySpec extends SparkSpec {
       rmTree(dirA); rmTree(dirB)
     }
   }
+
+  test("a TORN append (crash mid-job-commit, partial target partition) resumes losslessly") {
+    val dirA = java.nio.file.Files.createTempDirectory("graft_tierTA").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_tierTB").toString
+    val (a, b) = ("graft_spec_torn_a", "graft_spec_torn_b")
+    try {
+      buildIndex(dirA, a)
+      buildIndex(dirB, b)
+
+      // crash DURING table 0's fold: the append's files land under
+      // gen=-5, then one part file vanishes (the torn dynamic-partition
+      // commit) and the process dies before the commit marker — the
+      // round-12 residual window where "target dir exists" lied
+      val boom = intercept[IllegalStateException] {
+        LlmOps.compactTieredTables(spark, LlmOps.indexTables(a),
+          nBuckets = 8, currentGen = 3L, tornAppendAt = 0)
+      }
+      assert(boom.getMessage.contains("torn append"), boom.getMessage)
+
+      // the torn state is REAL: the target dir exists on disk (looks
+      // committed) but is missing rows; the old existence check would
+      // have skipped the append and dropped the sources — silent loss
+      assert(gensOf(dirA, "digests").contains(-5L),
+        "the partial target partition must exist — that is the trap")
+      assert(hfs.exists(new org.apache.hadoop.fs.Path(
+        s"$dirA/digests/_tier_plan_gen_3.json")))
+      assert(!hfs.exists(new org.apache.hadoop.fs.Path(
+        s"$dirA/digests/_tier_done_gen_3_0")),
+        "no commit marker may exist for the torn table")
+
+      // the replayed batch must detect the missing marker, discard the
+      // partial partition, and redo the append from the (still-present)
+      // fold generations
+      val resumed = LlmOps.compactIndexTiered(spark, a, currentGen = 3L)
+        .getOrElse(fail("the resumed pass must complete the fold"))
+      assert(resumed.foldedGens == Seq(0L, 1L, 2L) && resumed.targetGen == -5L)
+
+      val clean = LlmOps.compactIndexTiered(spark, b, currentGen = 3L)
+        .getOrElse(fail("the twin pass must fold"))
+      assert(clean.foldedGens == Seq(0L, 1L, 2L) && clean.targetGen == -5L)
+
+      Seq("digests", "buckets").foreach { t =>
+        assert(gensOf(dirA, t) == gensOf(dirB, t),
+          s"$t: resumed gens ${gensOf(dirA, t)} != clean ${gensOf(dirB, t)}")
+      }
+      assert(contentOf(a) == contentOf(b),
+        "the resumed index must equal the uninterrupted twin row-for-row " +
+          "— every row of the torn partition recovered")
+      assert(LlmOps.compactIndexTiered(spark, a, currentGen = 3L).isEmpty)
+    } finally {
+      LlmOps.dropBucketedIndex(spark, a)
+      LlmOps.dropBucketedIndex(spark, b)
+      rmTree(dirA); rmTree(dirB)
+    }
+  }
+
+  test("a stale manifest from an abandoned run is discarded, not resumed") {
+    val dirA = java.nio.file.Files.createTempDirectory("graft_tierSM").toString
+    val a = "graft_spec_stale_m"
+    try {
+      buildIndex(dirA, a)
+      // an abandoned run (fresh checkpoint restarted batch ids) left a
+      // plan naming generations that no longer exist; resuming it would
+      // fold nothing and swallow this batch's real maintenance
+      val stale = new org.apache.hadoop.fs.Path(
+        s"$dirA/digests/_tier_plan_gen_3.json")
+      val out = hfs.create(stale, true)
+      try out.write("""{"target":-5,"fold":[90,91]}""".getBytes("UTF-8"))
+      finally out.close()
+
+      val res = LlmOps.compactIndexTiered(spark, a, currentGen = 3L)
+        .getOrElse(fail("fresh planning must proceed past the stale manifest"))
+      assert(res.foldedGens == Seq(0L, 1L, 2L) && res.targetGen == -5L,
+        s"expected the LIVE generations folded, got $res")
+      assert(gensOf(dirA, "digests") == Set(-1L, -5L))
+      assert(!hfs.exists(stale), "the completed pass must leave no manifest")
+    } finally {
+      LlmOps.dropBucketedIndex(spark, a)
+      rmTree(dirA)
+    }
+  }
 }
