@@ -246,11 +246,7 @@ object Quantize {
     * qv). */
   private def probeAndRank(cents: DataFrame, posting: DataFrame,
       queries: DataFrame): DataFrame = {
-    val wProbe = Window.partitionBy(col("qid")).orderBy(col("pd"), col("cid"))
-    val probes = queries.join(broadcast(cents))
-      .select(col("qid"), col("qq"), col("cid"), sqd(col("qq"), col("cv")).as("pd"))
-      .withColumn("prn", row_number().over(wProbe)).filter(col("prn") <= NProbe)
-      .select(col("qid"), col("qq"), col("cid"))
+    val probes = probeCells(cents, queries)
     val wRank = Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))
     probes.join(posting, "cid")
       .filter(col("vec_id") =!= col("qid"))
@@ -260,6 +256,29 @@ object Quantize {
       .select(col("qid"), col("vec_id").as("neighbor_id"), col("d").as("sqdist"),
         col("rank"))
       .orderBy(col("qid"), col("rank"))
+  }
+
+  /** THE probe selection — each query's NProbe nearest cells by
+    * (quantized squared distance, cid) against the broadcast centroid
+    * table, as (qid, qq, cid). The single definition both the ranking
+    * ([[probeAndRank]]) and the serve-path cid pruning derive from:
+    * pruning the on-disk postings to one set of cells and ranking by a
+    * different selection would silently miss neighbors, so any future
+    * change to NProbe or the tie-break lands in both by construction. */
+  private def probeCells(cents: DataFrame, queries: DataFrame): DataFrame =
+    probeRanked(cents, queries).filter(col("prn") <= NProbe)
+      .select(col("qid"), col("qq"), col("cid"))
+
+  /** Every query's cells ranked by the probe order — (qid, qq, cid, prn)
+    * with prn = row_number over (pd, cid). The nprobe-sweep diagnostics
+    * keep the full ranking (per-config candidate sets are prn-prefixes);
+    * serving takes the NProbe prefix via [[probeCells]]. One definition
+    * of the distance/tie-break for all of them. */
+  private def probeRanked(cents: DataFrame, queries: DataFrame): DataFrame = {
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("pd"), col("cid"))
+    queries.join(broadcast(cents))
+      .select(col("qid"), col("qq"), col("cid"), sqd(col("qq"), col("cv")).as("pd"))
+      .withColumn("prn", row_number().over(wProbe))
   }
 
   private def ivfQuantImpl(spark: SparkSession, sfDir: String,
@@ -290,11 +309,10 @@ object Quantize {
         else posting0
       val queries = q8.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("qv").as("qq"))
-      val wProbe = Window.partitionBy(col("qid")).orderBy(col("pd"), col("cid"))
-      val probes = queries.join(broadcast(cents))
-        .select(col("qid"), col("qq"), col("cid"), sqd(col("qq"), col("cv")).as("pd"))
-        .withColumn("prn", row_number().over(wProbe)).filter(col("prn") <= NProbe)
-        .select(col("qid"), col("qq"), col("cid"))
+      // the SAME probe selection probeAndRank will rank by — pruning the
+      // serve table to one definition's cells while ranking by another
+      // would desync the two the moment either changes
+      val probes = probeCells(cents, queries)
       // serving: postings live in a cid-bucketed table; the probed cells
       // (k-bounded: ≤ |queries| × NProbe) prune the scan to their buckets
       var serveName: String = null
@@ -397,10 +415,7 @@ object Quantize {
       val posting = assignTo(cents, q8).join(q8, "vec_id")
       val queries = q8.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("qv").as("qq"))
-      val wProbe = Window.partitionBy(col("qid")).orderBy(col("pd"), col("cid"))
-      val probes = queries.join(broadcast(cents))
-        .select(col("qid"), col("qq"), col("cid"), sqd(col("qq"), col("cv")).as("pd"))
-        .withColumn("prn", row_number().over(wProbe))
+      val probes = probeRanked(cents, queries)
       val cfg = NProbeSweep.toSeq.toDF("nprobe")
       // candidates once, config membership by prefix rank
       val cc = probes.join(posting, "cid")
