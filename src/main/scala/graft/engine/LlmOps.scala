@@ -664,6 +664,18 @@ object LlmOps {
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dft = matched.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    bm25Rank(spark, matched, dft, stats)
+  }
+
+  /** The BM25 scoring + top-10 tail shared by the per-query rebuild
+    * (q_bm25_topk) and the maintained index (q_bm25_absorb): `matched`
+    * carries (doc_id, dl, term, tf), `dft` (term, df), `stats` the 1-row
+    * (n, s). The arithmetic and the sorted-term fold are ONE definition,
+    * so both paths are bit-identical to the DuckDB oracle by the same
+    * token-for-token parenthesization argument. */
+  private def bm25Rank(spark: SparkSession, matched: DataFrame,
+      dft: DataFrame, stats: DataFrame): DataFrame = {
+    import spark.implicits._
     val qdf = bm25Queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
       .toDF("query_id", "term")
     val tfD = col("tf").cast("double"); val sD = col("s").cast("double")
@@ -731,6 +743,183 @@ object LlmOps {
        |      ORDER BY score DESC, doc_id ASC) AS rn
        |  FROM f)
        |WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  // --- maintained lexical (BM25) index -------------------------------------
+
+  /** The on-disk inverted index behind q_bm25_absorb — the lexical
+    * counterpart of the corpus digest index's build→absorb lifecycle,
+    * closing the one index family that was still rebuilt per query
+    * (q_bm25_topk tokenizes the whole corpus on every call; a 100 TB
+    * lexical index is MAINTAINED, not rebuilt). Three gen-partitioned
+    * tables:
+    *
+    *  - `<name>_bm_docs` (doc_id, dl), bucketed on doc_id — the absorb
+    *    fence (anti-join makes re-absorbing a batch a no-op, same
+    *    discipline as [[absorbInto]]) and the source of the global
+    *    (N, Σdl) statistic;
+    *  - `<name>_bm_postings` (term, doc_id, tf, dl), bucketed on term —
+    *    the inverted lists, over the FULL vocabulary (an index serves any
+    *    future query, unlike the per-query rebuild's vocab filter); dl
+    *    rides along denormalized so scoring never joins back to docs;
+    *  - `<name>_bm_tdf` (term, df), bucketed on term — per-generation
+    *    document frequencies; the merged df is their SUM, which is exact
+    *    because the docs fence keeps generations doc-disjoint.
+    *
+    * Query cost is O(query vocabulary), not O(corpus): the postings
+    * filter `term IN (...)` bucket-prunes on the bucketed term column,
+    * the df and stats tables are metadata-sized, and the absorbed batch's
+    * tokenize/explode touches only the batch. Scores over the merged
+    * index are BIT-identical to a from-scratch build: tf/dl are per-doc,
+    * df/N/Σdl are sums over disjoint doc sets, and [[bm25Rank]] is the
+    * single scoring definition. */
+  private def bm25Tf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("_tk"))
+      .select(col("doc_id"), size(col("_tk")).cast("long").as("dl"), col("_tk"))
+      .select(col("doc_id"), col("dl"), explode(col("_tk")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  private def bm25Tables(name: String): Seq[String] =
+    bm25IndexTables(name).map(_._1)
+
+  /** The three gen-partitioned tables behind a lexical index with their
+    * bucket keys — the table list [[compactTieredTables]] folds as one
+    * pass, the same size-tiered schedule the digest index runs. Folding
+    * is semantically free here: every row is unique across generations —
+    * docs and postings because the docs fence keeps gens doc-disjoint,
+    * tdf by its `src` column — so the fold's distinct() collapses
+    * nothing, and the merged df (summed at query time) never changes. */
+  private[graft] def bm25IndexTables(name: String): Seq[(String, Seq[String])] =
+    Seq(s"${name}_bm_docs" -> Seq("doc_id"),
+      s"${name}_bm_postings" -> Seq("term"),
+      s"${name}_bm_tdf" -> Seq("term"))
+
+  /** Build gen 0 of the lexical index from a corpus. */
+  def saveBm25Index(spark: SparkSession, corpus: DataFrame, dir: String,
+      name: String, gen: Long = 0L): Unit = {
+    val tf = bm25Tf(corpus)
+    writeBm25Gen(spark, tf, dir, name, gen, overwrite = true)
+  }
+
+  /** Absorb a batch: anti-join its doc ids against the docs fence (a
+    * re-absorbed batch appends nothing), then append the survivors'
+    * docs/postings/df under `gen`. Appends carry the bucket spec, so the
+    * layout survives maintenance — and [[compactTieredTables]] can fold
+    * the three tables as one pass, the same tiered schedule the digest
+    * index runs in-loop. */
+  def absorbIntoBm25(spark: SparkSession, name: String, batch: DataFrame,
+      gen: Long = 1L): Unit = {
+    val fresh = batch.join(spark.table(s"${name}_bm_docs"),
+      Seq("doc_id"), "left_anti")
+    writeBm25Gen(spark, bm25Tf(fresh), dir = null, name, gen, overwrite = false)
+    bm25Tables(name).foreach(spark.catalog.refreshTable)
+  }
+
+  private def writeBm25Gen(spark: SparkSession, tf: DataFrame, dir: String,
+      name: String, gen: Long, overwrite: Boolean): Unit = {
+    val mode = if (overwrite) "overwrite" else "append"
+    // eager localCheckpoint, not persist: the absorb's tf plan reads the
+    // docs fence, and the first saveAsTable APPENDS to that same fence —
+    // which invalidates every cached plan referencing it, so a mere
+    // persist would silently RECOMPUTE the anti-join against the
+    // already-updated fence for the 2nd/3rd writes (observed: postings
+    // and df appended zero rows while docs appended 200). Checkpointing
+    // cuts the lineage, pinning one snapshot for all three writes; it
+    // also makes tokenize/explode run once, not once per derived table.
+    val tfp = tf.localCheckpoint(true)
+    try {
+      def write(df: DataFrame, suffix: String, buckets: Seq[String]): Unit = {
+        val w = df.withColumn("gen", lit(gen))
+          .repartition(IndexBuckets, buckets.map(col): _*)
+          .write.format("parquet").mode(mode)
+          .partitionBy("gen")
+          .bucketBy(IndexBuckets, buckets.head, buckets.tail: _*)
+          .sortBy(buckets.head, buckets.tail: _*)
+        (if (overwrite) w.option("path", s"$dir/$suffix") else w)
+          .saveAsTable(s"${name}_$suffix")
+      }
+      write(tfp.select(col("doc_id"), col("dl")).distinct(),
+        "bm_docs", Seq("doc_id"))
+      write(tfp.select(col("term"), col("doc_id"), col("tf"), col("dl")),
+        "bm_postings", Seq("term"))
+      // `src` (the generation that produced the row, as DATA, not the
+      // partition column) makes tdf rows globally unique: two generations
+      // can hold an identical (term, df) pair, and the tiered fold's
+      // distinct() would collapse them — halving the merged df. src never
+      // repeats across absorbs, so rows survive any fold intact.
+      write(tfp.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .withColumn("src", lit(gen)),
+        "bm_tdf", Seq("term"))
+    } finally { tfp.unpersist(blocking = false); () }
+  }
+
+  def dropBm25Index(spark: SparkSession, name: String): Unit = {
+    bm25Tables(name).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    ()
+  }
+
+  /** Top-10 per declared query over the MAINTAINED index: postings
+    * bucket-pruned to the query vocabulary, df merged across generations
+    * by sum, (N, Σdl) from the docs fence.
+    *
+    * Runs on its own session clone with autoBucketedScan pinned OFF —
+    * the same per-plan conf scope as the IVF serve read (Quantize's
+    * ivfQuant): nothing downstream "consumes" the term bucketing (the
+    * joins are broadcast, the aggregate regroups by (query_id, doc_id)),
+    * so DisableUnnecessaryBucketedScan would strip the bucketed scan and
+    * take the `term IN (...)` BUCKET PRUNING — the reason the postings
+    * are term-bucketed — with it. */
+  def bm25TopkFromIndex(caller: SparkSession, name: String): DataFrame = {
+    val spark = caller.newSession()
+    caller.conf.getAll.foreach { case (k, v) =>
+      try spark.conf.set(k, v)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val allTerms = bm25Queries.flatMap(_._2).distinct
+    // same always-true partition-listing trick as loadBucketedIndex: real
+    // size stats instead of unknown-huge, so the small sides broadcast
+    def t(table: String) = spark.table(table)
+      .filter(col("gen") >= Long.MinValue).drop("gen")
+    val stats = t(s"${name}_bm_docs")
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
+    val dft = t(s"${name}_bm_tdf")
+      .filter(col("term").isInCollection(allTerms))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val matched = t(s"${name}_bm_postings")
+      .filter(col("term").isInCollection(allTerms))
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    bm25Rank(spark, matched, dft, stats)
+  }
+
+  private val bm25AbsorbRuns = new java.util.concurrent.atomic.AtomicInteger
+
+  /** q_bm25_absorb: the lexical-index LIFECYCLE query — build the index
+    * from 60% of the corpus, absorb the remaining 40% as a batch (df
+    * re-merged, idf therefore recomputed at query time), and serve the
+    * declared keyword queries from the merged index. The oracle replays
+    * the UNION corpus through the per-query rebuild SQL: incremental
+    * build must be indistinguishable from from-scratch. */
+  def qBm25Absorb(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 10 < 6)
+    val batch = docs.filter(col("doc_id") % 10 >= 6)
+      .select(col("doc_id"), col("text"))
+    val n = bm25AbsorbRuns.incrementAndGet()
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_bm25_$n").toString
+    val name = s"graft_bm25_idx_$n"
+    try {
+      saveBm25Index(spark, corpus, dir, name)
+      absorbIntoBm25(spark, name, batch)
+      // re-absorb of the same batch: the docs fence must make it a no-op
+      // (the declared idempotence contract, exercised on the hot path)
+      absorbIntoBm25(spark, name, batch, gen = 2L)
+      Iterate.cut(bm25TopkFromIndex(spark, name))
+    } finally {
+      dropBm25Index(spark, name)
+      Streaming.deleteDirTree(dir)
+    }
   }
 
   // --- dedup -------------------------------------------------------------
