@@ -269,6 +269,55 @@ class HttpPagedSpec extends SparkSpec {
     }
   }
 
+  test("HTTP changelog drain, compacted == generator changelog drain (CDC end-to-end)") {
+    // the q_cdc_pipeline composition with the SOURCE swapped for the real
+    // wire: multi-entity upsert-changelog stream (update_every=4 re-emits
+    // earlier ids with later ts) drained over HTTP, then the consumer-side
+    // latest-wins compaction — must equal the generator-backed drain
+    // row-for-row. Pins that changelog position→(id, version) mapping,
+    // per-entity params, and windowed pagination all survive the wire.
+    withFixture(Map("customer" -> 2000L, "invoice" -> 3000L)) { fx =>
+      def compactedDrain(endpoint: Option[String], sink: String): Seq[Seq[Any]] = {
+        val r = spark.readStream.format("graft.sources.PagedEntitySource")
+          .option("entities", "customer,invoice")
+          .option("customer.rows", "2000")
+          .option("invoice.rows", "3000")
+          .option("invoice.params", "category_mod=3")
+          .option("updatesEveryN", "4")
+          .option("pageSize", "500").option("windowRows", "1000")
+        endpoint.foreach(e => r.option("endpoint", e))
+        val q = r.load()
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        try {
+          q.awaitTermination(120000)
+          assert(!q.isActive, s"$sink drain did not terminate")
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("_entity_type"), col("id"))
+            .orderBy(col("ts_us").desc)
+          spark.table(sink)
+            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .drop("rn")
+            .orderBy(col("_entity_type"), col("id"))
+            .collect().map(_.toSeq).toSeq
+        } finally {
+          if (q.isActive) q.stop()
+          spark.catalog.dropTempView(sink); ()
+        }
+      }
+      val http = compactedDrain(Some(fx.endpoint), "http_cdc_e2e")
+      val gen = compactedDrain(None, "gen_cdc_e2e")
+      assert(http.size == gen.size,
+        s"compacted row counts diverged: HTTP ${http.size} vs generator ${gen.size}")
+      assert(http == gen,
+        "HTTP-backed changelog compaction must equal the generator-backed result row-for-row")
+      // and the wire really carried the changelog knob
+      val reqs = fx.requests.toArray(Array.empty[String]).toSeq
+      assert(reqs.nonEmpty && reqs.forall(_.contains("update_every=4")),
+        s"update_every must reach the wire on every page request: ${reqs.take(3)}")
+    }
+  }
+
   test("strict short page: permanent failure, fail-fast — ONE wire request, no retry burn") {
     // the backend holds 1100 rows but the source plans for 1200: the last
     // page [1000,1200) comes back 100 rows short. Under the default
