@@ -1600,6 +1600,39 @@ object LlmOps {
       dir, name, gen)
   }
 
+  /** [[compactIndex]] + drop as ONE idempotent maintenance pass — the
+    * crash-and-retry audit of the offline compaction (VERDICT r12 #4).
+    * The pass has three non-atomic steps (build `to`, drop `from`'s two
+    * tables, in order), and a retry must converge from every crash point:
+    *
+    *  - crash mid-build or between build and drop: `from` still exists →
+    *    the retry re-runs the build (mode=overwrite rewrites any partial
+    *    `to` completely) and drops — converges;
+    *  - crash mid-drop (digests dropped, buckets not) or after the drop:
+    *    `from`'s digests table is gone → the build already committed in
+    *    full (the drop only starts after it), so the retry just finishes
+    *    dropping the leftovers and returns — previously this state
+    *    wedged: re-running [[compactIndex]] against the half-dropped
+    *    source threw, and the batch could never complete.
+    *
+    * The asymmetric fence is sound because dropBucketedIndex removes
+    * digests FIRST: "digests missing" can only be observed after the
+    * build fully committed. */
+  def compactIndexCutover(spark: SparkSession, from: String, dir: String,
+      to: String, gen: Long = 0L): Unit = {
+    if (spark.catalog.tableExists(s"${from}_digests")) {
+      compactIndex(spark, from, dir, to, gen)
+      dropBucketedIndex(spark, from)
+    } else {
+      require(spark.catalog.tableExists(s"${to}_digests") &&
+        spark.catalog.tableExists(s"${to}_buckets"),
+        s"compaction cutover $from -> $to: source gone but target absent — " +
+          "the index was dropped outside this protocol")
+      // finish a torn drop (buckets may have survived the crash)
+      dropBucketedIndex(spark, from)
+    }
+  }
+
   /** Live-generation cap: a tiered pass seeing more generations than
     * this folds everything (major compaction) — the backstop that keeps
     * the partition listing bounded in every ingest regime. */
@@ -1891,8 +1924,7 @@ object LlmOps {
       absorbInto(spark, name,
         docs.filter(col("doc_id") % 10 >= 6 && col("doc_id") % 10 < 8)
           .select(col("doc_id"), col("text")), gen = 1L)
-      compactIndex(spark, name, s"$dir/c", s"${name}_c")
-      dropBucketedIndex(spark, name)
+      compactIndexCutover(spark, name, s"$dir/c", s"${name}_c")
       Iterate.cut(probeDelta(loadBucketedIndex(spark, s"${name}_c"), deltaBatch(docs)))
     } finally {
       dropBucketedIndex(spark, s"${name}_c")
