@@ -43,6 +43,7 @@ object Cdc {
     * topic, and the compaction window keys the same shuffle. */
   def qCdcPipeline(spark: SparkSession, sfDir: String): DataFrame = {
     JsonStringCast.register(spark)
+    Streaming.tuneLocalCheckpointIo(spark)
     val sink = s"cdc_pipeline_${runs.incrementAndGet()}"
     val q = spark.readStream.format("graft.sources.PagedEntitySource")
       .option("entities", "customer,invoice")

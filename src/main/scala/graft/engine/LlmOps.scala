@@ -1491,6 +1491,23 @@ object LlmOps {
     * independently rewritable unit, which is what lets the tiered
     * maintenance pass ([[compactIndexTiered]]) fold small generations
     * without touching the compacted base's bytes. */
+  /** Run two INDEPENDENT Spark actions concurrently (guide §2.6: actions
+    * are only sequential because driver code calls them sequentially —
+    * concurrent jobs back-fill executors the other job's tail leaves
+    * idle). The index maintenance passes all touch a digests table and a
+    * buckets table that share no state, and at test scale each write is
+    * latency- (not throughput-) bound, so overlapping them roughly halves
+    * the pass's wall-clock. The second action runs on a plain thread; its
+    * failure is rethrown on the caller's thread after both finish. */
+  private[graft] def inParallel(a: => Unit, b: => Unit): Unit = {
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val t = new Thread(() => try b catch { case x: Throwable => err.set(x) })
+    t.setDaemon(true)
+    t.start()
+    try a finally t.join()
+    if (err.get != null) throw err.get
+  }
+
   def saveBucketedIndex(spark: SparkSession, idx: CorpusIndex,
       dir: String, name: String, gen: Long = 0L): Unit = {
     // repartition ON THE BUCKET KEYS first: repartition's HashPartitioning
@@ -1498,18 +1515,20 @@ object LlmOps {
     // task holds exactly one bucket's rows → ONE file per bucket. Without
     // it, every input split writes its own per-bucket files (a fresh save
     // of a 16-file table would emit 16 files again — no compaction).
-    idx.digests.repartition(IndexBuckets, col("dg"))
-      .withColumn("gen", lit(gen))
-      .write.format("parquet").mode("overwrite")
-      .partitionBy("gen")
-      .bucketBy(IndexBuckets, "dg").sortBy("dg")
-      .option("path", s"$dir/digests").saveAsTable(s"${name}_digests")
-    idx.buckets.repartition(IndexBuckets, col("band"), col("band_key"))
-      .withColumn("gen", lit(gen))
-      .write.format("parquet").mode("overwrite")
-      .partitionBy("gen")
-      .bucketBy(IndexBuckets, "band", "band_key").sortBy("band", "band_key")
-      .option("path", s"$dir/buckets").saveAsTable(s"${name}_buckets")
+    // The two tables are independent — write them concurrently.
+    inParallel(
+      idx.digests.repartition(IndexBuckets, col("dg"))
+        .withColumn("gen", lit(gen))
+        .write.format("parquet").mode("overwrite")
+        .partitionBy("gen")
+        .bucketBy(IndexBuckets, "dg").sortBy("dg")
+        .option("path", s"$dir/digests").saveAsTable(s"${name}_digests"),
+      idx.buckets.repartition(IndexBuckets, col("band"), col("band_key"))
+        .withColumn("gen", lit(gen))
+        .write.format("parquet").mode("overwrite")
+        .partitionBy("gen")
+        .bucketBy(IndexBuckets, "band", "band_key").sortBy("band", "band_key")
+        .option("path", s"$dir/buckets").saveAsTable(s"${name}_buckets"))
   }
 
   /** Read the index back; `maxGenExclusive` restricts to generations
@@ -1544,30 +1563,38 @@ object LlmOps {
     // repartition on the bucket keys (same rationale as the save): one
     // file per bucket per generation, instead of every anti-join output
     // task writing its own per-bucket slivers — the append's file count
-    // is bounded by the bucket count, not the shuffle-partition count
-    batch.select(sha2(col("text"), 256).as("dg")).distinct()
-      .join(spark.table(s"${name}_digests"), Seq("dg"), "left_anti")
-      .repartition(IndexBuckets, col("dg"))
-      .withColumn("gen", lit(gen))
-      .write.format("parquet").mode("append")
-      .partitionBy("gen")
-      .bucketBy(IndexBuckets, "dg").sortBy("dg")
-      .saveAsTable(s"${name}_digests")
-    bandKeys(batch).select(col("band"), col("band_key")).distinct()
-      .join(spark.table(s"${name}_buckets"), Seq("band", "band_key"), "left_anti")
-      .repartition(IndexBuckets, col("band"), col("band_key"))
-      .withColumn("gen", lit(gen))
-      .write.format("parquet").mode("append")
-      .partitionBy("gen")
-      .bucketBy(IndexBuckets, "band", "band_key").sortBy("band", "band_key")
-      .saveAsTable(s"${name}_buckets")
-    // the session caches each table's file listing in its relation cache;
-    // an append through saveAsTable does not reliably invalidate it, so a
-    // LATER probe in the same session would silently read the pre-append
-    // snapshot (observed: stream-absorb batch 3 missing batch 0's
-    // digests). Refresh makes the maintenance visible to the next reader.
-    spark.catalog.refreshTable(s"${name}_digests")
-    spark.catalog.refreshTable(s"${name}_buckets")
+    // is bounded by the bucket count, not the shuffle-partition count.
+    // The digests append and the buckets append touch disjoint tables —
+    // run them concurrently, each with its own visibility refresh.
+    inParallel(
+      {
+        batch.select(sha2(col("text"), 256).as("dg")).distinct()
+          .join(spark.table(s"${name}_digests"), Seq("dg"), "left_anti")
+          .repartition(IndexBuckets, col("dg"))
+          .withColumn("gen", lit(gen))
+          .write.format("parquet").mode("append")
+          .partitionBy("gen")
+          .bucketBy(IndexBuckets, "dg").sortBy("dg")
+          .saveAsTable(s"${name}_digests")
+        // the session caches each table's file listing in its relation
+        // cache; an append through saveAsTable does not reliably
+        // invalidate it, so a LATER probe in the same session would
+        // silently read the pre-append snapshot (observed: stream-absorb
+        // batch 3 missing batch 0's digests). Refresh makes the
+        // maintenance visible to the next reader.
+        spark.catalog.refreshTable(s"${name}_digests")
+      },
+      {
+        bandKeys(batch).select(col("band"), col("band_key")).distinct()
+          .join(spark.table(s"${name}_buckets"), Seq("band", "band_key"), "left_anti")
+          .repartition(IndexBuckets, col("band"), col("band_key"))
+          .withColumn("gen", lit(gen))
+          .write.format("parquet").mode("append")
+          .partitionBy("gen")
+          .bucketBy(IndexBuckets, "band", "band_key").sortBy("band", "band_key")
+          .saveAsTable(s"${name}_buckets")
+        spark.catalog.refreshTable(s"${name}_buckets")
+      })
   }
 
   def dropBucketedIndex(spark: SparkSession, name: String): Unit = {
@@ -1938,7 +1965,8 @@ object LlmOps {
     * `digestPrefilter` optionally narrows the digest-probe input BEFORE
     * its shuffle (the bloom path); it must never drop a true member. */
   private def probeDeltaImpl(index: CorpusIndex, batch: DataFrame,
-      digestPrefilter: DataFrame => DataFrame): DataFrame = {
+      digestPrefilter: DataFrame => DataFrame,
+      ordered: Boolean = true): DataFrame = {
     val batchDig = batch.select(col("doc_id"), sha2(col("text"), 256).as("dg"))
     val batchBands = bandKeys(batch)
     val exactIds = digestPrefilter(batchDig)
@@ -1946,18 +1974,27 @@ object LlmOps {
       .select(col("doc_id")).withColumn("is_exact", lit(true))
     val nearIds = batchBands.join(index.buckets, Seq("band", "band_key"), "left_semi")
       .select(col("doc_id")).distinct().withColumn("is_near", lit(true))
-    batch.select(col("doc_id"))
+    val out = batch.select(col("doc_id"))
       .join(exactIds, Seq("doc_id"), "left")
       .join(nearIds, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("is_exact"), lit("exact_dup"))
           .when(col("is_near"), lit("near_dup"))
           .otherwise(lit("new")).as("status"))
-      .orderBy(col("doc_id"))
+    if (ordered) out.orderBy(col("doc_id")) else out
   }
 
   def probeDelta(index: CorpusIndex, batch: DataFrame): DataFrame =
     probeDeltaImpl(index, batch, identity)
+
+  /** [[probeDelta]] minus the global sort — for the streaming drains'
+    * PER-BATCH parquet sink, where the declared result is re-sorted once
+    * when the landed batches are read back (the per-batch orderBy bought
+    * nothing but a range-partitioning sample pass + sort per micro-batch:
+    * two extra jobs each). Row SET per batch is identical. */
+  private[graft] def probeDeltaUnsorted(index: CorpusIndex,
+      batch: DataFrame): DataFrame =
+    probeDeltaImpl(index, batch, identity, ordered = false)
 
   /** The probe's scale optimization (the q_bloom_join discipline applied
     * to the ingest path): a 128 KiB bloom over the digest index — always

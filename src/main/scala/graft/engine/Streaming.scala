@@ -59,6 +59,7 @@ object Streaming {
     * (bench min-of-N, warmup) don't accumulate driver-held tables. */
   def qPagedStream(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.sources.PagedEntitySource
+    tuneLocalCheckpointIo(spark)
     val sink = s"paged_stream_q_${pagedStreamRuns.incrementAndGet()}"
     val q = spark.readStream.format("graft.sources.PagedEntitySource")
       .option("rows", "12000").option("pageSize", "500")
@@ -164,21 +165,57 @@ object Streaming {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"))
 
+  /** Checkpoint-I/O tuning for LOCAL-filesystem checkpoints (guide §1/§7:
+    * measured, then fixed). Spark's default CheckpointFileManager for
+    * `file:` paths is FileContext-based, and Hadoop's local FileContext
+    * rename path stats the temp file via `Shell.execCommand` — a
+    * fork+exec of `ls` PER RENAME. Thread dumps of a drain caught the
+    * stream execution thread inside `FileUtil.readLink` → `Shell.run` on
+    * every offset/commit-log write; measured per micro-batch:
+    * walCommit 34 ms + commitOffsets 34 ms with the default manager vs
+    * 11 + 12 ms with the FileSystem-based one (same rename-based atomic
+    * commit, File.renameTo under the hood, no subprocess). Every
+    * AvailableNow drain here pays this 2× per micro-batch, so a 24-batch
+    * drain loses ~1.1 s to subprocess forks. Applied once per session,
+    * only when no explicit manager is configured and the session's
+    * checkpoint root (if any) is local — on a real cluster with an HDFS/
+    * object-store checkpoint dir this never fires and the FileContext
+    * default stands. */
+  private[graft] def tuneLocalCheckpointIo(spark: SparkSession): Unit = {
+    val key = "spark.sql.streaming.checkpointFileManagerClass"
+    def isLocal(loc: String): Boolean = {
+      val scheme = new java.net.URI(loc).getScheme
+      scheme == null || scheme == "file"
+    }
+    if (spark.conf.getOption(key).isEmpty &&
+        spark.conf.getOption("spark.sql.streaming.checkpointLocation")
+          .forall(isLocal))
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.checkpointing." +
+          "FileSystemBasedCheckpointFileManager")
+  }
+
   /** Run a stream to a named memory sink with AvailableNow (the INITIAL_LOAD
     * catch-up semantics: process everything available, then stop). */
-  def runToMemory(df: DataFrame, name: String): StreamingQuery =
+  def runToMemory(df: DataFrame, name: String): StreamingQuery = {
+    tuneLocalCheckpointIo(df.sparkSession)
     df.writeStream.format("memory").queryName(name)
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+  }
 
   /** Run in append mode (dedup / joins emit finalized rows only). */
-  def runToMemoryAppend(df: DataFrame, name: String): StreamingQuery =
+  def runToMemoryAppend(df: DataFrame, name: String): StreamingQuery = {
+    tuneLocalCheckpointIo(df.sparkSession)
     df.writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
+  }
 
   /** Run in update mode (for arbitrary-stateful outputs). */
-  def runToMemoryUpdate(df: DataFrame, name: String): StreamingQuery =
+  def runToMemoryUpdate(df: DataFrame, name: String): StreamingQuery = {
+    tuneLocalCheckpointIo(df.sparkSession)
     df.writeStream.format("memory").queryName(name)
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
+  }
 
   // --- delivery-semantics repair kit (dedup + joins on streams) ----------
 
@@ -695,12 +732,14 @@ object Streaming {
       val schema = spark.read.parquet(inDir).schema
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(inDir)
+      tuneLocalCheckpointIo(spark)
       q = stream.writeStream
         .foreachBatch { (b: DataFrame, id: Long) =>
           // one OVERWRITTEN subdir per batch id: a retried micro-batch
           // replaces its own output instead of appending a duplicate —
           // the idempotent foreachBatch file-sink contract
-          LlmOps.probeDelta(idx, b).write.mode("overwrite").parquet(s"$outDir/b$id")
+          LlmOps.probeDeltaUnsorted(idx, b)
+            .write.mode("overwrite").parquet(s"$outDir/b$id")
           ()
         }
         .trigger(Trigger.AvailableNow())
@@ -793,10 +832,17 @@ object Streaming {
     try {
       val batch = LlmOps.streamAbsorbBatch(docs)
       val base = System.currentTimeMillis() - 3600000L
+      // stage all four slice files in ONE write job (dynamic partitioning:
+      // the single coalesced task opens one file per f= value) instead of
+      // four sequential filter+coalesce(1) jobs — slice membership is
+      // identical (f = doc_id % 4, the declared assignment) and only the
+      // job count changes; the files then move under inDir with strictly
+      // ascending mtimes exactly as before
+      batch.withColumn("f", pmod(col("doc_id"), lit(4)).cast("int"))
+        .coalesce(1).write.mode("overwrite")
+        .partitionBy("f").parquet(stageDir)
       for (i <- 0 until 4) {
-        val fdir = s"$stageDir/f$i"
-        batch.filter(pmod(col("doc_id"), lit(4)) === i)
-          .coalesce(1).write.mode("overwrite").parquet(fdir)
+        val fdir = s"$stageDir/f=$i"
         val part = new java.io.File(fdir).listFiles()
           .filter(_.getName.endsWith(".parquet")).head.toPath
         val dst = java.nio.file.Paths.get(inDir, s"f$i.parquet")
@@ -807,6 +853,7 @@ object Streaming {
       val schema = spark.read.parquet(inDir).schema
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(inDir)
+      tuneLocalCheckpointIo(spark)
       q = stream.writeStream
         .foreachBatch { (b: DataFrame, id: Long) =>
           // classify + absorb drive 5 actions over this micro-batch
@@ -817,7 +864,8 @@ object Streaming {
           try {
             val asOf = LlmOps.loadBucketedIndex(spark, idxName,
               maxGenExclusive = Some(id))
-            LlmOps.probeDelta(asOf, batch).write.mode("overwrite").parquet(s"$outDir/b$id")
+            LlmOps.probeDeltaUnsorted(asOf, batch)
+              .write.mode("overwrite").parquet(s"$outDir/b$id")
             LlmOps.absorbInto(spark, idxName, batch, gen = id)
             if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
               // tiered maintenance, in place: fold only the small
@@ -837,13 +885,15 @@ object Streaming {
       // order guard: batch b's output must be exactly the doc_id % 4 == b
       // slice — anything else means the file source broke the declared
       // order and the gen-scoped classification no longer matches the
-      // oracle's earlier-file rule
-      for (b <- 0 until 4) {
-        val off = spark.read.parquet(s"$outDir/b$b")
-          .filter(pmod(col("doc_id"), lit(4)) =!= b).count()
-        if (off > 0) throw new IllegalStateException(
-          s"stream absorb drain: batch $b holds $off rows outside its declared file slice")
-      }
+      // oracle's earlier-file rule. ONE job over all four batch dirs
+      // (batch id recovered from the file path) instead of four
+      // read+count jobs — the predicate per row is unchanged.
+      val off = spark.read.parquet((0 until 4).map(b => s"$outDir/b$b"): _*)
+        .select(col("doc_id"),
+          regexp_extract(input_file_name(), "/b(\\d+)/", 1).cast("int").as("b"))
+        .filter(pmod(col("doc_id"), lit(4)) =!= col("b")).count()
+      if (off > 0) throw new IllegalStateException(
+        s"stream absorb drain: $off rows landed outside their declared file slice")
       inspectFinal.foreach(f => f(idxName))
       Iterate.cut(spark.read.option("recursiveFileLookup", "true")
         .parquet(outDir).orderBy(col("doc_id")))
@@ -915,6 +965,7 @@ object Streaming {
   def heavyHittersStream(docTexts: DataFrame, m: Int,
       running: RunningMg): StreamingQuery = {
     val spark = docTexts.sparkSession
+    tuneLocalCheckpointIo(spark)
     HeavyHitters.tokens(docTexts).writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         running.absorb(HeavyHitters.summarize(spark, batch, m))
