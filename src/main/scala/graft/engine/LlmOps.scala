@@ -2674,9 +2674,29 @@ object LlmOps {
     // per-doc shingle size rides along into the posting list, so the pair
     // aggregation recovers |a| and |b| with first() — no extra scan of the
     // documents table (a sizes-join would re-run the shingle computation)
+    //
+    // The EXPLICIT keyed repartition (same key + count the window/groupBy
+    // below need, so it is the ONE exchange of this kernel, not an extra
+    // one) exists to opt this exchange out of AQE partition coalescing:
+    // the stage it feeds is compute-EXPLOSIVE, not byte-bound — collect
+    // posting lists, then emit C(k,2) pairs per posting — and AQE sizes
+    // partitions by shuffle bytes (a few MB here), which collapsed the
+    // stage to 3 tasks carrying ~3.7 s of pair-generation CPU while 29
+    // cores idled (measured: 1.9 s stage wall at sf0.1; 0.2 s at full
+    // fan-out). Guide §8: the byte-to-work ratio of this stage is exactly
+    // what the optimizer cannot know. The count derives from the session's
+    // shuffle-partition conf — what the exchange would have used pre-AQE —
+    // never a local constant. Keyed by `hs` ALONE: hash(hs) clusters every
+    // (source, hs) group whether or not `source` is a real column, whereas
+    // hash(source, hs) fails the planner's subset test when a caller's
+    // `source` is a literal (constant-folding drops it from the window's
+    // requirement, and EnsureRequirements then stacks a second — again
+    // coalescible — exchange on top of this one).
+    val kernelParts = docs.sparkSession.sessionState.conf.numShufflePartitions
     val flat = withShingleHashes(docs)
       .select(col("source"), col("doc_id"), size(col("shl")).as("n_sh"),
         explode(col("shl")).as("hs"))
+      .repartition(kernelParts, col("hs"))
     // Posting lists are bounded BEFORE the collect_list (same fix as
     // minhashCandidatePairs): slicing after aggregation still materializes
     // the full buffer for a stop-shingle shared by half the corpus — at
