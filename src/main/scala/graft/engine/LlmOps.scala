@@ -813,7 +813,6 @@ object LlmOps {
     val fresh = batch.join(spark.table(s"${name}_bm_docs"),
       Seq("doc_id"), "left_anti")
     writeBm25Gen(spark, bm25Tf(fresh), dir = null, name, gen, overwrite = false)
-    bm25Tables(name).foreach(spark.catalog.refreshTable)
   }
 
   private def writeBm25Gen(spark: SparkSession, tf: DataFrame, dir: String,
@@ -829,6 +828,13 @@ object LlmOps {
     // also makes tokenize/explode run once, not once per derived table.
     val tfp = tf.localCheckpoint(true)
     try {
+      // An absorb whose fence anti-join kept nothing (the declared no-op
+      // re-absorb) would append zero rows: dynamic partitioning writes no
+      // files for an empty frame, so the on-disk and catalog state are
+      // byte-identical whether the three append jobs run or not — skip
+      // them (and their refreshes). isEmpty on the materialized
+      // checkpoint is a limit-1 local read, vs 3 write jobs + 3 refreshes.
+      if (!overwrite && tfp.isEmpty) return
       def write(df: DataFrame, suffix: String, buckets: Seq[String]): Unit = {
         val w = df.withColumn("gen", lit(gen))
           .repartition(IndexBuckets, buckets.map(col): _*)
@@ -838,19 +844,27 @@ object LlmOps {
           .sortBy(buckets.head, buckets.tail: _*)
         (if (overwrite) w.option("path", s"$dir/$suffix") else w)
           .saveAsTable(s"${name}_$suffix")
+        // appends: per-table visibility refresh on the writer's own
+        // thread (same discipline as absorbInto) — saveAsTable appends
+        // don't reliably invalidate the session relation cache
+        if (!overwrite) spark.catalog.refreshTable(s"${name}_$suffix")
       }
-      write(tfp.select(col("doc_id"), col("dl")).distinct(),
-        "bm_docs", Seq("doc_id"))
-      write(tfp.select(col("term"), col("doc_id"), col("tf"), col("dl")),
-        "bm_postings", Seq("term"))
-      // `src` (the generation that produced the row, as DATA, not the
-      // partition column) makes tdf rows globally unique: two generations
-      // can hold an identical (term, df) pair, and the tiered fold's
-      // distinct() would collapse them — halving the merged df. src never
-      // repeats across absorbs, so rows survive any fold intact.
-      write(tfp.groupBy(col("term")).agg(count(lit(1)).as("df"))
-        .withColumn("src", lit(gen)),
-        "bm_tdf", Seq("term"))
+      // the three tables derive from the one pinned tf snapshot and share
+      // no other state — write them concurrently (guide §2.6), like the
+      // digest index's paired digests/buckets writes
+      inParallelAll(
+        () => write(tfp.select(col("doc_id"), col("dl")).distinct(),
+          "bm_docs", Seq("doc_id")),
+        () => write(tfp.select(col("term"), col("doc_id"), col("tf"), col("dl")),
+          "bm_postings", Seq("term")),
+        // `src` (the generation that produced the row, as DATA, not the
+        // partition column) makes tdf rows globally unique: two generations
+        // can hold an identical (term, df) pair, and the tiered fold's
+        // distinct() would collapse them — halving the merged df. src never
+        // repeats across absorbs, so rows survive any fold intact.
+        () => write(tfp.groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .withColumn("src", lit(gen)),
+          "bm_tdf", Seq("term")))
     } finally { tfp.unpersist(blocking = false); () }
   }
 
@@ -1506,6 +1520,22 @@ object LlmOps {
     t.start()
     try a finally t.join()
     if (err.get != null) throw err.get
+  }
+
+  /** [[inParallel]] for N independent actions: the first runs on the
+    * caller's thread, the rest on daemon threads; the first failure (in
+    * argument order) is rethrown after ALL finish — same contract as the
+    * 2-ary version, N-ary because the BM25 index writes three tables per
+    * generation. */
+  private[graft] def inParallelAll(actions: (() => Unit)*): Unit = {
+    val errs = new Array[Throwable](actions.size)
+    val ts = actions.zipWithIndex.drop(1).map { case (f, i) =>
+      val t = new Thread(() => try f() catch { case x: Throwable => errs(i) = x })
+      t.setDaemon(true); t.start(); t
+    }
+    try actions.head() catch { case x: Throwable => errs(0) = x }
+    finally ts.foreach(_.join())
+    errs.find(_ != null).foreach(throw _)
   }
 
   def saveBucketedIndex(spark: SparkSession, idx: CorpusIndex,
