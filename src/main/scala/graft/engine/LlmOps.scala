@@ -2461,28 +2461,36 @@ object LlmOps {
   def qLshRecall(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val top = qNgramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b"))
-    val bands = bandKeys(docs)
-    val hit = broadcast(top)
-      .join(bands.select(col("doc_id").as("doc_a"),
-        col("band"), col("band_key")), Seq("doc_a"))
-      .join(bands.select(col("doc_id").as("doc_b"),
-        col("band"), col("band_key")),
-        Seq("doc_b", "band", "band_key"), "left_semi")
-      .select(col("doc_a"), col("doc_b")).distinct()
-      .withColumn("hit", lit(1L))
-    top.join(hit, Seq("doc_a", "doc_b"), "left")
-      .agg(count(lit(1)).as("pairs"),
-        coalesce(sum(col("hit")), lit(0L)).as("lsh_hits"))
-      // Precondition guard (the span-dedup exactness discipline): on a
-      // degenerate corpus with ZERO ground-truth pairs the engine's DIV
-      // would emit NULL recall while the oracle's integer `//` raises —
-      // an asymmetric failure. Fail loudly and symmetrically instead.
-      .select(col("pairs"), col("lsh_hits"),
-        when(col("pairs") === 0, raise_error(lit(
-          "q_lsh_recall: zero ground-truth pairs — recall undefined " +
-          "(degenerate corpus violates the declared precondition)")))
-          .otherwise(expr("lsh_hits * 10000 DIV pairs"))
-          .cast("long").as("recall_bp"))
+    // persisted: the band-key pass (shingles → 16 minhash mins → band
+    // folds, the corpus-sized CPU of this query) feeds BOTH sides of the
+    // hit join — without the pin it is evaluated twice (guide §1.2:
+    // don't compute things twice; the cached frame is 4 narrow rows per
+    // doc, spillable). The result is eagerly cut so the pin can be
+    // released before returning instead of squatting in the session.
+    val bands = bandKeys(docs).persist()
+    try {
+      val hit = broadcast(top)
+        .join(bands.select(col("doc_id").as("doc_a"),
+          col("band"), col("band_key")), Seq("doc_a"))
+        .join(bands.select(col("doc_id").as("doc_b"),
+          col("band"), col("band_key")),
+          Seq("doc_b", "band", "band_key"), "left_semi")
+        .select(col("doc_a"), col("doc_b")).distinct()
+        .withColumn("hit", lit(1L))
+      Iterate.cut(top.join(hit, Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("pairs"),
+          coalesce(sum(col("hit")), lit(0L)).as("lsh_hits"))
+        // Precondition guard (the span-dedup exactness discipline): on a
+        // degenerate corpus with ZERO ground-truth pairs the engine's DIV
+        // would emit NULL recall while the oracle's integer `//` raises —
+        // an asymmetric failure. Fail loudly and symmetrically instead.
+        .select(col("pairs"), col("lsh_hits"),
+          when(col("pairs") === 0, raise_error(lit(
+            "q_lsh_recall: zero ground-truth pairs — recall undefined " +
+            "(degenerate corpus violates the declared precondition)")))
+            .otherwise(expr("lsh_hits * 10000 DIV pairs"))
+            .cast("long").as("recall_bp")))
+    } finally { bands.unpersist(blocking = false); () }
   }
 
   /** Both ground truth and the banding replayed, then the same integer
@@ -2528,39 +2536,50 @@ object LlmOps {
   def qLshCurve(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val top = qNgramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    // persisted: the sweep pass (shingles → 16 minhash mins → 31 band
+    // keys per doc, the corpus-sized CPU of this query — StageProf
+    // measured 66 s of task time in its stage at sf0.1) feeds THREE
+    // consumers: both sides of the hit join and the candidate-count
+    // aggregate. Without the pin the expression re-evaluates per
+    // consumer; with it the corpus pays the hashing once and the cached
+    // frame is 31 narrow rows per doc (spillable). Eagerly cut below so
+    // the pin releases before returning.
     val bk = withShingleHashes(docs)
       .select(col("doc_id"),
         explode(TextExprs.minhashBandsSweep(col("shl"))).as("e"))
       .select(col("doc_id"), col("e.bands").as("bands"),
         col("e.band").as("band"), col("e.key").as("band_key"))
-    // ≤100 pairs × 31 bucket keys: both joins keep the pair side tiny —
-    // broadcast inner + distinct (a semi-join can't build its small LEFT)
-    val hits = broadcast(broadcast(top)
-      .join(bk.select(col("doc_id").as("doc_a"), col("bands"),
-        col("band"), col("band_key")), Seq("doc_a")))
-      .join(bk.select(col("doc_id").as("doc_b"), col("bands"),
-        col("band"), col("band_key")), Seq("doc_b", "bands", "band", "band_key"))
-      .select(col("bands"), col("doc_a"), col("doc_b")).distinct()
-      .groupBy(col("bands")).agg(count(lit(1)).as("lsh_hits"))
-    val cand = bk.groupBy(col("bands"), col("band"), col("band_key"))
-      .agg(count(lit(1)).as("n"))
-      .groupBy(col("bands"))
-      .agg(sum(expr("n * (n - 1) DIV 2")).as("cand_pairs"))
-    import spark.implicits._
-    val cfg = MinHashBandsSweep.SweepBands.toSeq
-      .map(b => (b, MinHashBands.Seeds / b)).toDF("bands", "rows_per_band")
-    cfg.join(hits, Seq("bands"), "left")
-      .join(cand, Seq("bands"), "left")
-      .crossJoin(broadcast(top.agg(count(lit(1)).as("pairs"))))
-      .select(col("bands"), col("rows_per_band"), col("pairs"),
-        coalesce(col("lsh_hits"), lit(0L)).as("lsh_hits"),
-        when(col("pairs") === 0, raise_error(lit(
-          "q_lsh_curve: zero ground-truth pairs — recall undefined " +
-          "(degenerate corpus violates the declared precondition)")))
-          .otherwise(expr("coalesce(lsh_hits, 0L) * 10000 DIV pairs"))
-          .cast("long").as("recall_bp"),
-        coalesce(col("cand_pairs"), lit(0L)).as("cand_pairs"))
-      .orderBy(col("bands"))
+      .persist()
+    try {
+      // ≤100 pairs × 31 bucket keys: both joins keep the pair side tiny —
+      // broadcast inner + distinct (a semi-join can't build its small LEFT)
+      val hits = broadcast(broadcast(top)
+        .join(bk.select(col("doc_id").as("doc_a"), col("bands"),
+          col("band"), col("band_key")), Seq("doc_a")))
+        .join(bk.select(col("doc_id").as("doc_b"), col("bands"),
+          col("band"), col("band_key")), Seq("doc_b", "bands", "band", "band_key"))
+        .select(col("bands"), col("doc_a"), col("doc_b")).distinct()
+        .groupBy(col("bands")).agg(count(lit(1)).as("lsh_hits"))
+      val cand = bk.groupBy(col("bands"), col("band"), col("band_key"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("bands"))
+        .agg(sum(expr("n * (n - 1) DIV 2")).as("cand_pairs"))
+      import spark.implicits._
+      val cfg = MinHashBandsSweep.SweepBands.toSeq
+        .map(b => (b, MinHashBands.Seeds / b)).toDF("bands", "rows_per_band")
+      Iterate.cut(cfg.join(hits, Seq("bands"), "left")
+        .join(cand, Seq("bands"), "left")
+        .crossJoin(broadcast(top.agg(count(lit(1)).as("pairs"))))
+        .select(col("bands"), col("rows_per_band"), col("pairs"),
+          coalesce(col("lsh_hits"), lit(0L)).as("lsh_hits"),
+          when(col("pairs") === 0, raise_error(lit(
+            "q_lsh_curve: zero ground-truth pairs — recall undefined " +
+            "(degenerate corpus violates the declared precondition)")))
+            .otherwise(expr("coalesce(lsh_hits, 0L) * 10000 DIV pairs"))
+            .cast("long").as("recall_bp"),
+          coalesce(col("cand_pairs"), lit(0L)).as("cand_pairs"))
+        .orderBy(col("bands")))
+    } finally { bk.unpersist(blocking = false); () }
   }
 
   /** Ground truth, all five bandings, the hit join, and the bucket-size
