@@ -864,9 +864,16 @@ object Streaming {
           try {
             val asOf = LlmOps.loadBucketedIndex(spark, idxName,
               maxGenExclusive = Some(id))
-            LlmOps.probeDeltaUnsorted(asOf, batch)
-              .write.mode("overwrite").parquet(s"$outDir/b$id")
-            LlmOps.absorbInto(spark, idxName, batch, gen = id)
+            // probe and absorb are INDEPENDENT halves of the batch: the
+            // probe classifies against gens < id and the absorb appends
+            // gen = id, so even if the absorb's visibility refresh lands
+            // mid-probe the probe's partition filter prunes the new
+            // generation — overlap them (guide §2.6), like the absorb's
+            // own paired digest/bucket appends one level down
+            LlmOps.inParallel(
+              LlmOps.probeDeltaUnsorted(asOf, batch)
+                .write.mode("overwrite").parquet(s"$outDir/b$id"),
+              LlmOps.absorbInto(spark, idxName, batch, gen = id))
             if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
               // tiered maintenance, in place: fold only the small
               // generations (never this batch's own gen = id — a retried
