@@ -428,7 +428,13 @@ object Relational {
     * (user_id) drives the shuffle; the range predicate filters within each
     * key group, so this stays a sort-merge join, not a nested-loop cross. */
   def qJoinAsofRange(spark: SparkSession, sfDir: String): DataFrame = {
-    val e1 = Tables.events(spark, sfDir).alias("e1")
+    // rebalance the PROBE side (same guard as the doc/vector corpora):
+    // events compresses to one file split, and this scan stage carries the
+    // broadcast range probe — per-row work quadratic in the user's bucket
+    // — so a 1-split plan serializes ~1.5 s of CPU on one core (measured
+    // isolated at sf0.1: stage wall 1.66 s, 1 task). The build side stays
+    // a plain scan; the group-by exchange downstream is unchanged.
+    val e1 = Tables.rebalanced(spark, Tables.events(spark, sfDir)).alias("e1")
     val e2 = Tables.events(spark, sfDir)
       .select(col("user_id").as("u2"), col("ts").as("ts2"),
         col("event_id").as("id2")).alias("e2")

@@ -81,7 +81,7 @@ object Tables {
     * stage these pipelines have — buys back full parallelism. Guarded: a
     * production corpus (many files/row groups ≥ cluster cores) plans
     * enough splits and the rebalance is a no-op. */
-  private def rebalanced(s: SparkSession, df: DataFrame): DataFrame = {
+  private[engine] def rebalanced(s: SparkSession, df: DataFrame): DataFrame = {
     val cores = s.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 < cores) df.repartition(cores) else df
   }
