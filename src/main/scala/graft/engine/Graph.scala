@@ -63,27 +63,33 @@ object Graph {
     * replays the identical integer recurrence driver-side on a small
     * graph and asserts exact equality. */
   private[graft] def rankBipartite(e0: DataFrame, iters: Int): DataFrame = {
-    val edges = e0.select(lit("s").as("st"), col("s").as("sid"),
-        lit("p").as("dt"), col("p").as("did"))
-      .unionAll(e0.select(lit("p").as("st"), col("p").as("sid"),
-        lit("s").as("dt"), col("s").as("did")))
+    // Node identity is PACKED into one long for the whole iteration —
+    // nk = id·2 + (type == 'p') — and decoded back to (nt, nid) only in
+    // the final projection (guide §2.3, narrower types: every round's
+    // shuffle, hash-join probe and aggregation otherwise keys on a
+    // (string, long) pair; the packed key halves the shuffled width and
+    // replaces string hashing/equality with single-long ops on the
+    // hottest path of the query — measured ~35 s of task time per round
+    // at sf0.1). Injective for ids < 2⁶², and suppkey/partkey are
+    // 32-bit-ish positives. The recurrence is per-node and integer-exact,
+    // so the packed fixpoint decodes to the identical (nt, nid, r) set.
+    val edges = e0.select((col("s") * 2).as("sk"), (col("p") * 2 + 1).as("dk"))
+      .unionAll(e0.select((col("p") * 2 + 1).as("sk"), (col("s") * 2).as("dk")))
       // partition the (large) edge set by the sender key ONCE and persist:
-      // the cached frame's HashPartitioning(st, sid) satisfies every
-      // round's join requirement, so iterations shuffle only the node-
-      // sized rank frame — at 100 TB the edge set is the corpus and
-      // re-shuffling it per round would dominate the whole computation
-      .repartition(col("st"), col("sid"))
+      // the cached frame's HashPartitioning(sk) satisfies every round's
+      // join requirement, so iterations shuffle only the node-sized rank
+      // frame — at 100 TB the edge set is the corpus and re-shuffling it
+      // per round would dominate the whole computation
+      .repartition(col("sk"))
       .persist()
     val nodes = edges
-      .select(col("st").as("nt"), col("sid").as("nid"))
-      .groupBy(col("nt"), col("nid"))
+      .groupBy(col("sk").as("nk"))
       .agg(count(lit(1)).as("outdeg"))
       .persist()
     try {
       val params = nodes.agg(count(lit(1)).as("n")) // 1-row broadcast spine
       var r = nodes.crossJoin(broadcast(params))
-        .select(col("nt"), col("nid"), col("outdeg"),
-          expr(s"$Scale div n").as("r"))
+        .select(col("nk"), col("outdeg"), expr(s"$Scale div n").as("r"))
       for (i <- 1 to iters) {
         // SHUFFLE_HASH on the node-sized side: the default SMJ would SORT
         // the edge side every round — at the 100× dir that sort was the
@@ -92,15 +98,15 @@ object Graph {
         // persisted) edges untouched; ranks are too big to broadcast at
         // scale but tiny per partition.
         val msgs = edges
-          .join(r.select(col("nt").as("st"), col("nid").as("sid"),
-            expr("r div outdeg").as("c")).hint("shuffle_hash"), Seq("st", "sid"))
-          .select(col("dt").as("nt"), col("did").as("nid"), col("c"))
-          .groupBy(col("nt"), col("nid"))
+          .join(r.select(col("nk").as("sk"),
+            expr("r div outdeg").as("c")).hint("shuffle_hash"), Seq("sk"))
+          .select(col("dk").as("nk"), col("c"))
+          .groupBy(col("nk"))
           .agg(sum(col("c")).as("m"))
         val next = nodes
-          .join(msgs, Seq("nt", "nid"), "left")
+          .join(msgs, Seq("nk"), "left")
           .crossJoin(broadcast(params))
-          .select(col("nt"), col("nid"), col("outdeg"),
+          .select(col("nk"), col("outdeg"),
             (expr(s"(15 * ($Scale div n)) div 100") +
               expr("(85 * coalesce(m, 0L)) div 100")).as("r"))
         // The dataflow is LINEAR (each round's frame is consumed exactly
@@ -113,7 +119,10 @@ object Graph {
         // 5.5 s -> 2.5 s at sf0.1.
         r = if (i == iters || i % 4 == 0) Iterate.cut(next) else next
       }
-      r
+      // decode the packed key back to the declared (nt, nid) surface
+      r.select(
+        when(col("nk") % 2 === 1, lit("p")).otherwise(lit("s")).as("nt"),
+        expr("nk div 2").as("nid"), col("outdeg"), col("r"))
     } finally {
       // safe before the caller's action: every round ended in Iterate.cut,
       // so the returned frame's plan is a leaf over the final ranks
