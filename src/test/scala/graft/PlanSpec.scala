@@ -116,7 +116,11 @@ class PlanSpec extends SparkSpec {
       "q_expand_join"     -> ((0, 1, true)),  // dim hint: zero-shuffle enrich
       "q_join_multiway"   -> ((4, 3, true)),  // 3 hinted dims around the fact agg
       "q_expand_nested"   -> ((2, 1, true)),
-      "q_join_asof_range" -> ((3, 0, true)),  // self-join: shuffle is correct
+      // self-join: shuffle is correct; the 4th exchange is the r13 probe
+      // rebalance (round-robin out of the single compressed file split —
+      // the broadcast range probe's per-row work is quadratic in the
+      // user's bucket and was serializing on one task)
+      "q_join_asof_range" -> ((4, 0, true)),
       "q_decontaminate"   -> ((8, 0, true)),
       "q_bm25_topk"       -> ((9, 3, false)), // postings/vocab/query broadcasts
       "q_window_misc"     -> ((1, 1, false)),
