@@ -1243,6 +1243,25 @@ object LlmOps {
       transform(slice(m, i + lit(2), greatest(size(m) - i - 1, lit(0))),
         b => struct(a.as("a"), b.as("b")))))
 
+  /** Every ordered pair (i < j) of the sorted array column `m`, emitted
+    * as rows ("pa", "pb") through two codegen'd Generate nodes
+    * (posexplode of the list, then explode over a slice of its tail).
+    * Row-level replacement for `explode(pairsOf(m))` on the hot paths:
+    * higher-order functions (transform/flatten) have no doGenCode, so
+    * the C(k,2) pair explosion — the dedup kernel's compute-bound
+    * stage — ran interpreted, allocating a closure frame and an
+    * intermediate array per element; both Generates here fuse into the
+    * surrounding WholeStageCodegen span. The emitted pair multiset and
+    * per-list order are IDENTICAL to the lambda form (slice clamps at
+    * the array end, so no empty-tail guard is needed). `pairsOf` stays
+    * for the array-valued consumers that slice the PAIR array itself
+    * (bounded ≤101-member lists, not hot). */
+  private def explodeSortedPairs(grouped: DataFrame, m: String): DataFrame =
+    grouped
+      .select(col(m).as("_m"), posexplode(col(m)).as(Seq("_pi", "pa")))
+      .select(col("pa"),
+        explode(slice(col("_m"), col("_pi") + lit(2), size(col("_m")))).as("pb"))
+
   /** Candidate near-dup pairs from shared LSH buckets, verified by true
     * shingle-Jaccard.
     *
@@ -1275,14 +1294,14 @@ object LlmOps {
         .withColumn("rn", row_number().over(w.orderBy(col("doc_id"))))
         .filter(col("rn") <= cap)
       val obs = org.apache.spark.sql.Observation()
-      val cand = bounded.groupBy(col("band"), col("band_key"))
+      val buckets2 = bounded.groupBy(col("band"), col("band_key"))
         .agg(sort_array(collect_list(col("doc_id"))).as("m"),
           max(col("bucket_n")).as("bucket_n"))
         .observe(obs,
           sum(when(col("bucket_n") > cap, 1L).otherwise(0L)).as("capped_buckets"))
         .filter(size(col("m")) > 1)
-        .select(explode(pairsOf(col("m"))).as("p"))
-        .select(col("p.a").as("doc_a"), col("p.b").as("doc_b")).distinct()
+      val cand = explodeSortedPairs(buckets2, "m")
+        .select(col("pa").as("doc_a"), col("pb").as("doc_b")).distinct()
       val out = cand
         .join(sh.select(col("doc_id").as("doc_a"), col("shl").as("sh_a")), "doc_a")
         .join(sh.select(col("doc_id").as("doc_b"), col("shl").as("sh_b")), "doc_b")
@@ -2781,13 +2800,13 @@ object LlmOps {
             "sparse jaccard: capped-postings metric unresolved after 30 s — " +
             "run an action on the pair frame before reading the metric")
       }
-    val common = bounded.groupBy(col("source"), col("hs"))
+    val postings = bounded.groupBy(col("source"), col("hs"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("m"))
       .filter(size(col("m")) > 1)
-      .select(explode(pairsOf(col("m"))).as("p"))
-      .groupBy(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"))
+    val common = explodeSortedPairs(postings, "m")
+      .groupBy(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"),
-        first(col("p.a.n_sh")).as("n_a"), first(col("p.b.n_sh")).as("n_b"))
+        first(col("pa.n_sh")).as("n_a"), first(col("pb.n_sh")).as("n_b"))
     val out = common.select(col("doc_a"), col("doc_b"),
       (col("n_common").cast("double") /
         (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
@@ -2877,14 +2896,14 @@ object LlmOps {
       .filter(col("df") <= 256).drop("df")
     val post = rare.withColumn("nrm",
       sum(col("tf") * col("tf")).over(Window.partitionBy(col("doc_id"))))
-    val pairs = post
+    val postings = post
       .groupBy(col("term"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("tf"), col("nrm")))).as("m"))
       .filter(size(col("m")) > 1)
-      .select(explode(pairsOf(col("m"))).as("p"))
-      .groupBy(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"))
-      .agg(sum(col("p.a.tf") * col("p.b.tf")).as("dot"),
-        first(col("p.a.nrm")).as("n_a"), first(col("p.b.nrm")).as("n_b"))
+    val pairs = explodeSortedPairs(postings, "m")
+      .groupBy(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
+      .agg(sum(col("pa.tf") * col("pb.tf")).as("dot"),
+        first(col("pa.nrm")).as("n_a"), first(col("pb.nrm")).as("n_b"))
     pairs
       .select(col("doc_a"), col("doc_b"),
         (col("dot").cast("double") /
