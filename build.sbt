@@ -38,3 +38,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // SPARK_DRIVER_MEM as before.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
+// Experiment hook: extra JVM flags for the forked runs (GC/heap A/Bs on
+// the bench without editing the build). Empty by default.
+javaOptions ++= sys.env.get("SPARK_GRAFT_JVM_FLAGS").toSeq
+  .flatMap(_.split("\\s+").filter(_.nonEmpty))

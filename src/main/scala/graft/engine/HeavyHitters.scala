@@ -136,8 +136,7 @@ object HeavyHitters {
   /** The corpus tokenization both the batch query and the streaming twin
     * share: lowercased whitespace tokens, empties dropped. */
   private[graft] def tokens(docs: DataFrame): DataFrame =
-    docs.select(explode(split(lower(col("text")), " ")).as("token"))
-      .filter(col("token") =!= "")
+    docs.select(explode(TextExprs.tokensOf(col("text"))).as("token"))
 
   /** q_heavy_hitters: exact top-10 most frequent whitespace tokens in the
     * document corpus, via the two-pass MG plan above. The whole result is

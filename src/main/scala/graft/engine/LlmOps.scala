@@ -22,7 +22,10 @@ import org.apache.spark.sql.functions._
   */
 object LlmOps {
 
-  /** Whitespace tokens of lowercased text, empties dropped.
+  /** Whitespace tokens of lowercased text, empties dropped — backed by
+    * the codegen'd [[Tokens]] expression (one pass, zero-copy slices)
+    * instead of the interpreted `filter(split(lower(c), " "))` HOF chain;
+    * output is element-exact to that chain (pinned by LlmOpsSpec).
     *
     * PERF: when a downstream expression references tokens inside a lambda
     * (slice in `shingles`, filters in quality/lang-id), materialize this as
@@ -30,8 +33,7 @@ object LlmOps {
     * referenced from inside a higher-order function is re-evaluated per
     * lambda invocation, i.e. the text gets re-split once per shingle
     * (measured ~2 s of pure re-splitting at sf0.1). */
-  private[engine] def tokens(c: Column): Column =
-    filter(split(lower(c), " "), t => t =!= lit(""))
+  private[engine] def tokens(c: Column): Column = TextExprs.tokensOf(c)
 
   /** Double-precision dot product. Backed by the codegen'd
     * FloatDotProduct expression (VectorExprs) — the higher-order

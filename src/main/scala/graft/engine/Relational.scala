@@ -1038,7 +1038,7 @@ object Relational {
     * element_at) over tokenized text; arrays stringified for the oracle
     * (list equality across engines is representation-fragile). */
   def qArrayFuncs(spark: SparkSession, sfDir: String): DataFrame = {
-    val tk = filter(split(lower(col("text")), " "), t => t =!= lit(""))
+    val tk = TextExprs.tokensOf(col("text"))
     Tables.documents(spark, sfDir)
       .withColumn("_tk", tk)
       .select(

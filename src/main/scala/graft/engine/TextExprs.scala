@@ -147,6 +147,79 @@ object ShingleHashes {
   }
 }
 
+/** Native whitespace tokenizer — the codegen'd replacement for
+  * `filter(split(lower(text), " "), t -> t <> "")`, the first projection
+  * of EVERY text pipeline (dedup, LSH, BM25, quality, BPE prep). The
+  * higher-order `filter` has no doGenCode, so the tokenize step ran
+  * interpreted and allocated twice per row: split materializes every
+  * segment INCLUDING the empties (plus the regex machinery for the
+  * single-space pattern), then the lambda filter copies the survivors
+  * into a second array with a closure call per element. This expression
+  * lowercases once (the same UTF8String.toLowerCase the Lower expression
+  * uses) and slices non-space byte runs directly — one pass, one output
+  * array, zero-copy token slices (0x20 never occurs inside a UTF-8
+  * multibyte sequence, so byte-level splitting is UTF-8-safe).
+  *
+  * Output is IDENTICAL to the HOF chain: regex " " splits at each single
+  * space, consecutive/leading/trailing spaces yield empty segments, and
+  * the filter drops exactly those — i.e. the maximal non-space runs, in
+  * order, which is what the byte loop emits. Pinned element-exact
+  * against the HOF formulation by LlmOpsSpec. */
+case class Tokens(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"tokens needs string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Tokens.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.engine.Tokens.compute($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): Tokens =
+    copy(child = newChild)
+
+  override def prettyName: String = "tokens"
+}
+
+object Tokens {
+  /** Static entry shared by interpreted eval and generated code. */
+  def compute(s: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val b = s.toLowerCase.getBytes
+    val n = b.length
+    // two passes: count, then fill an exactly-sized array — no growable
+    // buffer churn on the hottest projection of the corpus scan
+    var cnt = 0
+    var i = 0
+    var start = 0
+    while (i <= n) {
+      if (i == n || b(i) == 0x20) {
+        if (i > start) cnt += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](cnt)
+    var k = 0
+    i = 0
+    start = 0
+    while (i <= n) {
+      if (i == n || b(i) == 0x20) {
+        if (i > start) { out(k) = UTF8String.fromBytes(b, start, i - start); k += 1 }
+        start = i + 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Native n-token span hashes over a token array — the shingle family
   * generalized to the SPAN length substring-dedup cares about (8–16
   * tokens: the unit of cross-document boilerplate/memorized text, vs the
@@ -820,6 +893,10 @@ object TextExprs {
   /** Column-level shingle hashes backed by the codegen'd expression. */
   def shingleHashes(tokens: Column): Column =
     GraftColumnBridge.column(ShingleHashes(GraftColumnBridge.expression(tokens)))
+
+  /** Column-level whitespace tokenizer backed by the codegen'd expression. */
+  def tokensOf(text: Column): Column =
+    GraftColumnBridge.column(Tokens(GraftColumnBridge.expression(text)))
 
   /** Column-level n-token span hashes backed by the codegen'd expression. */
   def spanHashes(tokens: Column, n: Int): Column =

@@ -271,6 +271,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(cmp.count() == 0, cmp.collect().take(5).mkString("; "))
   }
 
+  test("Tokens expression is element-exact to the filter(split(lower)) HOF chain") {
+    // the codegen'd tokenizer replaced the interpreted HOF chain on every
+    // text pipeline's first projection — any divergence (empty handling,
+    // consecutive/leading/trailing spaces, lowercase behavior) moves the
+    // shingle sets and with them every dedup/LSH/BM25 oracle
+    val docs = engine.Tables.documents(spark, sf)
+    val hof = filter(split(lower(col("text")), " "), t => t =!= lit(""))
+    val diverged = docs
+      .select(engine.TextExprs.tokensOf(col("text")).as("native"), hof.as("ref"))
+      .filter(not(col("native") <=> col("ref")))
+    assert(diverged.count() == 0,
+      diverged.collect().take(3).mkString("; "))
+    // edge cases the corpus may not cover: empty, all-space, leading/
+    // trailing/consecutive spaces, null
+    import spark.implicits._
+    val edges = Seq("", " ", "   ", " a", "a ", "a  b", "  A Bc  D ",
+      null.asInstanceOf[String]).toDF("text")
+    val edgeDiverged = edges
+      .select(engine.TextExprs.tokensOf(col("text")).as("native"),
+        filter(split(lower(col("text")), " "), t => t =!= lit("")).as("ref"))
+      .filter(not(col("native") <=> col("ref")))
+    assert(edgeDiverged.count() == 0,
+      edgeDiverged.collect().mkString("; "))
+  }
+
   test("RollingFingerprint is bit-identical to a plain-Scala reference fold") {
     val docs = engine.Tables.documents(spark, sf)
     val toks = filter(split(lower(col("text")), " "), t => t =!= lit(""))
