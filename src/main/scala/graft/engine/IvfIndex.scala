@@ -32,9 +32,7 @@ object IvfIndex {
     val vecs = emb.select(col("vec_id"), col("embedding"))
     val cents = KMeans.train(vecs, k, iters)
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
-    KMeans.assign(vecs, cents)
-      .select(col("vec_id"), col("cid"))
-      .join(vecs, "vec_id")
+    KMeans.withCell(vecs, cents)
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/cells")
   }
 

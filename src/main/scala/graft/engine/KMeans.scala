@@ -6,32 +6,61 @@ import org.apache.spark.sql.functions._
 /** Mini k-means for IVF coarse quantization, in pure DataFrame ops — the
   * trainer behind `q_sim_ivf`'s cells.
   *
-  * Every step is shuffle-bounded and driver-free:
-  *  - assignment: broadcast the k centroids, argmax cosine via max_by on
-  *    narrow (vec_id, cid, sim) rows — the corpus never shuffles;
-  *  - update: posexplode embeddings → avg per (cid, dim) → re-assemble the
-  *    centroid arrays with sort_array(collect_list(struct(dim, avg))).
+  * Every step is shuffle-bounded; the corpus never shuffles:
+  *  - assignment: one codegen'd NearestCentroidCosF pass — the k-loop
+  *    runs inside the expression against the k-bounded centroid
+  *    literals, so there is NO broadcast join (which materialized n·k
+  *    rows each copying both 64-float arrays), NO argmax aggregation,
+  *    and NO corpus-sized join to re-attach the embedding;
+  *  - update: posexplode embeddings → avg per (cid, dim) → re-assemble
+  *    the centroid arrays with sort_array(collect_list(struct(dim, avg))).
   *    k·dim groups total, independent of corpus size.
   *
-  * At 100 TB the assignment pass is the only corpus-wide stage and it's a
-  * narrow map; centroid state stays a k-row DataFrame end to end. */
+  * Centroid state lives on the driver between rounds as k (cid, vector)
+  * tuples — the identical k-row collect a broadcast build performs, i.e.
+  * planning metadata like IvfIndex.probedCells, never corpus-sized. At
+  * 100 TB the assignment pass is the only corpus-wide stage and it's a
+  * narrow map. */
 object KMeans {
 
-  /** Assign each vector to its best centroid (cosine). */
-  def assign(vectors: DataFrame, centroids: DataFrame): DataFrame =
-    vectors.join(broadcast(centroids))
-      .select(col("vec_id"), col("cid"),
-        LlmOps.cosine(col("ce"), col("embedding")).as("sim"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cid"),
-        max(col("sim")).as("sim"))
+  /** k-bounded centroid collect: the same driver hop broadcast(cents)
+    * paid, reused as expression literals. */
+  private def collectCents(centroids: DataFrame): (Seq[Int], Seq[Seq[Float]]) = {
+    val rows = centroids.select(col("cid"), col("ce")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+    (rows.map(_._1).toSeq, rows.map(_._2).toSeq)
+  }
+
+  /** Assign each vector to its best centroid (cosine). Output
+    * (vec_id, cid, sim) — value-identical to the former
+    * broadcast-join + max_by(cid, struct(sim, -cid)) formulation (the
+    * expression replicates Spark's double ordering and the lowest-cid
+    * tiebreak). */
+  def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val (cids, cents) = collectCents(centroids)
+    vectors
+      .withColumn("_nc", VectorExprs.nearestCentroidCos(col("embedding"), cids, cents))
+      .select(col("vec_id"), col("_nc.cid").as("cid"), col("_nc.sim").as("sim"))
+  }
+
+  /** `vectors` plus its best-centroid `cid` column — every input column
+    * (embedding included) rides along, so consumers that need the
+    * payload next to the cell id pay NO re-attach join. */
+  def withCell(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val (cids, cents) = collectCents(centroids)
+    vectors.withColumn("cid",
+      VectorExprs.nearestCentroidCos(col("embedding"), cids, cents).getField("cid"))
+  }
 
   /** One Lloyd update: mean of assigned vectors per centroid. Cells that
-    * lost all members keep their previous centroid. */
+    * lost all members keep their previous centroid. The assignment rides
+    * the same scan as the posexplode — no join re-attaches the
+    * embedding. */
   def update(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val assigned = assign(vectors, centroids)
-      .join(vectors, "vec_id")
-    val dims = assigned
+    val (cids, cents) = collectCents(centroids)
+    val dims = vectors
+      .select(VectorExprs.nearestCentroidCos(col("embedding"), cids, cents)
+        .getField("cid").as("cid"), col("embedding"))
       .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy(col("cid"), col("dim"))
       .agg(avg(col("v")).as("m"))
@@ -51,9 +80,9 @@ object KMeans {
     * assignment+update pipeline per round and every downstream use
     * re-optimizes (and on cache loss re-runs) the whole training history. */
   def train(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
-    // each Lloyd round scans the corpus twice (assign + re-attach); cache
-    // it for the duration of training, release after the final centroids
-    // are a materialized leaf
+    // each Lloyd round scans the corpus once (assignment and posexplode
+    // share the scan); cache it for the duration of training, release
+    // after the final centroids are a materialized leaf
     val v = vectors.persist()
     try {
       // init = first k by vec_id. orderBy.limit(k) is a distributed

@@ -3324,17 +3324,12 @@ object LlmOps {
   def qSimIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val cents = KMeans.train(emb.select(col("vec_id"), col("embedding")), 16, 2)
-    // cell assignment: nearest centroid per vector. argmin via max_by on
-    // NARROW rows (vec_id, cid, csim) — a window here would shuffle the
-    // 64-float embedding 16× per vector; instead partial aggregation
-    // collapses to one row per vector map-side, embeddings re-attached by
-    // a join on the unique key
-    val assigned = emb.join(broadcast(cents))
-      .select(col("vec_id"), col("cid"),
-        cosine(col("ce"), col("embedding")).as("csim"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"))
-      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+    // cell assignment: nearest centroid per vector, computed by the
+    // codegen'd k-loop expression (KMeans.withCell) — no broadcast join
+    // materializing n·k double-array rows, no argmax aggregation, and no
+    // corpus-sized join to re-attach the embedding; the payload rides
+    // the same scan as the assignment
+    val assigned = KMeans.withCell(emb.select(col("vec_id"), col("embedding")), cents)
     // queries probe their 2 nearest cells
     val q = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))

@@ -199,18 +199,22 @@ object Quantize {
       ivfQuantImpl(s, sfDir, corpusTrain, gc, serve)
     } else ivfQuantImpl(spark, sfDir, corpusTrain, gc, serve)
 
-  /** Nearest-centroid assignment: argmin over the broadcast cell set,
-    * min_by on the (distance, cid) struct = deterministic tiebreak. */
-  private def assignTo(cents: DataFrame, vecs: DataFrame): DataFrame =
-    vecs.join(broadcast(cents))
-      .select(col("vec_id"), col("cid"), sqd(col("qv"), col("cv")).as("d"))
-      .groupBy(col("vec_id"))
-      .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("cid"))
+  /** Nearest-cell assignment: argmin exact squared L2 with the lowest-cid
+    * tiebreak, computed by the codegen'd NearestCentroidSqI k-loop over
+    * the centroid literals — value-identical to the former
+    * broadcast-join + min_by(cid, struct(d, cid)) but with NO n·k join
+    * rows, NO argmin aggregation, and the code vector riding along (so
+    * posting builders pay no re-attach join either). Output: vecs plus
+    * `cid`. */
+  private def assignTo(cents: Seq[(Long, Seq[Int])], vecs: DataFrame): DataFrame =
+    vecs.withColumn("cid", VectorExprs.nearestCentroidSq(
+      col("qv"), cents.map(_._1), cents.map(_._2)).getField("cid"))
 
   /** Per-dimension integer mean: posexplode partial-aggregates to
-    * ≤ cells×dims rows map-side; floor division is exact. */
-  private def updateWith(assigned: DataFrame, q8: DataFrame): DataFrame =
-    assigned.join(q8, "vec_id")
+    * ≤ cells×dims rows map-side; floor division is exact. The assignment
+    * rides the posexplode's own scan — no corpus join. */
+  private def updateWith(cents: Seq[(Long, Seq[Int])], train: DataFrame): DataFrame =
+    assignTo(cents, train)
       .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
       .groupBy(col("cid"), col("pos"))
       .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
@@ -219,24 +223,29 @@ object Quantize {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv_i")))),
         x => x.getField("cv_i")).as("cv"))
 
+  /** k-bounded centroid collect: ≤ NCells rows of (cid, dims ints) —
+    * the same driver hop the former broadcast(cents) build paid. */
+  private def collectCents(c: DataFrame): Seq[(Long, Seq[Int])] =
+    c.collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSeq.sortBy(_._1)
+
   /** Trained centroids from the memo when warm; the cold path runs the
-    * init + Lloyd rounds over `q8` and collects the ≤ NCells rows. */
+    * init + Lloyd rounds over `q8`, centroid state k-bounded driver-side
+    * between rounds (integer-exact arithmetic, so the collected values
+    * are bit-identical to the former all-DataFrame loop's). */
   private def trainedCentroids(sfDir: String, corpusTrain: Boolean,
       q8: DataFrame): Seq[(Long, Seq[Int])] =
     ivfCentMemo.computeIfAbsent((sfDir, corpusTrain), _ => {
       val train = if (corpusTrain) q8.filter(col("vec_id") % 10 < 8) else q8
-      var c =
+      var c = collectCents(
         if (corpusTrain)
           // init from the train generation only — the NCells smallest
           // corpus ids (a k-bounded TakeOrdered, deterministic)
           train.orderBy(col("vec_id")).limit(NCells)
             .select(col("vec_id").as("cid"), col("qv").as("cv"))
         else q8.filter(col("vec_id") < NCells)
-          .select(col("vec_id").as("cid"), col("qv").as("cv"))
-      for (_ <- 1 to Rounds) c = updateWith(assignTo(c, train), q8)
-      // k-bounded collect: ≤ NCells rows of (cid, dims ints)
-      c.collect().map(r =>
-        (r.getLong(0), r.getSeq[Int](1))).toSeq.sortBy(_._1)
+          .select(col("vec_id").as("cid"), col("qv").as("cv")))
+      for (_ <- 1 to Rounds) c = collectCents(updateWith(c, train))
+      c
     })
 
   /** The serving tail shared by the lifecycle queries and the streaming
@@ -287,19 +296,19 @@ object Quantize {
       .select(col("vec_id"), VectorExprs.quantizeU8(col("embedding")).getField("q").as("qv"))
       .persist()
     try {
-      def assign(cents: DataFrame, vecs: DataFrame): DataFrame =
-        assignTo(cents, vecs)
       val train = if (corpusTrain) q8.filter(col("vec_id") % 10 < 8) else q8
       import spark.implicits._
-      val cents = trainedCentroids(sfDir, corpusTrain, q8).toDF("cid", "cv")
+      val centsSeq = trainedCentroids(sfDir, corpusTrain, q8)
+      val cents = centsSeq.toDF("cid", "cv")
 
       // postings per generation: gen 0 = the train corpus; absorb = the
-      // frozen-quantizer assignment of the batch (empty when !corpusTrain)
+      // frozen-quantizer assignment of the batch (empty when !corpusTrain).
+      // assignTo carries qv inline — no per-generation re-attach join.
       val posting0 =
         if (corpusTrain)
-          assign(cents, train).join(q8, "vec_id").unionByName(
-            assign(cents, q8.filter(col("vec_id") % 10 >= 8)).join(q8, "vec_id"))
-        else assign(cents, q8).join(q8, "vec_id")
+          assignTo(centsSeq, train).unionByName(
+            assignTo(centsSeq, q8.filter(col("vec_id") % 10 >= 8)))
+        else assignTo(centsSeq, q8)
       // GC: anti-join the takedown list out of the postings — broadcast,
       // the forget side never shuffles the index (mirrors gcIndex)
       val posting =
@@ -411,8 +420,9 @@ object Quantize {
       .persist()
     try {
       import spark.implicits._
-      val cents = trainedCentroids(sfDir, corpusTrain = false, q8).toDF("cid", "cv")
-      val posting = assignTo(cents, q8).join(q8, "vec_id")
+      val centsSeq = trainedCentroids(sfDir, corpusTrain = false, q8)
+      val cents = centsSeq.toDF("cid", "cv")
+      val posting = assignTo(centsSeq, q8)
       val queries = q8.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("qv").as("qq"))
       val probes = probeRanked(cents, queries)

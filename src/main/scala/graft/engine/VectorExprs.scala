@@ -1,7 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.GraftColumnBridge
@@ -239,6 +239,175 @@ case class IntSqDist(left: Expression, right: Expression)
   override def prettyName: String = "int_sq_dist"
 }
 
+/** Nearest centroid by cosine over a k-bounded FLOAT centroid set carried
+  * as expression parameters — the codegen'd replacement for the
+  * `vectors.join(broadcast(centroids))` + `groupBy(vec_id).max_by`
+  * assignment: that shape materializes n·k join rows each copying BOTH
+  * 64-float arrays into an UnsafeRow, feeds them through a hash
+  * aggregate, and then needs a corpus-sized join to re-attach the
+  * payload — measured as the IVF family's dominant stages (10-18 s of
+  * task run time per assignment at sf0.1, 3× GC-inflated over CPU).
+  * Here the k-loop runs INSIDE one expression per row: zero join rows,
+  * zero aggregation, zero re-attach, and the k·dim floats ship once per
+  * task as a codegen reference object (the same driver-side k-row
+  * collect a broadcast build performs).
+  *
+  * Arithmetic is bit-identical to `max_by(cid, struct(cos, -cid))` over
+  * VectorExprs.vcosine(ce, v): dots accumulate in index order as
+  * doubles, sim = dot / (sqrt(dot(ce,ce)) * sqrt(dot(v,v))) with the
+  * centroid norm on the left of the multiply, and the comparator
+  * replicates Spark's double ordering (x == y first so ±0.0 ties, then
+  * Double.compare so NaN ranks greatest), ties to the LOWEST cid.
+  * Returns struct(cid, sim); null vector → null. */
+case class NearestCentroidCosF(child: Expression, cids: Seq[Int],
+    cents: Seq[Seq[Float]]) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cid", IntegerType, nullable = false),
+    StructField("sim", DoubleType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"nearest_centroid_cos needs array<float>, got $other")
+    }
+
+  @transient private lazy val cidArr: Array[Int] = cids.toArray
+  @transient private lazy val centArr: Array[Array[Float]] =
+    cents.map(_.toArray).toArray
+  // sqrt(dot(c,c)) once per centroid — the same double vcosine computed
+  // per row before
+  @transient private lazy val normArr: Array[Double] =
+    centArr.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i).toDouble * c(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    NearestCentroidCosF.compute(
+      input.asInstanceOf[ArrayData], cidArr, centArr, normArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cidsRef = ctx.addReferenceObj("cids", cidArr, "int[]")
+    val centsRef = ctx.addReferenceObj("cents", centArr, "float[][]")
+    val normsRef = ctx.addReferenceObj("norms", normArr, "double[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.engine.NearestCentroidCosF.compute(" +
+        s"$a, $cidsRef, $centsRef, $normsRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidCosF =
+    copy(child = newChild)
+
+  override def prettyName: String = "nearest_centroid_cos"
+}
+
+object NearestCentroidCosF {
+  /** Static entry shared by interpreted eval and generated code. */
+  def compute(v: ArrayData, cids: Array[Int], cents: Array[Array[Float]],
+      norms: Array[Double]): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = v.numElements()
+    var vv = 0.0
+    var i = 0
+    while (i < n) { val x = v.getFloat(i).toDouble; vv += x * x; i += 1 }
+    val vnorm = math.sqrt(vv)
+    var bestCid = 0
+    var bestSim = 0.0
+    var first = true
+    var c = 0
+    while (c < cents.length) {
+      val ce = cents(c)
+      val m = math.min(ce.length, n)
+      var dot = 0.0
+      i = 0
+      while (i < m) { dot += ce(i).toDouble * v.getFloat(i).toDouble; i += 1 }
+      val sim = dot / (norms(c) * vnorm)
+      // Spark double ordering: == first (±0.0 tie), Double.compare after
+      // (NaN greatest); ties take the lowest cid (max_by on (sim, -cid))
+      val cmp = if (sim == bestSim) 0 else java.lang.Double.compare(sim, bestSim)
+      if (first || cmp > 0 || (cmp == 0 && cids(c) < bestCid)) {
+        bestCid = cids(c); bestSim = sim; first = false
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestCid, bestSim))
+  }
+}
+
+/** [[NearestCentroidCosF]]'s integer twin for the quantized-IVF family:
+  * argmin exact squared L2 (IntSqDist arithmetic) over k-bounded INT-code
+  * centroids, ties to the lowest cid — bit-identical to
+  * `min_by(cid, struct(d, cid))` over intSqDist, all-long comparisons.
+  * Returns struct(cid, d); null code vector → null. */
+case class NearestCentroidSqI(child: Expression, cids: Seq[Long],
+    cents: Seq[Seq[Int]]) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cid", LongType, nullable = false),
+    StructField("d", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"nearest_centroid_sq needs array<int>, got $other")
+    }
+
+  @transient private lazy val cidArr: Array[Long] = cids.toArray
+  @transient private lazy val centArr: Array[Array[Int]] =
+    cents.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    NearestCentroidSqI.compute(input.asInstanceOf[ArrayData], cidArr, centArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cidsRef = ctx.addReferenceObj("cids", cidArr, "long[]")
+    val centsRef = ctx.addReferenceObj("cents", centArr, "int[][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.engine.NearestCentroidSqI.compute(" +
+        s"$a, $cidsRef, $centsRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidSqI =
+    copy(child = newChild)
+
+  override def prettyName: String = "nearest_centroid_sq"
+}
+
+object NearestCentroidSqI {
+  /** Static entry shared by interpreted eval and generated code. */
+  def compute(v: ArrayData, cids: Array[Long],
+      cents: Array[Array[Int]]): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = v.numElements()
+    var bestCid = 0L
+    var bestD = 0L
+    var first = true
+    var c = 0
+    while (c < cents.length) {
+      val ce = cents(c)
+      val m = math.min(ce.length, n)
+      var s = 0L
+      var i = 0
+      while (i < m) {
+        val d = (ce(i) - v.getInt(i)).toLong
+        s += d * d
+        i += 1
+      }
+      if (first || s < bestD || (s == bestD && cids(c) < bestCid)) {
+        bestCid = cids(c); bestD = s; first = false
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestCid, bestD))
+  }
+}
+
 object VectorExprs {
   /** Column-level dot product backed by the codegen'd expression. */
   def vdot(a: Column, b: Column): Column =
@@ -259,4 +428,17 @@ object VectorExprs {
   def intSqDist(a: Column, b: Column): Column =
     GraftColumnBridge.column(IntSqDist(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** struct(cid, sim): nearest float centroid by cosine, k-loop in one
+    * codegen'd pass. */
+  def nearestCentroidCos(v: Column, cids: Seq[Int],
+      cents: Seq[Seq[Float]]): Column =
+    GraftColumnBridge.column(NearestCentroidCosF(
+      GraftColumnBridge.expression(v), cids, cents))
+
+  /** struct(cid, d): nearest int-code centroid by exact squared L2. */
+  def nearestCentroidSq(v: Column, cids: Seq[Long],
+      cents: Seq[Seq[Int]]): Column =
+    GraftColumnBridge.column(NearestCentroidSqI(
+      GraftColumnBridge.expression(v), cids, cents))
 }
