@@ -3029,16 +3029,15 @@ object LlmOps {
     * window shuffles (doc_id, component, 2 longs) — never text — and
     * partitions by component (dedup-cluster-sized groups). */
   def qDedupKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
-    // the component map (dedupGroups: eager, the closure's whole pipeline)
-    // and the quality metrics (one independent corpus pass) share nothing
-    // until the final join — materialize them concurrently (guide §2.6)
-    // instead of paying the quality scan serially after the closure
-    var comp: DataFrame = null
-    var qual: DataFrame = null
-    inParallel(
-      { comp = qDedupGroups(spark, sfDir).select(col("doc_id"), col("component")) },
-      { qual = Iterate.cut(qTextQuality(spark, sfDir)
-          .select(col("doc_id"), col("passes"), col("n_tokens"))) })
+    // SEQUENTIAL (r14): the r13 round overlapped the quality pass with the
+    // closure (inParallel); the builder measured it as a no-op at sf0.1
+    // and the r13 driver sweep + the 100x dir both REGRESSED this query
+    // (VERDICT r13 item 1) — on a host whose 32-way concurrency pays
+    // allocator contention, the extra concurrent corpus pass costs more
+    // than its tail-backfill buys. Reverted to the serial shape.
+    val comp = qDedupGroups(spark, sfDir).select(col("doc_id"), col("component"))
+    val qual = Iterate.cut(qTextQuality(spark, sfDir)
+      .select(col("doc_id"), col("passes"), col("n_tokens")))
     val w = Window.partitionBy(col("component"))
       .orderBy(col("passes").desc, col("n_tokens").desc, col("doc_id").asc)
     comp.join(qual, "doc_id")
