@@ -1617,6 +1617,10 @@ object LlmOps {
     // is bounded by the bucket count, not the shuffle-partition count.
     // The digests append and the buckets append touch disjoint tables —
     // run them concurrently, each with its own visibility refresh.
+    // (r14 adjudication of the r13 driver regression: cold A/B on this
+    // host reads concurrent 3.02/3.57 s vs sequential 3.96/4.10 s — the
+    // overlap wins cold too; the 6.65 s driver sample was host drift,
+    // consistent with the 100x dir IMPROVING under the same commit.)
     inParallel(
       {
         batch.select(sha2(col("text"), 256).as("dg")).distinct()
