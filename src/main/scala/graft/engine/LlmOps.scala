@@ -1549,6 +1549,7 @@ object LlmOps {
     * 2-ary version, N-ary because the BM25 index writes three tables per
     * generation. */
   private[graft] def inParallelAll(actions: (() => Unit)*): Unit = {
+    if (actions.isEmpty) return
     val errs = new Array[Throwable](actions.size)
     val ts = actions.zipWithIndex.drop(1).map { case (f, i) =>
       val t = new Thread(() => try f() catch { case x: Throwable => errs(i) = x })
@@ -1556,7 +1557,13 @@ object LlmOps {
     }
     try actions.head() catch { case x: Throwable => errs(0) = x }
     finally ts.foreach(_.join())
-    errs.find(_ != null).foreach(throw _)
+    // rethrow the first (argument-order) failure; the others ride along
+    // as suppressed instead of being silently discarded — a multi-table
+    // write failure must not hide a second table's independent failure
+    errs.find(_ != null).foreach { first =>
+      errs.foreach(e => if (e != null && (e ne first)) first.addSuppressed(e))
+      throw first
+    }
   }
 
   def saveBucketedIndex(spark: SparkSession, idx: CorpusIndex,

@@ -869,7 +869,15 @@ object Streaming {
             // gen = id, so even if the absorb's visibility refresh lands
             // mid-probe the probe's partition filter prunes the new
             // generation — overlap them (guide §2.6), like the absorb's
-            // own paired digest/bucket appends one level down
+            // own paired digest/bucket appends one level down.
+            // FAILURE MODE of the overlap: a probe failure no longer
+            // prevents the absorb from committing gen = id, so a batch
+            // can be absorbed while its $outDir/b$id output is missing —
+            // consumers must not infer probe completeness from absorbed
+            // generations. The RETRY itself stays deterministic: the
+            // retried probe's maxGenExclusive = id still fences out the
+            // batch's own generation, and the b$id rewrite is
+            // mode=overwrite.
             LlmOps.inParallel(
               LlmOps.probeDeltaUnsorted(asOf, batch)
                 .write.mode("overwrite").parquet(s"$outDir/b$id"),
