@@ -46,6 +46,12 @@ object Bench {
     val shRead = new java.util.concurrent.atomic.AtomicLong
     val shWrite = new java.util.concurrent.atomic.AtomicLong
     val spilled = new java.util.concurrent.atomic.AtomicLong
+    // task-time sum (executorRunTime): contention-robust companion to the
+    // wall reading — two runs whose walls differ 2x from scheduler noise
+    // show near-identical task-time sums unless the CODE changed (r13
+    // verdict item 7: carry it in the per-query diagnostic lines so scale
+    // sweeps can be adjudicated without wall-only guesswork)
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = te.taskMetrics
@@ -53,6 +59,7 @@ object Bench {
           shRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
           shWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
           spilled.addAndGet(m.diskBytesSpilled)
+          taskMs.addAndGet(m.executorRunTime)
         }
       }
     })
@@ -92,6 +99,7 @@ object Bench {
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val r0 = shRead.get; val w0 = shWrite.get; val s0 = spilled.get
+      val k0 = taskMs.get
       val s1 = once(name, fn); val s2 = once(name, fn)
       val t2 = math.min(s1, s2)
       // a third sample when the reading is either sub-second (where one
@@ -104,7 +112,7 @@ object Bench {
         else t2
       System.err.println(s"""[bench-metrics] {"query":"$name","sec":$t,""" +
         s""""shuffleReadB":${shRead.get - r0},"shuffleWriteB":${shWrite.get - w0},""" +
-        s""""spillB":${spilled.get - s0}}""")
+        s""""spillB":${spilled.get - s0},"taskMs":${taskMs.get - k0}}""")
       // Sweep hygiene, OUTSIDE the timed window: eagerly-materialized
       // queries leave their Iterate.cut localCheckpoint RDDs (GBs each at
       // the 100× dir) in block storage until the DRIVER garbage-collects
@@ -133,7 +141,7 @@ object Bench {
     // lines. BenchLineSpec pins the budget against the declared surface.
     val total = if (results.nonEmpty) results.values.sum else 0.0
     System.err.println(s"""[bench-metrics] {"query":"TOTAL","shuffleReadB":${shRead.get},""" +
-      s""""shuffleWriteB":${shWrite.get},"spillB":${spilled.get}}""")
+      s""""shuffleWriteB":${shWrite.get},"spillB":${spilled.get},"taskMs":${taskMs.get}}""")
     try {
       val full = results.toSeq.sortBy(_._1).map { case (k, v) =>
         "\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, v)

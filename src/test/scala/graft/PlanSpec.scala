@@ -185,7 +185,7 @@ class PlanSpec extends SparkSpec {
         s"q_sim_ivf: centroids must broadcast (got ${ivf.broadcasts}) with pushdown ${ivf.pushed}")
       // q_join_asof_range: 3 essential exchanges (fact-x-fact self-join —
       // a broadcast would be small-data luck, wrong at 100 TB — plus the
-      // output sort) and, ONLY when Tables.rebalanced fires (the events
+      // output sort) and, ONLY when Tables.rebalancedMemo fires (the events
       // fixture compressing to fewer splits than cores/2 under this
       // session), the r13 probe-rebalance round-robin as a 4th.
       // Conditional 3-or-4 so regenerating the fixture with more row
